@@ -1,0 +1,208 @@
+"""Merge-apply: commit-ordered last-writer-wins upsert/delete (SURVEY.md §2.7 C3/C5).
+
+Two-stage plan after the (pid, salt) shuffle:
+
+- :func:`lww_collapse` — vectorized per-key LWW used as (a) the per-batch
+  combiner, (b) the sub-partition LWW after the first shuffle, and
+  (c) the cross-salt reconciliation inside :class:`MergeApply`. LWW is
+  associative, so collapsing at every level is exact; ``n_events`` /
+  ``seq_lo`` accumulator columns preserve lineage counts through the
+  collapses.
+- :class:`MergeApply` — actor-pool stage, one call per lake partition
+  (pid): reconcile salted winners, apply deletes/upserts against the
+  partition's base file (read via the committed manifest), and rewrite
+  the partition (rewrite-on-touch = the log-structured-merge compaction
+  policy, C5). Emits a report/lineage row, NOT data — the write is
+  uncommitted until the driver's manifest commit (engine/cdc/sink.py).
+
+Determinism: winners are decided solely by ``seq`` (unique by generator
+contract); output rows are sorted by (repo, path) — both independent of
+arrival order and parallelism (SURVEY.md §4 "ordering").
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from engine.cdc.schema import conform_table
+from engine.schemas import lake_schema_for
+from engine.util.hashing import sha256_hex_column
+
+_ACC_COLS = ("n_events", "seq_lo")
+
+REPORT_SCHEMA = pa.schema(
+    [
+        pa.field("pid", pa.int64()),
+        pa.field("epoch", pa.int64()),
+        pa.field("file", pa.string()),
+        pa.field("seq_lo", pa.int64()),
+        pa.field("seq_hi", pa.int64()),
+        pa.field("events_in", pa.int64()),
+        pa.field("upserts", pa.int64()),
+        pa.field("deletes", pa.int64()),
+        pa.field("rows_out", pa.int64()),
+        pa.field("bytes_written", pa.int64()),
+        pa.field("duration_s", pa.float64()),
+    ]
+)
+
+
+def lww_collapse(table: pa.Table) -> pa.Table:
+    """Keep the max-``seq`` row per (repo, path); sum ``n_events`` and
+    min ``seq_lo`` across collapsed rows. Only the key/seq/accumulator
+    columns are converted to pandas — wide ``content`` strings stay in
+    Arrow and move via ``take`` (zero row-level Python)."""
+    n = table.num_rows
+    has_acc = _ACC_COLS[0] in table.column_names
+    if n == 0:
+        out = table
+        if not has_acc:
+            for c in _ACC_COLS:
+                out = out.append_column(c, pa.array([], type=pa.int64()))
+        return out
+    s = table.column("seq").to_pandas()
+    df = pd.DataFrame(
+        {
+            "r": table.column("repo").to_pandas(),
+            "p": table.column("path").to_pandas(),
+            "s": s,
+            "n": table.column("n_events").to_pandas()
+            if has_acc
+            else np.ones(n, dtype=np.int64),
+            "lo": table.column("seq_lo").to_pandas() if has_acc else s,
+        }
+    )
+    g = df.groupby(["r", "p"], sort=False)
+    pos = g["s"].idxmax().to_numpy()
+    if len(pos) == n and not has_acc:
+        # No duplicate keys in this chunk — pure column append, no take.
+        out = table.append_column("n_events", pa.array(np.ones(n, dtype=np.int64)))
+        return out.append_column("seq_lo", table.column("seq"))
+    nsum = g["n"].sum().to_numpy().astype(np.int64)
+    lmin = g["lo"].min().to_numpy().astype(np.int64)
+    order = np.argsort(pos)
+    pos, nsum, lmin = pos[order], nsum[order], lmin[order]
+    out = table.select([c for c in table.column_names if c not in _ACC_COLS]).take(
+        pa.array(pos)
+    )
+    out = out.append_column("n_events", pa.array(nsum))
+    return out.append_column("seq_lo", pa.array(lmin))
+
+
+def _key_array(table: pa.Table) -> pa.Array:
+    joined = pc.binary_join_element_wise(
+        table.column("repo"), table.column("path"), "\x1f"
+    )
+    return joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) else joined
+
+
+class MergeApply:
+    """One call per lake partition group; actor pool so manifest state /
+    schemas are deserialized once per actor (BASELINE.json:6 "stateful
+    actor pools holding per-partition last-writer-wins state")."""
+
+    def __init__(
+        self,
+        lake_dir: str,
+        epoch: int,
+        active_files: dict,
+        event_schema_b64: str,
+    ):
+        from engine.cdc.sink import schema_from_b64
+
+        self.lake_dir = lake_dir
+        self.epoch = epoch
+        self.active = {int(k): v for k, v in active_files.items()}
+        self.event_schema = schema_from_b64(event_schema_b64)
+        self.lake_schema = lake_schema_for(self.event_schema)
+        self.payload_names = [
+            f.name for f in self.lake_schema if f.name not in ("content_sha256", "seq")
+        ]
+
+    def _read_base(self, pid: int) -> pa.Table:
+        rel = self.active.get(pid)
+        if rel is None:
+            return self.lake_schema.empty_table()
+        base = pq.read_table(os.path.join(self.lake_dir, rel))
+        return conform_table(base, self.lake_schema)  # null-backfill new columns
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t0 = time.monotonic()
+        if group.num_rows == 0:
+            return REPORT_SCHEMA.empty_table()
+        pid = group.column("pid")[0].as_py()
+        winners = lww_collapse(group)  # cross-salt reconciliation (C2 pass 2)
+        events_in = int(pc.sum(winners.column("n_events")).as_py())
+        seq_lo = int(pc.min(winners.column("seq_lo")).as_py())
+        seq_hi = int(pc.max(winners.column("seq")).as_py())
+        del_mask = pc.equal(winners.column("op"), "D")
+        n_del = int(pc.sum(pc.cast(del_mask, pa.int64())).as_py() or 0)
+        ups = winners.filter(pc.invert(del_mask))
+
+        cols = {name: ups.column(name) for name in self.payload_names}
+        cols["content_sha256"] = pa.array(
+            sha256_hex_column(ups.column("content")), type=pa.string()
+        )
+        cols["seq"] = ups.column("seq")
+        upsert_rows = pa.table(cols, schema=self.lake_schema)
+
+        base = self._read_base(pid)
+        if base.num_rows:
+            touched = _key_array(winners)
+            keep = pc.invert(pc.is_in(_key_array(base), value_set=touched))
+            base = base.filter(keep)
+        out = pa.concat_tables([base, upsert_rows])
+        out = out.sort_by([("repo", "ascending"), ("path", "ascending")])
+
+        file_rel, nbytes = None, 0
+        if out.num_rows:
+            file_rel = os.path.join(
+                "data", f"part={pid}", f"base-{self.epoch:05d}-{uuid.uuid4().hex[:12]}.parquet"
+            )
+            abs_path = os.path.join(self.lake_dir, file_rel)
+            os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+            pq.write_table(out, abs_path)
+            nbytes = os.path.getsize(abs_path)
+
+        return pa.table(
+            {
+                "pid": [pid],
+                "epoch": [self.epoch],
+                "file": [file_rel],
+                "seq_lo": [seq_lo],
+                "seq_hi": [seq_hi],
+                "events_in": [events_in],
+                "upserts": [int(ups.num_rows)],
+                "deletes": [n_del],
+                "rows_out": [int(out.num_rows)],
+                "bytes_written": [nbytes],
+                "duration_s": [time.monotonic() - t0],
+            },
+            schema=REPORT_SCHEMA,
+        )
+
+
+_MERGE_CACHE: dict[tuple, MergeApply] = {}
+
+
+def merge_apply_group(group: pa.Table, *, lake_dir, epoch, active_files, event_schema_b64) -> pa.Table:
+    """Task-form of :class:`MergeApply` (elastic scheduling: one task per
+    partition group, no pool pre-reservation — a fixed-size actor pool
+    sized to the CPU count can starve the upstream shuffle tasks, and a
+    per-epoch pool pays actor startup every epoch). The constructed
+    stage is cached per worker process per epoch, mirroring actor-pool
+    setup amortization."""
+    key = (lake_dir, epoch, event_schema_b64)
+    fn = _MERGE_CACHE.get(key)
+    if fn is None:
+        _MERGE_CACHE.clear()  # previous epochs' entries are dead
+        fn = _MERGE_CACHE[key] = MergeApply(lake_dir, epoch, active_files, event_schema_b64)
+    return fn(group)

@@ -1,0 +1,87 @@
+"""Event parser / validator + per-batch combiner (SURVEY.md §2.2 M8).
+
+One fused, vectorized ``map_batches`` stage that runs per event batch,
+zero-copy Arrow in/out:
+
+1. **validate** — op ∈ {I,U,D}, non-null key (repo, path), non-null seq;
+   rejects are routed to a dead-letter directory (at-least-once by
+   design: dead-letter files are diagnostics, uniquely named, and never
+   read back by the engine).
+2. **conform** — additive schema negotiation against the epoch's target
+   schema (engine/cdc/schema.py).
+3. **partition** — append (pid, salt) columns (engine/cdc/partition.py).
+4. **partial LWW combiner** — collapse to one winner per key *within the
+   batch* before the shuffle (pre-aggregation so the wide groupby moves
+   winners, not raw events — SURVEY.md §4 "pre-aggregate inside
+   map_batches"). Correct because LWW is associative: the max-seq event
+   of a union is the max-seq of per-chunk max-seq winners; `n_events` /
+   `seq_lo` columns carry the collapsed counts for lineage.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from engine.cdc.merge import lww_collapse
+from engine.cdc.partition import assign_partitions
+from engine.cdc.schema import conform_table
+from engine.schemas import OPS
+
+
+class PrepareEvents:
+    """Actor-pool batch stage; constructor state (target schema, config)
+    is built once per actor (SURVEY.md §2.3)."""
+
+    def __init__(
+        self,
+        target_schema_b64: str,
+        num_partitions: int,
+        num_salts: int,
+        deadletter_dir: str | None = None,
+        epoch: int = 0,
+    ):
+        from engine.cdc.sink import schema_from_b64
+
+        self.target_schema = schema_from_b64(target_schema_b64)
+        self.num_partitions = num_partitions
+        self.num_salts = num_salts
+        self.deadletter_dir = deadletter_dir
+        self.epoch = epoch
+
+    def _validate(self, batch: pa.Table) -> pa.Table:
+        ok = pc.is_in(batch.column("op"), value_set=pa.array(OPS))
+        for col in ("repo", "path", "seq"):
+            ok = pc.and_(ok, pc.is_valid(batch.column(col)))
+        if pc.all(ok).as_py() in (True, None):
+            return batch
+        bad = batch.filter(pc.invert(pc.fill_null(ok, False)))
+        if self.deadletter_dir and bad.num_rows:
+            ddir = os.path.join(self.deadletter_dir, f"epoch={self.epoch:05d}")
+            os.makedirs(ddir, exist_ok=True)
+            pq.write_table(bad, os.path.join(ddir, f"bad-{uuid.uuid4().hex}.parquet"))
+        return batch.filter(pc.fill_null(ok, False))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = self._validate(batch)
+        batch = conform_table(batch, self.target_schema)
+        batch = assign_partitions(batch, self.num_partitions, self.num_salts)
+        return lww_collapse(batch)
+
+
+_WORKER_CACHE: dict[tuple, PrepareEvents] = {}
+
+
+def prepare_batch(batch: pa.Table, **cfg) -> pa.Table:
+    """Task-form of :class:`PrepareEvents` for elastic stateless scheduling
+    (the parsed target schema is cached per worker process, so tasks get
+    actor-like setup amortization without reserving a pool)."""
+    key = tuple(sorted(cfg.items()))
+    fn = _WORKER_CACHE.get(key)
+    if fn is None:
+        fn = _WORKER_CACHE[key] = PrepareEvents(**cfg)
+    return fn(batch)

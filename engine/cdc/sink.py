@@ -1,0 +1,142 @@
+"""Exactly-once lake sink: manifest-based two-phase commit (SURVEY.md §2.1 S7, §2.7 C4).
+
+Design (BASELINE.json:6 "exactly-once sink using idempotent per-partition
+epoch commits with a manifest-based two-phase write"):
+
+- **Phase 1** — merge tasks write data files with task-unique names under
+  ``lake/data/part=<pid>/base-<epoch>-<token>.parquet`` and *return* a
+  report row naming the file. Writes are side-effect-free until commit:
+  a retried task leaves an orphan file that no manifest ever references.
+- **Phase 2** — the driver, after collecting every partition's report,
+  writes ``lake/manifest/epoch-<k>.json`` via tmp-file + ``os.replace``
+  (atomic on POSIX). The manifest IS the commit point: it lists the
+  active data file per partition (touched partitions point at the new
+  epoch's files, untouched ones carry forward), the negotiated event
+  schema, and per-partition lineage.
+- **Idempotence / resume** — replaying a committed epoch is a no-op
+  (the manifest exists → skip); a crash between phase 1 and phase 2
+  leaves only unreferenced orphans, and the rerun converges to the
+  identical state (verified in tests/test_cdc_exactly_once.py).
+
+Readers (next epoch's merge, the verifier, `read_lake`) resolve data
+files ONLY through the latest committed manifest.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+
+import pyarrow as pa
+
+MANIFEST_DIR = "manifest"
+DATA_DIR = "data"
+LINEAGE_DIR = "lineage"
+DEADLETTER_DIR = "deadletter"
+
+
+def lake_paths(lake_dir: str) -> dict:
+    return {
+        "manifest": os.path.join(lake_dir, MANIFEST_DIR),
+        "data": os.path.join(lake_dir, DATA_DIR),
+        "lineage": os.path.join(lake_dir, LINEAGE_DIR),
+        "deadletter": os.path.join(lake_dir, DEADLETTER_DIR),
+    }
+
+
+def init_lake(lake_dir: str) -> None:
+    for p in lake_paths(lake_dir).values():
+        os.makedirs(p, exist_ok=True)
+
+
+def _manifest_path(lake_dir: str, epoch: int) -> str:
+    return os.path.join(lake_dir, MANIFEST_DIR, f"epoch-{epoch:05d}.json")
+
+
+def schema_to_b64(schema: pa.Schema) -> str:
+    return base64.b64encode(schema.serialize().to_pybytes()).decode("ascii")
+
+
+def schema_from_b64(s: str) -> pa.Schema:
+    return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(s)))
+
+
+def last_committed_epoch(lake_dir: str) -> int | None:
+    """Highest epoch with a committed manifest, or None (C4 resume point)."""
+    mdir = os.path.join(lake_dir, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return None
+    epochs = [
+        int(n[len("epoch-") : -len(".json")])
+        for n in os.listdir(mdir)
+        if n.startswith("epoch-") and n.endswith(".json")
+    ]
+    return max(epochs) if epochs else None
+
+
+def read_manifest(lake_dir: str, epoch: int | None = None) -> dict | None:
+    if epoch is None:
+        epoch = last_committed_epoch(lake_dir)
+        if epoch is None:
+            return None
+    with open(_manifest_path(lake_dir, epoch)) as f:
+        return json.load(f)
+
+
+def is_committed(lake_dir: str, epoch: int) -> bool:
+    return os.path.exists(_manifest_path(lake_dir, epoch))
+
+
+def active_files(manifest: dict | None) -> dict[int, str]:
+    """pid → data-file path relative to the lake dir."""
+    if manifest is None:
+        return {}
+    return {int(k): v for k, v in manifest["active_files"].items()}
+
+
+def commit_epoch(
+    lake_dir: str,
+    epoch: int,
+    reports: list[dict],
+    event_schema: pa.Schema,
+    prev_manifest: dict | None,
+    extra: dict | None = None,
+) -> dict:
+    """Phase-2 commit. ``reports`` are the merge stage's per-partition rows
+    (pid, file, lineage fields). Atomic, idempotent (re-commit of the same
+    epoch raises — callers must check :func:`is_committed` first)."""
+    path = _manifest_path(lake_dir, epoch)
+    if os.path.exists(path):
+        raise RuntimeError(f"epoch {epoch} already committed: {path}")
+    files = dict(active_files(prev_manifest))
+    lineage = []
+    for r in reports:
+        pid = int(r["pid"])
+        if r.get("file"):
+            files[pid] = r["file"]
+        elif pid in files and r.get("rows_out", 1) == 0:
+            # Partition emptied by deletes — drop it from the active set.
+            del files[pid]
+        lineage.append({k: r[k] for k in r if k != "file"})
+    manifest = {
+        "epoch": epoch,
+        "schema_b64": schema_to_b64(event_schema),
+        "schema_names": event_schema.names,
+        "active_files": {str(k): v for k, v in sorted(files.items())},
+        "lineage": sorted(lineage, key=lambda r: r["pid"]),
+        "totals": {
+            "events_in": sum(r.get("events_in", 0) for r in reports),
+            "rows_out_touched": sum(r.get("rows_out", 0) for r in reports),
+            "partitions_touched": len(reports),
+        },
+    }
+    if extra:
+        manifest.update(extra)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)  # atomic commit point
+    return manifest
