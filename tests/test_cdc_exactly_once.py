@@ -1,0 +1,128 @@
+"""Exactly-once / idempotence / resume tests (SURVEY.md §5, §2.7 C4/S7)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from engine.cdc import sink
+from engine.cdc.oracle import oracle_state_hash
+from engine.cdc.replay import ReplayConfig, replay
+from engine.cdc.synth import SynthConfig, synth_changelog
+from engine.cdc.verify import state_hash
+
+CFG = dict(num_partitions=8, num_salts=2)
+
+
+def _log(tmp, sf_dir, name="log", **kw):
+    return synth_changelog(
+        sf_dir, f"{tmp}/{name}", SynthConfig(seed=42, n_events=1500, n_epochs=3, n_keys=400, **kw)
+    )
+
+
+def test_rerun_of_committed_epochs_is_noop(tmp_path, sf_dir):
+    log = _log(tmp_path, sf_dir)
+    lake = f"{tmp_path}/lake"
+    replay(log, lake, ReplayConfig(**CFG))
+    m1 = json.dumps(sink.read_manifest(lake), sort_keys=True)
+    h1 = state_hash(lake)
+    s2 = replay(log, lake, ReplayConfig(**CFG))
+    assert s2["epochs_run"] == [] and s2["epochs_skipped"] == [0, 1, 2]
+    assert json.dumps(sink.read_manifest(lake), sort_keys=True) == m1
+    assert state_hash(lake) == h1
+
+
+def test_resume_from_checkpoint_equals_uninterrupted(tmp_path, sf_dir):
+    log = _log(tmp_path, sf_dir)
+    lake_a, lake_b = f"{tmp_path}/lake_a", f"{tmp_path}/lake_b"
+    replay(log, lake_a, ReplayConfig(**CFG))  # uninterrupted
+    replay(log, lake_b, ReplayConfig(**CFG), max_epoch=0)  # "crash" after epoch 0
+    assert sink.last_committed_epoch(lake_b) == 0
+    replay(log, lake_b, ReplayConfig(**CFG))  # new run resumes 1..2
+    assert state_hash(lake_a) == state_hash(lake_b) == oracle_state_hash(log)
+
+
+def test_orphan_uncommitted_files_are_invisible(tmp_path, sf_dir):
+    # Simulate a task that wrote data but whose epoch never committed
+    # (crash between phase 1 and phase 2): the orphan must never be read.
+    log = _log(tmp_path, sf_dir)
+    lake = f"{tmp_path}/lake"
+    replay(log, lake, ReplayConfig(**CFG))
+    h1 = state_hash(lake)
+    orphan_dir = os.path.join(lake, "data", "part=0")
+    os.makedirs(orphan_dir, exist_ok=True)
+    junk = pa.table(
+        {
+            "repo": ["evil"],
+            "path": ["x"],
+            "commit": ["0"],
+            "lang": ["py"],
+            "content": ["boom"],
+            "content_sha256": ["0"],
+            "seq": pa.array([10**9], pa.int64()),
+        }
+    )
+    pq.write_table(junk, os.path.join(orphan_dir, "base-99999-deadbeef.parquet"))
+    assert state_hash(lake) == h1  # manifest-resolved read ignores orphans
+
+
+def test_crashed_epoch_rerun_converges(tmp_path, sf_dir):
+    # Phase-1 files written, phase-2 commit never happened → rerun of the
+    # epoch writes fresh files and commits; state equals a clean run.
+    log = _log(tmp_path, sf_dir)
+    lake_a, lake_b = f"{tmp_path}/ca", f"{tmp_path}/cb"
+    replay(log, lake_a, ReplayConfig(**CFG))
+
+    from engine.cdc import replay as replay_mod
+
+    calls = {"n": 0}
+    orig = sink.commit_epoch
+
+    def flaky_commit(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:  # crash the second epoch's commit, post-data-write
+            raise RuntimeError("simulated crash before manifest commit")
+        return orig(*a, **k)
+
+    sink.commit_epoch = flaky_commit
+    replay_mod.sink.commit_epoch = flaky_commit
+    try:
+        try:
+            replay(log, lake_b, ReplayConfig(**CFG))
+        except RuntimeError:
+            pass
+    finally:
+        sink.commit_epoch = orig
+        replay_mod.sink.commit_epoch = orig
+    assert sink.last_committed_epoch(lake_b) == 0
+    replay(log, lake_b, ReplayConfig(**CFG))  # rerun epochs 1..2
+    assert state_hash(lake_a) == state_hash(lake_b)
+
+
+def test_deadletter_rejects_invalid_events(tmp_path, sf_dir):
+    # Corrupt one epoch file with invalid ops/null keys; engine must
+    # dead-letter them and still match an oracle that skips them.
+    log = _log(tmp_path, sf_dir, name="log_dl")
+    f = os.path.join(log, "epoch=00000", "part-0000.parquet")
+    t = pq.read_table(f)
+    bad = pa.table(
+        {
+            "seq": pa.array([10_000_000, 10_000_001], pa.int64()),
+            "op": pa.array(["X", None], pa.string()),
+            "repo": pa.array(["r", None], pa.string()),
+            "path": pa.array(["p", "q"], pa.string()),
+            "commit": pa.array(["c", "c"], pa.string()),
+            "lang": pa.array(["py", "py"], pa.string()),
+            "content": pa.array(["z", "z"], pa.string()),
+        }
+    )
+    pq.write_table(pa.concat_tables([t, bad]), f)
+    lake = f"{tmp_path}/lake_dl"
+    replay(log, lake, ReplayConfig(**CFG))
+    assert state_hash(lake) == oracle_state_hash(log)
+    ddir = os.path.join(lake, "deadletter", "epoch=00000")
+    dead = pa.concat_tables(
+        pq.read_table(os.path.join(ddir, p)) for p in os.listdir(ddir)
+    )
+    assert dead.num_rows == 2

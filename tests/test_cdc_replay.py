@@ -1,0 +1,87 @@
+"""Golden CDC replay tests: engine lake state vs the single-process
+oracle (SURVEY.md §5 — this is the `python -m pytest -x -q` correctness
+gate of BASELINE.json:15: per-row content sha256 equality)."""
+
+import pyarrow.compute as pc
+import pytest
+
+from engine.cdc.oracle import oracle_state_hash, oracle_table
+from engine.cdc.replay import ReplayConfig, replay
+from engine.cdc.synth import SynthConfig, synth_changelog
+from engine.cdc.verify import canonical_digest, lake_table, state_hash
+
+
+def _run(tmp, sf_dir, synth_kw=None, replay_kw=None, name="a"):
+    cfg = SynthConfig(
+        seed=42, n_events=1500, n_epochs=2, n_keys=400, **(synth_kw or {})
+    )
+    log = synth_changelog(sf_dir, f"{tmp}/log_{name}", cfg)
+    lake = f"{tmp}/lake_{name}"
+    rkw = dict(num_partitions=8, num_salts=2)
+    rkw.update(replay_kw or {})
+    replay(log, lake, ReplayConfig(**rkw))
+    return log, lake
+
+
+def test_replay_matches_oracle_uniform(tmp_path, sf_dir):
+    log, lake = _run(tmp_path, sf_dir)
+    assert state_hash(lake) == oracle_state_hash(log)
+
+
+def test_replay_matches_oracle_hot_repo_skew(tmp_path, sf_dir):
+    # 80% of events hit the hot repo (SURVEY.md §5 skew profile):
+    # exercises salted sub-partitioning + reconciliation (C2).
+    log, lake = _run(tmp_path, sf_dir, synth_kw=dict(hot_event_frac=0.8), name="skew")
+    assert state_hash(lake) == oracle_state_hash(log)
+
+
+def test_per_row_content_sha256_equality(tmp_path, sf_dir):
+    log, lake = _run(tmp_path, sf_dir, name="sha")
+    eng = lake_table(lake).to_pylist()
+    ora = oracle_table(log).to_pylist()
+    ekeys = {(r["repo"], r["path"]): r["content_sha256"] for r in eng}
+    okeys = {(r["repo"], r["path"]): r["content_sha256"] for r in ora}
+    assert ekeys == okeys  # same key set AND equal sha256 per key
+
+
+def test_replay_invariant_to_arrival_order(tmp_path, sf_dir):
+    # W4: within-epoch arrival order must not affect the final state.
+    log1, lake1 = _run(tmp_path, sf_dir, name="ord1")
+    log2, lake2 = _run(
+        tmp_path, sf_dir, synth_kw=dict(shuffle_within_epochs=True), name="ord2"
+    )
+    assert state_hash(lake1) == state_hash(lake2)
+
+
+def test_replay_invariant_to_partitioning_and_batch_size(tmp_path, sf_dir):
+    # State hash is independent of P, S and batch size (parallelism /
+    # layout invariance — the in-process half of the N-vs-4N claim;
+    # the cross-process half is bench.py --scaling).
+    log1, lake1 = _run(tmp_path, sf_dir, name="p1")
+    _, lake2 = _run(
+        tmp_path,
+        sf_dir,
+        replay_kw=dict(num_partitions=3, num_salts=1, batch_size=256),
+        name="p2",
+    )
+    assert state_hash(lake1) == state_hash(lake2)
+
+
+def test_deletes_remove_keys(tmp_path, sf_dir):
+    log, lake = _run(tmp_path, sf_dir, synth_kw=dict(op_mix=(30, 20, 50)), name="del")
+    t = lake_table(lake)
+    o = oracle_table(log)
+    assert t.num_rows == o.num_rows
+    assert canonical_digest(t) == canonical_digest(o)
+
+
+def test_lineage_totals_match_event_count(tmp_path, sf_dir):
+    import pyarrow.parquet as pq
+
+    log, lake = _run(tmp_path, sf_dir, name="lin")
+    total = 0
+    for k in (0, 1):
+        t = pq.read_table(f"{lake}/lineage/epoch-{k:05d}.parquet")
+        total += pc.sum(t.column("events_in")).as_py()
+        assert pc.min(t.column("seq_lo")).as_py() >= 0
+    assert total == 1500  # every valid event accounted once
