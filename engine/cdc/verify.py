@@ -66,7 +66,7 @@ def read_lake(lake_dir: str, epoch: int | None = None) -> rd.Dataset:
     files, schema = lake_files(lake_dir, epoch)
     if not files:
         return rd.from_arrow(schema.empty_table())
-    ds = rd.read_parquet(files)
+    ds = rd.read_parquet(files, partitioning=None)  # `part=<pid>` is addressing, not a hive column
     return ds.map_batches(
         lambda t: conform_table(t, schema), batch_format="pyarrow"
     )

@@ -1,0 +1,96 @@
+"""Aggregations (SURVEY.md §2.5 G1–G4, G6).
+
+`grouped_agg` lowers onto Ray Data's native hash aggregation. For
+high-cardinality inputs where the shuffle dominates, `partial_grouped_sum`
+pre-aggregates inside ``map_batches`` (one row per key per batch) before
+the small final groupby — the combiner pattern (ray_guide "Aggregation at
+scale")."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+_AGGS = {"sum": Sum, "min": Min, "max": Max, "mean": Mean, "std": Std}
+
+
+def global_agg(ds: rd.Dataset, specs: dict[str, tuple[str, str]]) -> pa.Table:
+    """Global aggregates: ``{out_name: (fn, col)}`` with fn in
+    sum/min/max/mean/std/count. Returns a one-row Arrow table."""
+    cols = {}
+    for out, (fn, col) in specs.items():
+        if fn == "count":
+            cols[out] = [ds.count()]
+        else:
+            cols[out] = [getattr(ds, fn)(col)]
+    return pa.table(cols)
+
+
+def grouped_agg(ds: rd.Dataset, keys: list[str], specs: dict[str, tuple[str, str]]) -> rd.Dataset:
+    """Grouped aggregates: ``{out_name: (fn, col)}``; fn additionally
+    supports "count" (col ignored). Output columns carry ``out_name``
+    (oracle naming rule)."""
+    aggs = []
+    for out, (fn, col) in specs.items():
+        if fn == "count":
+            aggs.append(Count(alias_name=out))
+        else:
+            aggs.append(_AGGS[fn](col, alias_name=out))
+    return ds.groupby(keys).aggregate(*aggs)
+
+
+def partial_grouped_sum(
+    ds: rd.Dataset, keys: list[str], sum_cols: list[str], count_alias: str | None = None
+) -> rd.Dataset:
+    """Combiner form of sum/count-by-key: per-batch pandas groupby-sum
+    (one row per key per batch) → tiny final groupby. The shuffle moves
+    partials, not rows."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, as_index=False, dropna=False)[sum_cols].sum()
+        if count_alias:
+            cnt = df.groupby(keys, sort=False, dropna=False).size().reset_index(name=count_alias)
+            g = g.merge(cnt, on=keys)
+        return g
+
+    partial = ds.map_batches(_partial, batch_format="pandas")
+    aggs = [Sum(c, alias_name=c) for c in sum_cols]
+    if count_alias:
+        aggs.append(Sum(count_alias, alias_name=count_alias))
+    return partial.groupby(keys).aggregate(*aggs)
+
+
+def distinct(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    """SELECT DISTINCT cols — per-batch dedup combiner, then grouped
+    dedup (shuffle moves unique rows only)."""
+    pruned = ds.select_columns(cols)
+    pre = pruned.map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"
+    )
+    return pre.groupby(cols).map_groups(
+        lambda df: df.head(1), batch_format="pandas"
+    )
+
+
+def count_distinct(ds: rd.Dataset, col: str, out: str = "n") -> pa.Table:
+    return pa.table({out: [distinct(ds, [col]).count()]})
+
+
+def topk_per_group(
+    ds: rd.Dataset,
+    keys: list[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak: list[str] | None = None,
+) -> rd.Dataset:
+    """Top-k rows per group; deterministic via explicit tiebreak columns."""
+    by = [order_col] + (tiebreak or [])
+    asc = [not descending] + [True] * len(tiebreak or [])
+
+    def _top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(by, ascending=asc).head(k)
+
+    return ds.groupby(keys).map_groups(_top, batch_format="pandas")

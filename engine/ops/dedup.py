@@ -1,0 +1,242 @@
+"""Deduplication family (SURVEY.md §2.6 O6 + training-data ops).
+
+- exact_dedup — hash-partition + per-group first (deterministic winner).
+- MinHash+LSH — shingle → minhash → band → bucket-groupby candidates →
+  exact-Jaccard verify. The shuffle moves (band, band_hash, doc_id)
+  triples, never documents.
+- SimHash — 64-bit signature, banded for candidate generation, Hamming
+  verify.
+- n-gram Jaccard — exact Jaccard on shingle sets for candidate pairs
+  (LSH-blocked: recall bounded by the band parameters, documented).
+- embedding cosine near-dup — see engine/ops/ann.py.
+
+All hashes are counter/polynomial based (engine.util.hashing + local
+rolling hash) — deterministic across runs and parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+_B = np.uint64(1_000_003)  # polynomial base
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def exact_dedup(
+    ds: rd.Dataset, keys: list[str], tiebreak: str, keep: str = "min"
+) -> rd.Dataset:
+    """One row per key; deterministic winner = min/max of ``tiebreak``.
+    Per-batch combiner first so the shuffle moves candidates only."""
+    asc = keep == "min"
+
+    def _pick(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(tiebreak, ascending=asc, kind="mergesort")
+            .groupby(keys, sort=False, dropna=False)
+            .head(1)
+        )
+
+    return ds.map_batches(_pick, batch_format="pandas").groupby(keys).map_groups(
+        _pick, batch_format="pandas"
+    )
+
+
+# ---- shingling / MinHash ---------------------------------------------------
+
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """uint64 rolling polynomial hashes of all k-char shingles (unique)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = len(b)
+    if n < k:
+        b = np.pad(b, (0, k - n), constant_values=32)
+        n = k
+    out = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        out = out * _B + b[j : j + n - k + 1]
+    return np.unique(out)
+
+
+class MinHasher:
+    """Actor-pool stage: permutation parameters are derived once per actor
+    from the seed (SURVEY.md §2.3 pattern). Emits (doc_id, band,
+    band_hash) rows — the only thing the LSH shuffle moves."""
+
+    def __init__(self, text_col: str, id_col: str, num_perm: int = 64, bands: int = 16, k: int = 5, seed: int = 42):
+        assert num_perm % bands == 0
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+        self.text_col, self.id_col = text_col, id_col
+        self.num_perm, self.bands, self.k = num_perm, bands, k
+        self.rows_per_band = num_perm // bands
+
+    def signature(self, text: str) -> np.ndarray:
+        h = shingle_hashes(text, self.k)
+        # (num_perm, n_shingles) min — vectorized; n_shingles bounded by text len.
+        v = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+        return v.min(axis=1)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids, bands, bhashes = [], [], []
+        r = self.rows_per_band
+        for doc_id, text in zip(df[self.id_col], df[self.text_col]):
+            sig = self.signature(text or "")
+            for band in range(self.bands):
+                chunk = sig[band * r : (band + 1) * r]
+                bh = np.uint64(0)
+                for x in chunk:  # tiny loop: r elements (4)
+                    bh = bh * _B + x
+                ids.append(doc_id)
+                bands.append(band)
+                bhashes.append(int(bh))
+        return pd.DataFrame({"doc_id": ids, "band": bands, "band_hash": bhashes})
+
+
+def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    ids = sorted(set(df["doc_id"]))
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pd.DataFrame({"a": a, "b": b})
+
+
+def minhash_candidate_pairs(
+    ds: rd.Dataset, text_col: str, id_col: str, num_perm: int = 64, bands: int = 16, k: int = 5, seed: int = 42
+) -> rd.Dataset:
+    """Candidate near-duplicate pairs via MinHash-LSH banding
+    (shingle→minhash→band→bucket groupby — ray_guide 'Near-dup')."""
+    sig = ds.map_batches(
+        MinHasher,
+        fn_constructor_args=(text_col, id_col, num_perm, bands, k, seed),
+        batch_format="pandas",
+        concurrency=4,
+        batch_size=512,
+    )
+    pairs = sig.groupby(["band", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pandas"
+    )
+    return exact_dedup(pairs, ["a", "b"], tiebreak="a")
+
+
+def jaccard(t1: str, t2: str, k: int = 5) -> float:
+    s1, s2 = shingle_hashes(t1 or "", k), shingle_hashes(t2 or "", k)
+    inter = len(np.intersect1d(s1, s2))
+    union = len(s1) + len(s2) - inter
+    return inter / union if union else 1.0
+
+
+def verify_pairs_jaccard(
+    pairs: rd.Dataset, docs: pa.Table, text_col: str, id_col: str, threshold: float, k: int = 5
+) -> rd.Dataset:
+    """Exact-Jaccard verification of candidate pairs against broadcast
+    texts (small-side lookup: `ray.put` once, read per worker). At 100 TB
+    the texts side would instead be co-partitioned by doc_id — documented
+    scale path."""
+    lookup = dict(zip(docs.column(id_col).to_pylist(), docs.column(text_col).to_pylist()))
+    ref = ray.put(lookup)
+
+    def _verify(df: pd.DataFrame) -> pd.DataFrame:
+        from engine.ops.join import _cached_get
+
+        texts = _cached_get(ref)
+        jac = [jaccard(texts.get(a, ""), texts.get(b, ""), k) for a, b in zip(df["a"], df["b"])]
+        df = df.copy()
+        df["jaccard"] = np.round(jac, 6)
+        return df[df["jaccard"] >= threshold]
+
+    return pairs.map_batches(_verify, batch_format="pandas")
+
+
+# ---- SimHash ---------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (polynomial token hashes)."""
+    toks = (text or "").lower().split()
+    if not toks:
+        return 0
+    hs = np.array(
+        [_poly_hash(t) for t in toks], dtype=np.uint64
+    )
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    votes = bits.sum(axis=0) * 2 - len(toks)
+    return int("".join("1" if v > 0 else "0" for v in votes[::-1]), 2)
+
+
+def _poly_hash(s: str) -> np.uint64:
+    h = np.uint64(1469598103934665603)
+    for ch in s.encode("utf-8"):
+        h = (h * _B) + np.uint64(ch)
+    return h
+
+
+class SimHasher:
+    """Actor stage: emits (doc_id, simhash, band, band_key) rows; bands =
+    four 16-bit chunks, so any pair within Hamming distance 3 shares at
+    least one band (pigeonhole)."""
+
+    def __init__(self, text_col: str, id_col: str):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "simhash": [], "band": [], "band_key": []}
+        for doc_id, text in zip(df[self.id_col], df[self.text_col]):
+            sh = simhash64(text)
+            for band in range(4):
+                rows["doc_id"].append(doc_id)
+                rows["simhash"].append(sh)
+                rows["band"].append(band)
+                rows["band_key"].append((sh >> (band * 16)) & 0xFFFF)
+        return pd.DataFrame(rows)
+
+
+def simhash_near_dup_pairs(
+    ds: rd.Dataset, text_col: str, id_col: str, max_hamming: int = 3
+) -> rd.Dataset:
+    sig = ds.map_batches(
+        SimHasher, fn_constructor_args=(text_col, id_col),
+        batch_format="pandas", concurrency=4, batch_size=512,
+    )
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = d["doc_id"].to_numpy()
+        hs = d["simhash"].to_numpy(dtype=np.uint64)
+        a, b, ham = [], [], []
+        for i in range(len(ids)):
+            x = hs[i] ^ hs[i + 1 :]
+            dist = np.array([bin(int(v)).count("1") for v in x])
+            for j in np.nonzero(dist <= max_hamming)[0]:
+                a.append(ids[i])
+                b.append(ids[i + 1 + j])
+                ham.append(int(dist[j]))
+        return pd.DataFrame({"a": a, "b": b, "hamming": ham})
+
+    pairs = sig.groupby(["band", "band_key"]).map_groups(_pairs, batch_format="pandas")
+    return exact_dedup(pairs, ["a", "b"], tiebreak="hamming")
+
+
+def ngram_jaccard_pairs(
+    ds: rd.Dataset,
+    docs: pa.Table,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> rd.Dataset:
+    """Exact n-gram Jaccard over LSH-blocked candidates (recall bounded
+    by the banding parameters; with bands=16, r=4 the capture probability
+    at jaccard=threshold is 1-(1-t^4)^16)."""
+    cand = minhash_candidate_pairs(ds, text_col, id_col, num_perm, bands, k)
+    return verify_pairs_jaccard(cand, docs, text_col, id_col, threshold, k)

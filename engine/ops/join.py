@@ -1,0 +1,195 @@
+"""Joins and lookups (SURVEY.md §2.4 J1–J4).
+
+Strategy selection is explicit (there is no optimizer — the caller knows
+the sides' sizes):
+
+- **broadcast_join** (J1): small right side `ray.put` once; every task
+  reads the same object-store copy and joins per batch with Arrow's
+  hash-join kernel. No shuffle.
+- **shuffle_join** (J2): both sides large → tag, union, hash-partition by
+  key (`groupby(key)`), join within each key-group. An explicit
+  partitioned hash join (ray_guide "Joins and lookups").
+- **semi/anti** (J3): broadcast the key set, vectorized `is_in` mask.
+- **asof_join** (J4): co-shuffle on the `by` key, `pandas.merge_asof`
+  within each group (sorted by time). Partitioning assumption: one
+  group = one `by` value, which must fit a worker.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+_BCAST_CACHE: dict[bytes, object] = {}
+
+
+def _cached_get(ref: ray.ObjectRef):
+    """Worker-process cache so each worker deserializes a broadcast table
+    once, not once per batch."""
+    key = ref.binary()
+    if key not in _BCAST_CACHE:
+        _BCAST_CACHE.clear()
+        _BCAST_CACHE[key] = ray.get(ref)
+    return _BCAST_CACHE[key]
+
+
+def broadcast_join(
+    ds: rd.Dataset,
+    small: pa.Table,
+    keys: list[str],
+    join_type: str = "inner",
+    right_keys: list[str] | None = None,
+) -> rd.Dataset:
+    """Join a Dataset against an in-memory dimension table, shuffle-free.
+    ``small`` is put in the object store ONCE; tasks read it zero-copy."""
+    ref = ray.put(small)
+
+    def _join(t: pa.Table) -> pa.Table:
+        dim = _cached_get(ref)
+        out = t.join(
+            dim,
+            keys=keys,
+            right_keys=right_keys or keys,
+            join_type=join_type,
+        )
+        return out.combine_chunks()
+
+    return ds.map_batches(_join, batch_format="pyarrow")
+
+
+def semi_join(ds: rd.Dataset, keys_table: pa.Table, key: str, anti: bool = False) -> rd.Dataset:
+    """EXISTS / NOT EXISTS filter against a broadcast key set."""
+    key_set = pc.unique(keys_table.column(key))
+    ref = ray.put(key_set)
+
+    def _mask(t: pa.Table) -> pa.Table:
+        ks = _cached_get(ref)
+        m = pc.is_in(t.column(key), value_set=ks)
+        if anti:
+            m = pc.invert(m)
+        return t.filter(m)
+
+    return ds.map_batches(_mask, batch_format="pyarrow")
+
+
+def shuffle_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    join_type: str = "inner",
+    suffixes: tuple[str, str] = ("", "_r"),
+) -> rd.Dataset:
+    """Partitioned hash join of two large Datasets on ``key``: tag sides,
+    union (schemas unioned with nulls), co-partition by key, pandas merge
+    within each key group. Skewed keys land in one group — salt upstream
+    if a key is pathologically hot."""
+    lschema, rschema = left.schema().base_schema, right.schema().base_schema
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    union_fields = [lschema.field(n) for n in lcols] + [
+        rschema.field(n) for n in rcols if n not in lcols
+    ]
+    target = pa.schema(union_fields + [pa.field("__side", pa.int64())])
+
+    def _tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = []
+            for f in target:
+                if f.name == "__side":
+                    cols.append(pa.array([side] * n, pa.int64()))
+                elif f.name in t.column_names:
+                    cols.append(t.column(f.name).cast(f.type))
+                else:
+                    cols.append(pa.nulls(n, type=f.type))
+            return pa.table(cols, schema=target)
+
+        return fn
+
+    u = left.map_batches(_tag(0), batch_format="pyarrow").union(
+        right.map_batches(_tag(1), batch_format="pyarrow")
+    )
+
+    def _join_group(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0][lcols]
+        r = df[df["__side"] == 1][rcols]
+        how = {"inner": "inner", "left": "left", "right": "right", "outer": "outer"}[join_type]
+        return l.merge(r, on=key, how=how, suffixes=suffixes)
+
+    return u.groupby(key).map_groups(_join_group, batch_format="pandas")
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    by: str,
+    right_on: str | None = None,
+    right_by: str | None = None,
+    direction: str = "backward",
+) -> rd.Dataset:
+    """As-of join: for each left row, the latest right row with
+    ``right_on <= on`` within the same ``by`` group (direction=backward).
+    Co-shuffles both sides on the by-key; merge_asof per sorted group."""
+    right_on = right_on or on
+    right_by = right_by or by
+    lschema, rschema = left.schema().base_schema, right.schema().base_schema
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    # Unified schema for the tagged union: left fields + right-only fields
+    # + side tag + join key (typed nulls for the absent side's columns).
+    union_fields = [lschema.field(n) for n in lcols] + [
+        rschema.field(n) for n in rcols if n not in lcols
+    ]
+    target = pa.schema(union_fields + [pa.field("__side", pa.int64())])
+
+    def _tag(side: int, key_from: str):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = []
+            for f in target:
+                if f.name == "__side":
+                    cols.append(pa.array([side] * n, pa.int64()))
+                elif f.name in t.column_names:
+                    cols.append(t.column(f.name).cast(f.type))
+                else:
+                    cols.append(pa.nulls(n, type=f.type))
+            out = pa.table(cols, schema=target)
+            return out.append_column("__k", t.column(key_from))
+
+        return fn
+
+    u = left.map_batches(_tag(0, by), batch_format="pyarrow").union(
+        right.map_batches(_tag(1, right_by), batch_format="pyarrow")
+    )
+
+    type_of = {f.name: f.type for f in union_fields}
+
+    def _restore_types(out: pd.DataFrame) -> pd.DataFrame:
+        # The tagged union makes every column nullable (pandas → float);
+        # restore Arrow-faithful dtypes (nullable Int64 for int columns).
+        for c in out.columns:
+            t = type_of.get(c)
+            if t is None:
+                continue
+            if pa.types.is_integer(t):
+                out[c] = out[c].astype("Int64")
+            elif pa.types.is_timestamp(t):
+                out[c] = out[c].astype("datetime64[us]")
+        return out
+
+    def _asof(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0][lcols].sort_values(on, kind="mergesort")
+        r = df[df["__side"] == 1][rcols].sort_values(right_on, kind="mergesort")
+        # Align datetime precisions (upstream groupbys can downcast to [s]).
+        for frame, col in ((l, on), (r, right_on)):
+            if str(frame[col].dtype).startswith("datetime64"):
+                frame[col] = frame[col].astype("datetime64[us]")
+        if l.empty:
+            return _restore_types(l)
+        return _restore_types(
+            pd.merge_asof(l, r, left_on=on, right_on=right_on, direction=direction)
+        )
+
+    return u.groupby("__k").map_groups(_asof, batch_format="pandas")

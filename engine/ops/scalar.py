@@ -1,0 +1,151 @@
+"""Scalar function library (SURVEY.md §2.8).
+
+Thin, vectorized wrappers over ``pyarrow.compute`` kernels, applied to
+Arrow arrays inside ``map_batches``. Each function mirrors an ANSI-SQL
+scalar so the DuckDB oracles can express the same computation.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---- string ----------------------------------------------------------------
+
+
+def lower(a):
+    return pc.utf8_lower(a)
+
+
+def upper(a):
+    return pc.utf8_upper(a)
+
+
+def length(a):
+    return pc.utf8_length(a)
+
+
+def substr(a, start: int, length_: int | None = None):
+    """1-based like SQL substr."""
+    stop = None if length_ is None else start - 1 + length_
+    return pc.utf8_slice_codeunits(a, start - 1, stop)
+
+
+def concat(*arrays, sep: str = ""):
+    return pc.binary_join_element_wise(*arrays, sep)
+
+
+def replace(a, pattern: str, replacement: str):
+    return pc.replace_substring(a, pattern, replacement)
+
+
+def contains(a, needle: str):
+    return pc.match_substring(a, needle)
+
+
+def starts_with(a, prefix: str):
+    return pc.starts_with(a, prefix)
+
+
+def regexp_contains(a, pattern: str):
+    return pc.match_substring_regex(a, pattern)
+
+
+def regexp_extract(a, pattern: str):
+    """First capture group of ``pattern`` (pattern must contain exactly one
+    named or unnamed group rewritten as named internally)."""
+    st = pc.extract_regex(a, pattern.replace("(", "(?P<g>", 1))
+    return pc.struct_field(st, "g")
+
+
+# ---- date / time -----------------------------------------------------------
+
+
+def year(a):
+    return pc.year(a)
+
+
+def month(a):
+    return pc.month(a)
+
+
+def day(a):
+    return pc.day(a)
+
+
+def date_trunc(a, unit: str):
+    return pc.floor_temporal(a, unit=unit)
+
+
+def epoch_seconds(a):
+    return pc.divide(pc.cast(a, pa.int64()), 1_000_000)  # timestamp[us] → s
+
+
+def date_diff_days(a, b):
+    delta = pc.cast(pc.subtract(a, b), pa.int64())  # µs
+    return pc.divide(delta, 86_400_000_000)
+
+
+# ---- math ------------------------------------------------------------------
+
+abs_ = pc.abs
+
+
+def round_(a, ndigits: int = 0):
+    return pc.round(a, ndigits=ndigits)
+
+
+ln = pc.ln
+log10 = pc.log10
+sqrt = pc.sqrt
+power = pc.power
+floor = pc.floor
+ceil = pc.ceil
+
+
+# ---- array (list<T>) -------------------------------------------------------
+
+
+def list_length(a):
+    return pc.list_value_length(a)
+
+
+def list_sum(a):
+    """Per-row sum of a list column (flatten + segmented sum)."""
+    import numpy as np
+
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    flat = pc.list_flatten(a).to_numpy(zero_copy_only=False)
+    offsets = a.offsets.to_numpy(zero_copy_only=False)
+    sums = np.add.reduceat(
+        np.concatenate([flat, [0.0]]), offsets[:-1]
+    ) * (np.diff(offsets) > 0)
+    return pa.array(sums, type=pa.float64())
+
+
+def list_slice(a, start: int, stop: int):
+    return pc.list_slice(a, start, stop)
+
+
+# ---- json ------------------------------------------------------------------
+
+
+def json_get(a, key: str, as_type: pa.DataType = pa.int64()):
+    """Extract a field from a JSON-in-string column (events.props —
+    SURVEY.md §2.2 M7). Python json per row (small keys, not hot-path);
+    returns a typed Arrow array."""
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    out = []
+    for s in a.to_pylist():
+        if s is None:
+            out.append(None)
+            continue
+        try:
+            out.append(json.loads(s).get(key))
+        except (ValueError, AttributeError):
+            out.append(None)
+    return pa.array(out, type=as_type)

@@ -1,0 +1,101 @@
+"""Windowed aggregates over event-time streams (SURVEY.md §2.9 W1–W3).
+
+Ray Data has no event-time watermark machinery; the model here is
+bounded replay of an ordered log (ordering authority = the event's own
+timestamp / seq, not arrival order — BASELINE.json:6 "commit-ordered").
+Windows are therefore pure batch transforms:
+
+- tumbling: floor the timestamp, groupby.
+- sliding: each row explodes to its size/slide windows, then tumbling.
+- session: per-key sort + gap split inside map_groups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from engine.ops.agg import grouped_agg
+
+
+def tumbling(
+    ds: rd.Dataset,
+    ts_col: str,
+    every: str,
+    keys: list[str],
+    specs: dict[str, tuple[str, str]],
+    window_name: str = "win",
+) -> rd.Dataset:
+    """Tumbling window aggregate; ``every`` is an Arrow floor_temporal
+    unit ('day', 'hour', ...)."""
+
+    def _win(t: pa.Table) -> pa.Table:
+        return t.append_column(window_name, pc.floor_temporal(t.column(ts_col), unit=every))
+
+    return grouped_agg(
+        ds.map_batches(_win, batch_format="pyarrow"), [window_name] + keys, specs
+    )
+
+
+def sliding(
+    ds: rd.Dataset,
+    ts_col: str,
+    size_us: int,
+    slide_us: int,
+    keys: list[str],
+    specs: dict[str, tuple[str, str]],
+    window_name: str = "win_start",
+) -> rd.Dataset:
+    """Sliding window: each row belongs to size/slide windows; explode to
+    (row, window_start) pairs vectorized, then a tumbling-style groupby."""
+    n_windows = size_us // slide_us
+
+    def _explode(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        base = (ts // slide_us) * slide_us  # last window start containing ts
+        reps = np.repeat(np.arange(n), n_windows)
+        offs = np.tile(np.arange(n_windows, dtype=np.int64) * slide_us, n)
+        starts = base[reps] - offs
+        valid = starts > ts[reps] - size_us
+        out = t.take(pa.array(reps[valid]))
+        return out.append_column(
+            window_name,
+            pc.cast(pa.array(starts[valid]), pa.timestamp("us")),
+        )
+
+    return grouped_agg(
+        ds.map_batches(_explode, batch_format="pyarrow"), [window_name] + keys, specs
+    )
+
+
+def session(
+    ds: rd.Dataset,
+    ts_col: str,
+    key: str,
+    gap_us: int,
+    agg_col: str,
+) -> rd.Dataset:
+    """Session windows per key split at inactivity gaps > gap_us.
+    Emits (key, session_start, n_events, sum_<agg_col>). Partitioning
+    assumption: one key's events fit one worker group."""
+
+    def _sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(ts_col, kind="mergesort")
+        ts = df[ts_col].astype("int64")
+        new = (ts.diff().fillna(gap_us + 1) > gap_us).cumsum()
+        g = df.groupby(new)
+        out = pd.DataFrame(
+            {
+                key: g[key].first(),
+                "session_start": g[ts_col].min(),
+                "n_events": g.size(),
+                "sum_value": g[agg_col].sum(),
+            }
+        )
+        return out.reset_index(drop=True)
+
+    return ds.groupby(key).map_groups(_sessions, batch_format="pandas")

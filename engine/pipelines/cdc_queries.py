@@ -1,0 +1,55 @@
+"""CDC flagship as driver queries (Layer C). Not SQL-expressible (the
+changelog is engine-generated and the replay is stateful) → rows-only
+driver check; the real correctness gate is the oracle-replay equality in
+tests/test_cdc_replay.py (BASELINE.json:15)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from engine.cdc.replay import ReplayConfig, replay
+from engine.cdc.synth import SynthConfig, synth_changelog
+from engine.cdc.verify import read_lake
+from engine.registry import register_query
+
+_CACHE: dict[str, str] = {}
+
+
+def _replayed_lake(sf_dir: str) -> str:
+    """One replay per (sf_dir, process); reused across the CDC queries."""
+    if sf_dir in _CACHE:
+        return _CACHE[sf_dir]
+    work = tempfile.mkdtemp(prefix="cdc_q_")
+    log = synth_changelog(
+        sf_dir,
+        f"{work}/log",
+        SynthConfig(seed=42, n_events=8000, n_epochs=3, n_keys=1500,
+                    hot_event_frac=0.4, evolve_at_epoch=2),
+    )
+    replay(log, f"{work}/lake", ReplayConfig(num_partitions=16, num_salts=2))
+    _CACHE[sf_dir] = work
+    return work
+
+
+@register_query("q_cdc_replay_state")
+def q_cdc_replay_state(sf_dir):
+    """Final lake state after full changelog replay (LWW upserts/deletes,
+    exactly-once commits, schema evolution)."""
+    work = _replayed_lake(sf_dir)
+    ds = read_lake(f"{work}/lake")
+    return ds.select_columns(["repo", "path", "content_sha256", "seq", "size_bytes"])
+
+
+@register_query("q_cdc_lineage")
+def q_cdc_lineage(sf_dir):
+    """Per-partition lineage records (event-range, epoch, row counts)."""
+    work = _replayed_lake(sf_dir)
+    ldir = f"{work}/lake/lineage"
+    files = [os.path.join(ldir, f) for f in sorted(os.listdir(ldir))]
+    return rd.read_parquet(files, partitioning=None).select_columns(
+        ["epoch", "pid", "seq_lo", "seq_hi", "events_in", "upserts", "deletes", "rows_out"]
+    )

@@ -1,0 +1,171 @@
+"""Training-data content queries: dedup family, similarity search, text
+analysis, model scoring, multimodal plumbing (first-class components —
+build brief)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from engine.io.sources import read_table, table
+from engine.ops.ann import build_centroids, cosine_near_dup_pairs, knn_brute, knn_ivf
+from engine.ops.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    verify_pairs_jaccard,
+)
+from engine.ops.map import filter_expr, select
+from engine.ops.model import score_documents
+from engine.ops.multimodal import attach_fake_payload, decode_payloads, payload_features
+from engine.ops.text import fingerprint, lang_id, quality_score, text_stats
+from engine.registry import register_query
+
+
+@register_query(
+    "q_dedup_exact",
+    oracle="""SELECT doc_id, lang, source FROM documents
+              WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)""",
+)
+def q_dedup_exact(sf_dir):
+    """Exact dedup: hash-partition on text, keep min doc_id per group."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    out = exact_dedup(ds, ["text"], tiebreak="doc_id", keep="min")
+    return select(out, ["doc_id", "lang", "source"])
+
+
+@register_query("q_dedup_minhash")  # LSH — not SQL-expressible, rows-only check
+def q_dedup_minhash(sf_dir):
+    """MinHash+LSH near-dup pairs verified at Jaccard ≥ 0.5."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = minhash_candidate_pairs(ds, "text", "doc_id")
+    return verify_pairs_jaccard(cand, docs, "text", "doc_id", threshold=0.5)
+
+
+@register_query("q_dedup_simhash")  # rows-only
+def q_dedup_simhash(sf_dir):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_near_dup_pairs(ds, "text", "doc_id", max_hamming=3)
+
+
+@register_query("q_dedup_ngram")  # rows-only (LSH-blocked exact Jaccard)
+def q_dedup_ngram(sf_dir):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, docs, "text", "doc_id", threshold=0.7)
+
+
+@register_query("q_dedup_embedding")  # rows-only (float cosine)
+def q_dedup_embedding(sf_dir):
+    """Embedding-cosine near-dup pairs (cos ≥ 0.95, i<j)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    vecs = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # The synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ~0.48 at sf0.001) — 0.4 demonstrates the operator with real output.
+    return cosine_near_dup_pairs(ds, "embedding", "vec_id", vecs, threshold=0.4)
+
+
+@register_query(
+    "q_ann_bruteforce",
+    oracle="""WITH v AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+              FROM embeddings)
+              SELECT query_id, id, score FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS id,
+                       CAST(list_inner_product(a.q, b.q) AS BIGINT) AS score,
+                       row_number() OVER (PARTITION BY a.vec_id
+                                          ORDER BY list_inner_product(a.q, b.q) DESC, b.vec_id) AS rn
+                FROM v a, v b WHERE a.vec_id < 5)
+              WHERE rn <= 5""",
+)
+def q_ann_bruteforce(sf_dir):
+    """Brute-force top-5 neighbors for 5 query vectors; scores are
+    integer-quantized inner products (exact in Ray and SQL)."""
+    vecs = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    mask = pc.less(vecs.column("vec_id"), 5)
+    qt = vecs.filter(mask)
+    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qt.column("embedding").to_pylist()])
+    qids = qt.column("vec_id").to_pylist()
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_brute(ds, "embedding", "vec_id", queries, qids, k=5)
+
+
+@register_query("q_ann_ivf")  # approximate — rows-only
+def q_ann_ivf(sf_dir):
+    """IVF-bucketed ANN (scale path): seeded k-means cells, probe top-4."""
+    vecs = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs.column("embedding").to_pylist()])
+    qt = vecs.filter(pc.less(vecs.column("vec_id"), 5))
+    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qt.column("embedding").to_pylist()])
+    cent = build_centroids(m[: min(len(m), 1024)], n_cells=16, seed=42)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_ivf(ds, "embedding", "vec_id", queries, qt.column("vec_id").to_pylist(), k=5,
+                   centroids=cent, n_probe=4)
+
+
+@register_query(
+    "q_text_stats",
+    oracle="""SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+                     round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                           / greatest(length(text), 1), 6) AS punct_ratio,
+                     round(CAST(length(text) AS DOUBLE)
+                           / greatest(length(text) - length(replace(text, ' ', '')) + 1, 1), 6) AS avg_token_len
+              FROM documents""",
+)
+def q_text_stats(sf_dir):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = text_stats(ds, "text")
+    return select(out, ["doc_id", "n_chars", "n_tokens", "punct_ratio", "avg_token_len"])
+
+
+@register_query(
+    "q_token_count_total",
+    oracle="""SELECT CAST(SUM(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) AS BIGINT) AS total_tokens
+              FROM documents""",
+)
+def q_token_count_total(sf_dir):
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    out = text_stats(ds.map_batches(lambda t: t.append_column("doc_id", pa.array(range(t.num_rows), pa.int64())), batch_format="pyarrow"))
+    from engine.ops.agg import global_agg
+
+    return global_agg(out, {"total_tokens": ("sum", "n_tokens")})
+
+
+@register_query("q_quality_score")  # heuristic — rows-only
+def q_quality_score(sf_dir):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return select(quality_score(ds), ["doc_id", "quality"])
+
+
+@register_query("q_langid")  # heuristic — rows-only
+def q_langid(sf_dir):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return select(lang_id(ds), ["doc_id", "lang", "lang_pred", "lang_conf"])
+
+
+@register_query("q_fingerprint")  # rows-only
+def q_fingerprint(sf_dir):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return select(fingerprint(ds), ["doc_id", "doc_fp"])
+
+
+@register_query("q_model_score")  # deterministic model inference — rows-only
+def q_model_score(sf_dir):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return select(score_documents(ds), ["doc_id", "model_score"])
+
+
+@register_query("q_multimodal_meta")  # binary plumbing (stubbed codec) — rows-only
+def q_multimodal_meta(sf_dir):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = attach_fake_payload(ds, "text")
+    ds = decode_payloads(ds, fake=True)
+    ds = payload_features(ds)
+    def _meta(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "media_type", "n_bytes", "checksum", "width", "height", "channels"])
+    return ds.map_batches(_meta, batch_format="pyarrow")

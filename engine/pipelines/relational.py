@@ -1,0 +1,553 @@
+"""Relational operator queries (SURVEY.md §2.2–2.9, Layer R).
+
+Every query takes ``sf_dir``, runs a Ray Data pipeline, and has a DuckDB
+oracle twin. Naming and numeric determinism rules:
+
+- Every computed/aggregate column carries the SAME name in Ray and SQL.
+- Money/float sums are converted to integer cents PER ROW before
+  summing (``CAST(ROUND(x*100) AS BIGINT)``): the per-row double op is
+  bit-deterministic, and integer sums are order-independent — so the
+  driver's value-hash matches regardless of summation order. Raw double
+  SUM/AVG would drift with aggregation order at scale.
+- Sorted/limited queries carry explicit tiebreak columns so the selected
+  row SET is deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from engine.io.sources import read_table, table
+from engine.ops import scalar as F
+from engine.ops.agg import (
+    distinct,
+    global_agg,
+    grouped_agg,
+    partial_grouped_sum,
+    topk_per_group,
+)
+from engine.ops.join import asof_join, broadcast_join, semi_join, shuffle_join
+from engine.ops.map import explode, filter_expr, select, with_columns
+from engine.ops.order import sample_sql, seeded_sample
+from engine.ops.setops import except_distinct, intersect_distinct, union_all
+from engine.ops.sketch import approx_count_distinct
+from engine.ops.window import session, sliding, tumbling
+from engine.registry import register_query
+
+
+def _round_away(a):
+    # DuckDB ROUND() is half-away-from-zero; Arrow defaults to half-to-even.
+    return pc.round(a, round_mode="half_towards_infinity")
+
+
+def _cents(col):
+    """Integer cents from a double column (exact, order-independent sums)."""
+    return lambda t: pc.cast(_round_away(pc.multiply(t.column(col), 100.0)), pa.int64())
+
+
+# ---- maps / projections / filters -----------------------------------------
+
+
+@register_query(
+    "q_select_filter",
+    oracle="""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+              FROM lineitem WHERE l_quantity > 45""",
+)
+def q_select_filter(sf_dir):
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+    return filter_expr(ds, lambda t: pc.greater(t.column("l_quantity"), 45))
+
+
+@register_query(
+    "q_with_column_revenue",
+    oracle="""SELECT l_orderkey, l_linenumber,
+                     CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS revenue_cents
+              FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'""",
+)
+def q_with_column_revenue(sf_dir):
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    ds = filter_expr(
+        ds, lambda t: pc.less(t.column("l_shipdate"), pa.scalar(np.datetime64("1998-01-01", "us")))
+    )
+    ds = with_columns(
+        ds,
+        {
+            "revenue_cents": lambda t: pc.cast(
+                _round_away(
+                    pc.multiply(
+                        pc.multiply(t.column("l_extendedprice"), pc.subtract(1.0, t.column("l_discount"))),
+                        100.0,
+                    )
+                ),
+                pa.int64(),
+            )
+        },
+    )
+    return select(ds, ["l_orderkey", "l_linenumber", "revenue_cents"])
+
+
+@register_query(
+    "q_string_funcs",
+    oracle="""SELECT p_partkey, lower(p_name) AS name_lower,
+                     CAST(length(p_name) AS BIGINT) AS name_len,
+                     p_name LIKE '%green%' AS has_green,
+                     upper(p_brand) AS brand_upper,
+                     substr(p_type, 1, 5) AS type_prefix
+              FROM part""",
+)
+def q_string_funcs(sf_dir):
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_name", "p_brand", "p_type"])
+    ds = with_columns(
+        ds,
+        {
+            "name_lower": lambda t: F.lower(t.column("p_name")),
+            "name_len": lambda t: pc.cast(F.length(t.column("p_name")), pa.int64()),
+            "has_green": lambda t: F.contains(t.column("p_name"), "green"),
+            "brand_upper": lambda t: F.upper(t.column("p_brand")),
+            "type_prefix": lambda t: F.substr(t.column("p_type"), 1, 5),
+        },
+    )
+    return select(ds, ["p_partkey", "name_lower", "name_len", "has_green", "brand_upper", "type_prefix"])
+
+
+@register_query(
+    "q_date_funcs",
+    oracle="""SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(month(o_orderdate) AS BIGINT) AS o_month,
+                     CAST(day(o_orderdate) AS BIGINT) AS o_day,
+                     CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+                     CAST(epoch_us(o_orderdate) / 1000000 AS BIGINT) AS epoch_s
+              FROM orders""",
+)
+def q_date_funcs(sf_dir):
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    ds = with_columns(
+        ds,
+        {
+            "o_year": lambda t: pc.cast(F.year(t.column("o_orderdate")), pa.int64()),
+            "o_month": lambda t: pc.cast(F.month(t.column("o_orderdate")), pa.int64()),
+            "o_day": lambda t: pc.cast(F.day(t.column("o_orderdate")), pa.int64()),
+            "month_start": lambda t: F.date_trunc(t.column("o_orderdate"), "month"),
+            "epoch_s": lambda t: F.epoch_seconds(t.column("o_orderdate")),
+        },
+    )
+    return select(ds, ["o_orderkey", "o_year", "o_month", "o_day", "month_start", "epoch_s"])
+
+
+@register_query(
+    "q_math_funcs",
+    oracle="""SELECT l_orderkey, l_linenumber,
+                     round(abs(l_discount - 0.05), 6) AS disc_dev,
+                     round(sqrt(l_quantity), 6) AS qty_sqrt,
+                     round(ln(l_extendedprice), 6) AS price_ln,
+                     CAST(floor(l_quantity) AS BIGINT) AS qty_floor
+              FROM lineitem WHERE l_orderkey < 1000""",
+)
+def q_math_funcs(sf_dir):
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    ds = filter_expr(ds, lambda t: pc.less(t.column("l_orderkey"), 1000))
+    ds = with_columns(
+        ds,
+        {
+            "disc_dev": lambda t: F.round_(F.abs_(pc.subtract(t.column("l_discount"), 0.05)), 6),
+            "qty_sqrt": lambda t: F.round_(F.sqrt(t.column("l_quantity")), 6),
+            "price_ln": lambda t: F.round_(F.ln(t.column("l_extendedprice")), 6),
+            "qty_floor": lambda t: pc.cast(F.floor(t.column("l_quantity")), pa.int64()),
+        },
+    )
+    return select(ds, ["l_orderkey", "l_linenumber", "disc_dev", "qty_sqrt", "price_ln", "qty_floor"])
+
+
+@register_query(
+    "q_json_get",
+    oracle="""SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
+              FROM events""",
+)
+def q_json_get(sf_dir):
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+    ds = with_columns(ds, {"k": lambda t: F.json_get(t.column("props"), "k")})
+    return select(ds, ["event_id", "k"])
+
+
+@register_query(
+    "q_explode_embeddings",
+    oracle="""SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+                     unnest(embedding) AS value
+              FROM embeddings WHERE vec_id < 100""",
+)
+def q_explode_embeddings(sf_dir):
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = filter_expr(ds, lambda t: pc.less(t.column("vec_id"), 100))
+    return explode(ds, "embedding", value_name="value", pos_name="pos")
+
+
+@register_query(
+    "q_sha256_documents",
+    oracle="SELECT doc_id, sha256(text) AS text_sha FROM documents",
+)
+def q_sha256_documents(sf_dir):
+    from engine.util.hashing import sha256_hex_column
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = with_columns(
+        ds, {"text_sha": lambda t: pa.array(sha256_hex_column(t.column("text")), pa.string())}
+    )
+    return select(ds, ["doc_id", "text_sha"])
+
+
+# ---- aggregations ----------------------------------------------------------
+
+
+@register_query(
+    "q_global_agg",
+    oracle="""SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                     MIN(l_extendedprice) AS min_price,
+                     MAX(l_extendedprice) AS max_price,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM lineitem""",
+)
+def q_global_agg(sf_dir):
+    ds = read_table(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+    ds = with_columns(ds, {"qty_int": lambda t: pc.cast(t.column("l_quantity"), pa.int64())})
+    return global_agg(
+        ds,
+        {
+            "sum_qty": ("sum", "qty_int"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+            "n": ("count", None),
+        },
+    )
+
+
+@register_query(
+    "q_groupby_lineitem",
+    oracle="""SELECT l_returnflag, l_linestatus,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                     CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                     CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_rev_cents,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+              GROUP BY l_returnflag, l_linestatus""",
+)
+def q_groupby_lineitem(sf_dir):
+    """TPC-H Q1 shape with the partial-aggregation combiner (G3): the
+    shuffle moves one row per (flag,status) per batch."""
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    ds = filter_expr(
+        ds, lambda t: pc.less_equal(t.column("l_shipdate"), pa.scalar(np.datetime64("1998-09-01", "us")))
+    )
+    ds = with_columns(
+        ds,
+        {
+            "sum_qty": lambda t: pc.cast(t.column("l_quantity"), pa.int64()),
+            "sum_price_cents": _cents("l_extendedprice"),
+            "sum_rev_cents": lambda t: pc.cast(
+                _round_away(
+                    pc.multiply(
+                        pc.multiply(t.column("l_extendedprice"), pc.subtract(1.0, t.column("l_discount"))),
+                        100.0,
+                    )
+                ),
+                pa.int64(),
+            ),
+        },
+    )
+    return partial_grouped_sum(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_price_cents", "sum_rev_cents"],
+        count_alias="n",
+    )
+
+
+@register_query(
+    "q_grouped_orders",
+    oracle="""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents,
+                     MAX(o_totalprice) AS max_total
+              FROM orders GROUP BY o_custkey""",
+)
+def q_grouped_orders(sf_dir):
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    ds = with_columns(ds, {"sum_total_cents": _cents("o_totalprice")})
+    return grouped_agg(
+        ds,
+        ["o_custkey"],
+        {
+            "n_orders": ("count", None),
+            "sum_total_cents": ("sum", "sum_total_cents"),
+            "max_total": ("max", "o_totalprice"),
+        },
+    )
+
+
+@register_query(
+    "q_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q_distinct(sf_dir):
+    return distinct(read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"]),
+                    ["l_returnflag", "l_linestatus"])
+
+
+@register_query(
+    "q_count_distinct",
+    oracle="SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n FROM orders",
+)
+def q_count_distinct(sf_dir):
+    from engine.ops.agg import count_distinct
+
+    return count_distinct(read_table(sf_dir, "orders", columns=["o_custkey"]), "o_custkey", out="n")
+
+
+@register_query("q_hll_count_distinct")  # sketch → rows-only driver check
+def q_hll_count_distinct(sf_dir):
+    """Approximate COUNT DISTINCT via mergeable HLL (G5; p=12 → ~1.6%)."""
+    return approx_count_distinct(read_table(sf_dir, "orders", columns=["o_custkey"]), "o_custkey")
+
+
+@register_query(
+    "q_topk_per_group",
+    oracle="""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders WHERE o_custkey < 200) WHERE rn <= 2""",
+)
+def q_topk_per_group(sf_dir):
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    ds = filter_expr(ds, lambda t: pc.less(t.column("o_custkey"), 200))
+    return topk_per_group(ds, ["o_custkey"], "o_totalprice", 2, descending=True, tiebreak=["o_orderkey"])
+
+
+# ---- sort / limit / sample / set ops --------------------------------------
+
+
+@register_query(
+    "q_sort_limit",
+    oracle="""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""",
+)
+def q_sort_limit(sf_dir):
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return ds.sort(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"], descending=[True, False, False]
+    ).limit(10)
+
+
+@register_query(
+    "q_seeded_sample",
+    oracle=f"""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+               WHERE {sample_sql('l_orderkey', 10)}""",
+)
+def q_seeded_sample(sf_dir):
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    return seeded_sample(ds, "l_orderkey", 10)
+
+
+@register_query(
+    "q_union_all",
+    oracle="""SELECT l_orderkey, CAST(year(l_shipdate) AS BIGINT) AS ship_year FROM lineitem
+              WHERE year(l_shipdate) = 1994
+              UNION ALL
+              SELECT l_orderkey, CAST(year(l_shipdate) AS BIGINT) AS ship_year FROM lineitem
+              WHERE year(l_shipdate) = 1995""",
+)
+def q_union_all(sf_dir):
+    def year_slice(y):
+        ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+        ds = with_columns(ds, {"ship_year": lambda t: pc.cast(F.year(t.column("l_shipdate")), pa.int64())})
+        ds = filter_expr(ds, lambda t: pc.equal(t.column("ship_year"), y))
+        return select(ds, ["l_orderkey", "ship_year"])
+
+    return union_all(year_slice(1994), year_slice(1995))
+
+
+@register_query(
+    "q_intersect",
+    oracle="""SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+              INTERSECT
+              SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0""",
+)
+def q_intersect(sf_dir):
+    a = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    a = filter_expr(a, lambda t: pc.greater(t.column("o_totalprice"), 150000.0))
+    a = select(a, ["o_custkey"]).rename_columns({"o_custkey": "custkey"})
+    b = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    b = filter_expr(b, lambda t: pc.greater(t.column("c_acctbal"), 0.0))
+    b = select(b, ["c_custkey"]).rename_columns({"c_custkey": "custkey"})
+    return intersect_distinct(a, b, ["custkey"])
+
+
+@register_query(
+    "q_except",
+    oracle="""SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+              EXCEPT
+              SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000""",
+)
+def q_except(sf_dir):
+    def side(cut):
+        ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        ds = filter_expr(ds, lambda t: pc.greater(t.column("o_totalprice"), float(cut)))
+        return select(ds, ["o_custkey"]).rename_columns({"o_custkey": "custkey"})
+
+    return except_distinct(side(300000), side(400000), ["custkey"])
+
+
+# ---- joins -----------------------------------------------------------------
+
+
+@register_query(
+    "q_join_broadcast",
+    oracle="""SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+                     CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_cents
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name""",
+)
+def q_join_broadcast(sf_dir):
+    """J1: dims joined driver-side (tiny), broadcast once via ray.put,
+    per-batch Arrow hash join — no shuffle until the final small agg."""
+    dims = table(sf_dir, "nation").join(table(sf_dir, "region"), keys=["n_regionkey"], right_keys=["r_regionkey"])
+    dims = dims.select(["n_nationkey", "r_name"])
+    ds = read_table(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    ds = broadcast_join(ds, dims, keys=["c_nationkey"], right_keys=["n_nationkey"])
+    ds = with_columns(ds, {"sum_bal_cents": _cents("c_acctbal")})
+    return grouped_agg(
+        ds, ["r_name"], {"n_cust": ("count", None), "sum_bal_cents": ("sum", "sum_bal_cents")}
+    )
+
+
+@register_query(
+    "q_join_shuffle",
+    oracle="""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+              GROUP BY o_orderpriority""",
+)
+def q_join_shuffle(sf_dir):
+    """J2: large × large partitioned hash join on the order key."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_orderpriority"])
+    orders = filter_expr(orders, lambda t: pc.equal(t.column("o_orderstatus"), "F"))
+    orders = select(orders, ["o_orderkey", "o_orderpriority"]).rename_columns({"o_orderkey": "l_orderkey"})
+    joined = shuffle_join(li, orders, key="l_orderkey", join_type="inner")
+    joined = with_columns(joined, {"sum_qty": lambda t: pc.cast(t.column("l_quantity"), pa.int64())})
+    return partial_grouped_sum(joined, ["o_orderpriority"], ["sum_qty"], count_alias="n")
+
+
+@register_query(
+    "q_join_semi",
+    oracle="""SELECT c_custkey, c_acctbal FROM customer
+              WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)""",
+)
+def q_join_semi(sf_dir):
+    keys = table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    keys = keys.filter(pc.greater(keys.column("o_totalprice"), 150000.0)).rename_columns(
+        ["c_custkey", "o_totalprice"]
+    )
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    return semi_join(ds, keys, "c_custkey")
+
+
+@register_query(
+    "q_join_anti",
+    oracle="""SELECT c_custkey, c_acctbal FROM customer
+              WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""",
+)
+def q_join_anti(sf_dir):
+    keys = table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    keys = keys.filter(pc.greater(keys.column("o_totalprice"), 400000.0)).select(["o_custkey"]).rename_columns(["c_custkey"])
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    return semi_join(ds, keys, "c_custkey", anti=True)
+
+
+@register_query(
+    "q_join_asof",
+    oracle="""WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+                         FROM orders GROUP BY o_custkey, o_orderdate)
+              SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+              FROM events e ASOF LEFT JOIN o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+)
+def q_join_asof(sf_dir):
+    """J4: per user, the latest order at-or-before each event. The right
+    side is pre-reduced to one row per (custkey, date) so the as-of
+    winner is deterministic."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    orders = grouped_agg(orders, ["o_custkey", "o_orderdate"], {"o_orderkey": ("max", "o_orderkey")})
+    out = asof_join(ev, orders, on="ts", by="user_id", right_on="o_orderdate", right_by="o_custkey")
+    return select(out, ["event_id", "user_id", "ts", "o_orderkey", "o_orderdate"])
+
+
+# ---- windows ---------------------------------------------------------------
+
+
+@register_query(
+    "q_window_tumbling",
+    oracle="""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win, event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+              FROM events GROUP BY 1, 2""",
+)
+def q_window_tumbling(sf_dir):
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    ds = with_columns(ds, {"sum_value_cents": _cents("value")})
+    return tumbling(
+        ds, "ts", "day", ["event_type"],
+        {"n": ("count", None), "sum_value_cents": ("sum", "sum_value_cents")},
+    )
+
+
+@register_query(
+    "q_window_sliding",
+    oracle="""SELECT make_timestamp((CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) - o.off) * 86400000000) AS win_start,
+                     event_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM events, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS o(off)
+              WHERE make_timestamp((CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) - o.off) * 86400000000)
+                    > ts - INTERVAL 2 DAYS
+              GROUP BY 1, 2""",
+)
+def q_window_sliding(sf_dir):
+    day_us = 86_400_000_000
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+    return sliding(ds, "ts", size_us=2 * day_us, slide_us=day_us, keys=["event_type"], specs={"n": ("count", None)})
+
+
+@register_query(
+    "q_window_session",
+    oracle="""WITH x AS (
+                SELECT user_id, ts, event_id, CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+                       CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTES
+                                 OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              ), y AS (
+                SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+                FROM x)
+              SELECT user_id, MIN(ts) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+                     CAST(SUM(value_cents) AS BIGINT) AS sum_value
+              FROM y GROUP BY user_id, sid""",
+)
+def q_window_session(sf_dir):
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    ds = with_columns(ds, {"value_cents": _cents("value")})
+    return session(ds, "ts", "user_id", gap_us=30 * 60 * 1_000_000, agg_col="value_cents")
