@@ -62,15 +62,22 @@ def partial_grouped_sum(
     return partial.groupby(keys).aggregate(*aggs)
 
 
-def distinct(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
-    """SELECT DISTINCT cols — per-batch dedup combiner, then grouped
-    dedup (shuffle moves unique rows only)."""
-    pruned = ds.select_columns(cols)
-    pre = pruned.map_batches(
-        lambda df: df.drop_duplicates(), batch_format="pandas"
-    )
-    return pre.groupby(cols).map_groups(
-        lambda df: df.head(1), batch_format="pandas"
+def distinct(ds: rd.Dataset, cols: list[str], num_buckets: int = 32) -> rd.Dataset:
+    """SELECT DISTINCT cols — per-batch dedup combiner, hash-bucket
+    shuffle of the unique rows, vectorized dedup per bucket (one group
+    per bucket, not per value)."""
+    from engine.util.hashing import fast_hash_column
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[cols].drop_duplicates()
+        key = df[cols].astype(str).agg("\x1f".join, axis=1)
+        out = df.copy()
+        out["__bucket"] = fast_hash_column(key, num_buckets, seed="distinct")
+        return out
+
+    pre = ds.select_columns(cols).map_batches(_pre, batch_format="pandas")
+    return pre.groupby("__bucket").map_groups(
+        lambda df: df[cols].drop_duplicates(), batch_format="pandas"
     )
 
 

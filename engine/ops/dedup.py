@@ -27,10 +27,13 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def exact_dedup(
-    ds: rd.Dataset, keys: list[str], tiebreak: str, keep: str = "min"
+    ds: rd.Dataset, keys: list[str], tiebreak: str, keep: str = "min", num_buckets: int = 32
 ) -> rd.Dataset:
     """One row per key; deterministic winner = min/max of ``tiebreak``.
-    Per-batch combiner first so the shuffle moves candidates only."""
+    Per-batch combiner → hash-bucket shuffle (one group per bucket, not
+    per key) → vectorized per-bucket pick."""
+    from engine.util.hashing import fast_hash_column
+
     asc = keep == "min"
 
     def _pick(df: pd.DataFrame) -> pd.DataFrame:
@@ -40,8 +43,17 @@ def exact_dedup(
             .head(1)
         )
 
-    return ds.map_batches(_pick, batch_format="pandas").groupby(keys).map_groups(
-        _pick, batch_format="pandas"
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = _pick(df)
+        key = df[keys].astype(str).agg("\x1f".join, axis=1)
+        out = df.copy()
+        out["__bucket"] = fast_hash_column(key, num_buckets, seed="dedup")
+        return out
+
+    return (
+        ds.map_batches(_pre, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda df: _pick(df).drop(columns="__bucket"), batch_format="pandas")
     )
 
 

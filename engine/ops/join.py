@@ -81,11 +81,14 @@ def shuffle_join(
     key: str,
     join_type: str = "inner",
     suffixes: tuple[str, str] = ("", "_r"),
+    num_buckets: int = 64,
 ) -> rd.Dataset:
     """Partitioned hash join of two large Datasets on ``key``: tag sides,
-    union (schemas unioned with nulls), co-partition by key, pandas merge
-    within each key group. Skewed keys land in one group — salt upstream
-    if a key is pathologically hot."""
+    union (schemas unioned with typed nulls), co-partition into
+    ``num_buckets`` hash buckets, vectorized pandas merge within each
+    bucket. Bucketing (instead of one group per key) keeps the
+    per-group Python overhead at O(buckets), not O(distinct keys); a
+    pathologically hot key still lands in one bucket — salt upstream."""
     lschema, rschema = left.schema().base_schema, right.schema().base_schema
     lcols, rcols = list(lschema.names), list(rschema.names)
     union_fields = [lschema.field(n) for n in lcols] + [
@@ -104,7 +107,11 @@ def shuffle_join(
                     cols.append(t.column(f.name).cast(f.type))
                 else:
                     cols.append(pa.nulls(n, type=f.type))
-            return pa.table(cols, schema=target)
+            out = pa.table(cols, schema=target)
+            from engine.util.hashing import fast_hash_column
+
+            bucket = fast_hash_column(out.column(key).to_pandas(), num_buckets, seed="join")
+            return out.append_column("__bucket", pa.array(bucket, pa.int64()))
 
         return fn
 
@@ -112,13 +119,13 @@ def shuffle_join(
         right.map_batches(_tag(1), batch_format="pyarrow")
     )
 
-    def _join_group(df: pd.DataFrame) -> pd.DataFrame:
+    def _join_bucket(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["__side"] == 0][lcols]
         r = df[df["__side"] == 1][rcols]
         how = {"inner": "inner", "left": "left", "right": "right", "outer": "outer"}[join_type]
         return l.merge(r, on=key, how=how, suffixes=suffixes)
 
-    return u.groupby(key).map_groups(_join_group, batch_format="pandas")
+    return u.groupby("__bucket").map_groups(_join_bucket, batch_format="pandas")
 
 
 def asof_join(
