@@ -1,0 +1,207 @@
+"""Benchmark harness (driver contract + BASELINE.md protocol).
+
+Headline metric: CDC replay throughput (change-events/sec) to a
+converged, oracle-verified final-table state (BASELINE.json:2), over a
+deterministic changelog synthesised from $GRAFT_SF_DIR's documents
+table. Also times a set of representative relational pipelines.
+
+Prints ONE JSON line:
+  {"metric": "cdc_replay_throughput", "value": <headline seconds>,
+   "unit": "sec", "queries": {...}, "sf": ..., "num_cpus": N,
+   "events_per_sec": ..., ...}
+
+``--scaling``: runs the CDC replay in two fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the SAME pre-generated changelog (page
+cache warmed), asserts the final state hashes are identical
+(parallelism invariance), and reports throughput at both levels plus
+scaling efficiency = thr(32) / (4 * thr(8)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROOT = os.environ.get("GRAFT_BENCH_DIR", "/tmp/graft_bench")
+
+# Fixed bench changelog (seed 42): ~2M events over 8 epochs, 50k keys,
+# 40% of events on the hot repo, schema evolution at epoch 6.
+SYNTH = dict(
+    seed=42,
+    n_events=int(os.environ.get("GRAFT_BENCH_EVENTS", "2000000")),
+    n_epochs=8,
+    n_keys=50_000,
+    n_repos=32,
+    hot_event_frac=0.4,
+    files_per_epoch=64,
+    max_content_chars=400,
+    evolve_at_epoch=6,
+)
+REPLAY = dict(num_partitions=64, num_salts=4)
+
+
+def _ray_init(num_cpus: int):
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def ensure_changelog() -> str:
+    """Generate (once) the fixed bench changelog; warm the page cache."""
+    from engine.cdc.synth import SynthConfig, synth_changelog
+
+    log_dir = os.path.join(BENCH_ROOT, "log")
+    synth_changelog(SF_DIR, log_dir, SynthConfig(**SYNTH))
+    for root, _, files in os.walk(log_dir):  # warm page cache (untimed)
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+    return log_dir
+
+
+def run_cdc(log_dir: str, lake_dir: str, verify: bool = True) -> dict:
+    from engine.cdc.replay import ReplayConfig, replay
+
+    if os.path.exists(lake_dir):
+        shutil.rmtree(lake_dir)
+    t0 = time.monotonic()
+    summary = replay(log_dir, lake_dir, ReplayConfig(**REPLAY))
+    wall = time.monotonic() - t0
+    out = {
+        "cdc_wall_s": round(wall, 3),
+        "events": summary["events_applied"],
+        "events_per_sec": round(summary["events_applied"] / wall, 1),
+    }
+    if verify:
+        from engine.cdc.verify import state_hash
+
+        out["state_hash"] = state_hash(lake_dir)
+    return out
+
+
+def run_relational_queries() -> dict:
+    """Representative relational pipelines at $GRAFT_SF_DIR."""
+    from engine.registry import QUERIES, load_catalog
+
+    load_catalog()
+    names = [
+        "q_groupby_lineitem",
+        "q_join_broadcast",
+        "q_join_shuffle",
+        "q_with_column_revenue",
+        "q_window_session",
+        "q_dedup_exact",
+        "q_dedup_minhash",
+        "q_ann_bruteforce",
+        "q_sort_limit",
+        "q_text_stats",
+    ]
+    import ray.data as rd
+
+    times = {}
+    for name in names:
+        t0 = time.monotonic()
+        res = QUERIES[name](SF_DIR)
+        if isinstance(res, rd.Dataset):
+            for _ in res.iter_batches(batch_size=65536):  # consume, streaming
+                pass
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def main_single():
+    _ray_init(NUM_CPUS)
+    log_dir = ensure_changelog()
+    cdc = run_cdc(log_dir, os.path.join(BENCH_ROOT, f"lake_{NUM_CPUS}"))
+    queries = run_relational_queries()
+    out = {
+        "metric": "cdc_replay_throughput",
+        "value": cdc["cdc_wall_s"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "events": cdc["events"],
+        "events_per_sec": cdc["events_per_sec"],
+        "state_hash": cdc.get("state_hash", "")[:16],
+    }
+    import ray
+
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def _subprocess_cdc(num_cpus: int) -> dict:
+    """Fresh interpreter → fresh ray session at the given parallelism."""
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus))
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--cdc-only"],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main_cdc_only():
+    _ray_init(NUM_CPUS)
+    log_dir = ensure_changelog()
+    cdc = run_cdc(log_dir, os.path.join(BENCH_ROOT, f"lake_{NUM_CPUS}"))
+    import ray
+
+    ray.shutdown()
+    print(json.dumps({**cdc, "num_cpus": NUM_CPUS}))
+
+
+def main_scaling():
+    # Pre-generate + warm cache once (untimed), then two fresh processes.
+    _ray_init(8)
+    ensure_changelog()
+    import ray
+
+    ray.shutdown()
+    lo, hi = 8, 32
+    r_lo, r_hi = _subprocess_cdc(lo), _subprocess_cdc(hi)
+    eff = (r_hi["events_per_sec"] / r_lo["events_per_sec"]) / (hi / lo)
+    out = {
+        "metric": "cdc_scaling",
+        "events": r_lo["events"],
+        f"sec_{lo}": r_lo["cdc_wall_s"],
+        f"sec_{hi}": r_hi["cdc_wall_s"],
+        f"events_per_sec_{lo}": r_lo["events_per_sec"],
+        f"events_per_sec_{hi}": r_hi["events_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "state_hash_match": r_lo["state_hash"] == r_hi["state_hash"],
+        "state_hash": r_lo["state_hash"][:16],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        main_scaling()
+    elif "--cdc-only" in sys.argv:
+        main_cdc_only()
+    else:
+        main_single()

@@ -26,6 +26,17 @@ import ray.data as rd
 _BCAST_CACHE: dict[bytes, object] = {}
 
 
+def _ensure_arrow(ds: rd.Dataset) -> tuple[rd.Dataset, pa.Schema]:
+    """Return the dataset with Arrow blocks plus its Arrow schema
+    (pandas-backed datasets — e.g. from_pandas — are converted)."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return ds, base
+    ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    return ds, ds.schema().base_schema
+
+
 def _cached_get(ref: ray.ObjectRef):
     """Worker-process cache so each worker deserializes a broadcast table
     once, not once per batch."""
@@ -89,7 +100,8 @@ def shuffle_join(
     bucket. Bucketing (instead of one group per key) keeps the
     per-group Python overhead at O(buckets), not O(distinct keys); a
     pathologically hot key still lands in one bucket — salt upstream."""
-    lschema, rschema = left.schema().base_schema, right.schema().base_schema
+    left, lschema = _ensure_arrow(left)
+    right, rschema = _ensure_arrow(right)
     lcols, rcols = list(lschema.names), list(rschema.names)
     union_fields = [lschema.field(n) for n in lcols] + [
         rschema.field(n) for n in rcols if n not in lcols
@@ -142,7 +154,8 @@ def asof_join(
     Co-shuffles both sides on the by-key; merge_asof per sorted group."""
     right_on = right_on or on
     right_by = right_by or by
-    lschema, rschema = left.schema().base_schema, right.schema().base_schema
+    left, lschema = _ensure_arrow(left)
+    right, rschema = _ensure_arrow(right)
     lcols, rcols = list(lschema.names), list(rschema.names)
     # Unified schema for the tagged union: left fields + right-only fields
     # + side tag + join key (typed nulls for the absent side's columns).
@@ -186,9 +199,13 @@ def asof_join(
                 out[c] = out[c].astype("datetime64[us]")
         return out
 
+    # Right-side output columns: drop overlaps with the left (e.g. the
+    # by-key itself) so the merge never suffixes; keep the right_on key.
+    rkeep = [c for c in rcols if c not in lcols or c == right_on]
+
     def _asof(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["__side"] == 0][lcols].sort_values(on, kind="mergesort")
-        r = df[df["__side"] == 1][rcols].sort_values(right_on, kind="mergesort")
+        r = df[df["__side"] == 1][rkeep].sort_values(right_on, kind="mergesort")
         # Align datetime precisions (upstream groupbys can downcast to [s]).
         for frame, col in ((l, on), (r, right_on)):
             if str(frame[col].dtype).startswith("datetime64"):

@@ -17,7 +17,12 @@ def select(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
 
 
 def rename(ds: rd.Dataset, mapping: dict[str, str]) -> rd.Dataset:
-    return ds.rename_columns(mapping)
+    # Arrow-explicit (Dataset.rename_columns assumes Arrow blocks and
+    # breaks on pandas-backed datasets).
+    def _ren(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+    return ds.map_batches(_ren, batch_format="pyarrow")
 
 
 def with_column(ds: rd.Dataset, name: str, expr, **mb_kwargs) -> rd.Dataset:

@@ -1,0 +1,119 @@
+"""Unit tests: windows, sketches, text analysis, ANN, model, multimodal,
+pipeline API, scalar functions."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+from engine.ops import scalar as F
+from engine.ops.ann import build_centroids, knn_brute, quantize
+from engine.ops.model import DeterministicEmbedder, score_documents
+from engine.ops.multimodal import DecodePayload, attach_fake_payload, decode_payloads, payload_features
+from engine.ops.text import lang_id, quality_score, text_stats
+from engine.ops.window import session, sliding, tumbling
+from engine.pipeline import Pipeline, Step
+
+
+def test_scalar_string_and_math():
+    a = pa.array(["Hello World", "abc"])
+    assert F.lower(a).to_pylist() == ["hello world", "abc"]
+    assert F.length(a).to_pylist() == [11, 3]
+    assert F.substr(a, 1, 5).to_pylist() == ["Hello", "abc"]
+    assert F.contains(a, "World").to_pylist() == [True, False]
+    assert F.regexp_extract(pa.array(["x=42", "x=7"]), r"x=(\d+)").to_pylist() == ["42", "7"]
+    assert F.round_(pa.array([1.2345678]), 3).to_pylist() == [1.235]
+
+
+def test_scalar_dates_and_json():
+    ts = pa.array([np.datetime64("1995-03-15T10:30:00", "us")])
+    assert F.year(ts).to_pylist() == [1995]
+    assert F.month(ts).to_pylist() == [3]
+    assert F.date_trunc(ts, "day").to_pylist() == [pd.Timestamp("1995-03-15")]
+    assert F.json_get(pa.array(['{"k": 5}', None, "bad"]), "k").to_pylist() == [5, None, None]
+    assert F.list_sum(pa.array([[1.0, 2.0], []], type=pa.list_(pa.float64()))).to_pylist() == [3.0, 0.0]
+
+
+def test_windows_tumbling_sliding_session():
+    ts = pd.to_datetime(
+        ["2024-01-01 00:10", "2024-01-01 10:00", "2024-01-02 00:10", "2024-01-02 00:20"]
+    ).astype("datetime64[us]")
+    df = pd.DataFrame({"ts": ts, "g": ["x", "x", "x", "y"], "v": [1, 2, 3, 4]})
+    ds = rd.from_pandas(df)
+    t = tumbling(ds, "ts", "day", ["g"], {"n": ("count", None)}).to_pandas()
+    assert set(zip(t["g"], t["n"])) == {("x", 2), ("x", 1), ("y", 1)}
+
+    day = 86_400_000_000
+    s = sliding(ds, "ts", 2 * day, day, ["g"], {"n": ("count", None)}).to_pandas()
+    # each row lands in exactly 2 windows
+    assert s["n"].sum() == 2 * len(df)
+
+    sess = session(ds, "ts", "g", gap_us=3_600_000_000, agg_col="v").to_pandas()
+    x = sess[sess["g"] == "x"]
+    assert len(x) == 3  # gaps > 1h split all three x events
+    assert set(sess[sess["g"] == "y"]["sum_value"]) == {4}
+
+
+def test_knn_brute_exact():
+    vecs = np.eye(4, dtype=np.float64)
+    t = pa.table({"vec_id": list(range(4)), "embedding": [list(v) for v in vecs]})
+    out = knn_brute(rd.from_arrow(t), "embedding", "vec_id", vecs[:1], [0], k=2).to_pandas()
+    assert list(out.sort_values("score", ascending=False)["id"])[:1] == [0]
+    assert out["score"].max() == quantize(vecs[:1])[0] @ quantize(vecs[:1])[0]
+
+
+def test_build_centroids_deterministic():
+    rng = np.random.RandomState(1)
+    pts = rng.standard_normal((100, 4))
+    a = build_centroids(pts, 4, seed=7)
+    b = build_centroids(pts, 4, seed=7)
+    assert np.array_equal(a, b)
+
+
+def test_text_ops(sf_dir):
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["the quick fox. and a dog!", "der die das und ist"]})
+    ds = rd.from_pandas(df)
+    stats = text_stats(ds).to_pandas().sort_values("doc_id")
+    assert stats["n_tokens"].tolist() == [6, 5]
+    q = quality_score(ds).to_pandas()
+    assert ((0 <= q["quality"]) & (q["quality"] <= 1)).all()
+    l = lang_id(ds).to_pandas().sort_values("doc_id")
+    assert l["lang_pred"].tolist() == ["en", "de"]
+
+
+def test_model_scoring_deterministic():
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["alpha beta", "gamma delta"]})
+    a = score_documents(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    b = score_documents(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert a["model_score"].tolist() == b["model_score"].tolist()
+    e = DeterministicEmbedder()
+    emb = e(df)
+    assert len(emb["model_embedding"].iloc[0]) == 32
+    n = np.linalg.norm(emb["model_embedding"].iloc[0])
+    assert abs(n - 1.0) < 1e-5
+
+
+def test_multimodal_plumbing():
+    df = pd.DataFrame({"doc_id": [1], "text": ["hello"]})
+    ds = attach_fake_payload(rd.from_pandas(df))
+    out = decode_payloads(ds, fake=True)
+    out = payload_features(out).to_pandas()
+    assert out["n_bytes"].iloc[0] == 5
+    assert 64 <= out["width"].iloc[0] < 256
+    assert len(out["payload_features"].iloc[0]) == 8
+    with pytest.raises(NotImplementedError):
+        DecodePayload(fake=False)(pd.DataFrame({"checksum": [1]}))
+
+
+def test_pipeline_api():
+    df = pd.DataFrame({"x": [1, 2, 3, 4]})
+    p = Pipeline(
+        [
+            Step("double", lambda t: t.set_column(0, "x", pc.multiply(t.column("x"), 2))),
+            Step("keep_big", lambda t: pc.greater(t.column("x"), 4), kind="filter"),
+        ]
+    )
+    out = p.run(rd.from_pandas(df)).to_pandas()
+    assert sorted(out["x"]) == [6, 8]

@@ -1,0 +1,186 @@
+"""Unit tests for the relational op modules (tiny in-memory tables vs
+pandas/duckdb ground truth — SURVEY.md §5)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+from engine.ops.agg import distinct, global_agg, grouped_agg, partial_grouped_sum, topk_per_group
+from engine.ops.dedup import exact_dedup, jaccard, shingle_hashes, simhash64
+from engine.ops.join import asof_join, broadcast_join, semi_join, shuffle_join
+from engine.ops.map import cast_column, explode, filter_expr, rename, select, with_columns
+from engine.ops.order import seeded_sample, top_k
+from engine.ops.setops import except_distinct, intersect_distinct, union_all
+from engine.ops.sketch import approx_count_distinct
+
+
+def _pdf(ds):
+    pdf = ds.to_pandas()
+    if len(pdf.columns) == 0:
+        # Ray's to_pandas drops the schema for zero-row results; rebuild
+        # the empty frame from the Dataset's (correct) Arrow schema.
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            pdf = base.empty_table().to_pandas()
+        elif sch is not None:
+            pdf = pd.DataFrame({n: pd.Series(dtype="object") for n in sch.names})
+    return pdf
+
+
+@pytest.fixture
+def sales():
+    rng = np.random.RandomState(0)
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 20, 500),
+            "g": rng.choice(list("abc"), 500),
+            "v": rng.randint(0, 100, 500).astype("int64"),
+        }
+    )
+    return df
+
+
+def test_map_select_rename_cast_filter(sales):
+    ds = rd.from_pandas(sales)
+    out = select(ds, ["k", "v"])
+    out = rename(out, {"v": "val"})
+    out = cast_column(out, "val", pa.float64())
+    out = filter_expr(out, lambda t: pc.greater(t.column("val"), 50.0))
+    pdf = _pdf(out)
+    assert list(pdf.columns) == ["k", "val"]
+    assert (pdf["val"] > 50).all()
+    assert len(pdf) == (sales["v"] > 50).sum()
+
+
+def test_with_columns_vectorized(sales):
+    ds = rd.from_pandas(sales)
+    out = with_columns(ds, {"v2": lambda t: pc.multiply(t.column("v"), 2)})
+    pdf = _pdf(out).sort_values(["k", "v"]).reset_index(drop=True)
+    ref = sales.assign(v2=sales["v"] * 2).sort_values(["k", "v"]).reset_index(drop=True)
+    assert (pdf["v2"].to_numpy() == ref["v2"].to_numpy()).all()
+
+
+def test_explode_matches_duckdb():
+    t = pa.table({"id": [1, 2], "xs": [[1.0, 2.0], [3.0]]})
+    out = _pdf(explode(rd.from_arrow(t), "xs", value_name="x", pos_name="pos"))
+    out = out.sort_values(["id", "pos"]).reset_index(drop=True)
+    assert out.to_dict("records") == [
+        {"id": 1, "pos": 0, "x": 1.0},
+        {"id": 1, "pos": 1, "x": 2.0},
+        {"id": 2, "pos": 0, "x": 3.0},
+    ]
+
+
+def test_grouped_and_partial_agg_agree(sales):
+    ds = rd.from_pandas(sales)
+    a = _pdf(grouped_agg(ds, ["g"], {"s": ("sum", "v"), "n": ("count", None)}))
+    from engine.ops.map import rename as _rn
+    b = _pdf(_rn(partial_grouped_sum(ds, ["g"], ["v"], count_alias="n"), {"v": "s"}))
+    ref = sales.groupby("g").agg(s=("v", "sum"), n=("v", "size")).reset_index()
+    for out in (a, b):
+        m = out.sort_values("g").reset_index(drop=True)
+        assert (m["s"].to_numpy() == ref["s"].to_numpy()).all()
+        assert (m["n"].to_numpy() == ref["n"].to_numpy()).all()
+
+
+def test_global_agg(sales):
+    out = global_agg(rd.from_pandas(sales), {"s": ("sum", "v"), "mx": ("max", "v"), "n": ("count", None)})
+    assert out.column("s")[0].as_py() == sales["v"].sum()
+    assert out.column("mx")[0].as_py() == sales["v"].max()
+    assert out.column("n")[0].as_py() == len(sales)
+
+
+def test_distinct_and_topk(sales):
+    d = _pdf(distinct(rd.from_pandas(sales), ["g"]))
+    assert sorted(d["g"]) == ["a", "b", "c"]
+    t = _pdf(topk_per_group(rd.from_pandas(sales), ["g"], "v", 2, tiebreak=["k"]))
+    ref = sales.sort_values(["v", "k"], ascending=[False, True]).groupby("g").head(2)
+    assert len(t) == len(ref)
+    assert set(map(tuple, t[["g", "v"]].values)) == set(map(tuple, ref[["g", "v"]].values))
+
+
+def test_top_k_partial_heap(sales):
+    out = _pdf(top_k(rd.from_pandas(sales), "v", 5))
+    ref = sales.nlargest(5, "v")["v"].tolist()
+    assert sorted(out["v"], reverse=True) == ref
+
+
+def test_seeded_sample_deterministic(sales):
+    a = _pdf(seeded_sample(rd.from_pandas(sales), "v", 20))
+    b = _pdf(seeded_sample(rd.from_pandas(sales), "v", 20))
+    assert sorted(a["v"]) == sorted(b["v"])
+
+
+def test_setops_match_duckdb(sales):
+    left = sales[sales["v"] > 30][["k"]]
+    right = sales[sales["v"] < 70][["k"]]
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    ri = sorted(x[0] for x in con.sql("SELECT k FROM l INTERSECT SELECT k FROM r").fetchall())
+    re_ = sorted(x[0] for x in con.sql("SELECT k FROM l EXCEPT SELECT k FROM r").fetchall())
+    i = sorted(_pdf(intersect_distinct(rd.from_pandas(left), rd.from_pandas(right), ["k"]))["k"])
+    e = sorted(_pdf(except_distinct(rd.from_pandas(left), rd.from_pandas(right), ["k"]))["k"])
+    assert i == ri and e == re_
+    u = _pdf(union_all(rd.from_pandas(left), rd.from_pandas(right)))
+    assert len(u) == len(left) + len(right)
+
+
+def test_joins_match_pandas(sales):
+    dim = pd.DataFrame({"g": ["a", "b", "c"], "label": ["A", "B", "C"]})
+    out = _pdf(broadcast_join(rd.from_pandas(sales), pa.Table.from_pandas(dim), keys=["g"]))
+    assert len(out) == len(sales)
+    assert set(out["label"]) == {"A", "B", "C"}
+
+    right = sales.groupby("k", as_index=False).agg(tot=("v", "sum"))
+    out2 = _pdf(shuffle_join(rd.from_pandas(sales), rd.from_pandas(right), key="k"))
+    ref2 = sales.merge(right, on="k")
+    assert len(out2) == len(ref2)
+    assert out2["tot"].sum() == ref2["tot"].sum()
+
+    keys = pa.table({"k": [1, 2, 3]})
+    s = _pdf(semi_join(rd.from_pandas(sales), keys, "k"))
+    assert set(s["k"]) <= {1, 2, 3} and len(s) == sales["k"].isin([1, 2, 3]).sum()
+    a = _pdf(semi_join(rd.from_pandas(sales), keys, "k", anti=True))
+    assert len(a) == len(sales) - len(s)
+
+
+def test_asof_join_matches_merge_asof():
+    left = pd.DataFrame(
+        {"u": [1, 1, 2, 2], "t": pd.to_datetime(["2024-01-02", "2024-01-05", "2024-01-03", "2024-01-01"]).astype("datetime64[us]"), "x": [1, 2, 3, 4]}
+    )
+    right = pd.DataFrame(
+        {"u": [1, 1, 2], "t2": pd.to_datetime(["2024-01-01", "2024-01-04", "2024-01-02"]).astype("datetime64[us]"), "y": [10, 20, 30]}
+    )
+    out = _pdf(asof_join(rd.from_pandas(left), rd.from_pandas(right), on="t", by="u", right_on="t2", right_by="u"))
+    out = out.sort_values(["u", "t"]).reset_index(drop=True)
+    got = list(out["y"].fillna(-1))
+    assert got == [10, 20, -1, 30]
+
+
+def test_hll_close_to_exact(sales):
+    est = approx_count_distinct(rd.from_pandas(sales), "v", p=12).column("approx_n")[0].as_py()
+    exact = sales["v"].nunique()
+    assert abs(est - exact) / exact < 0.1
+
+
+def test_exact_dedup_deterministic_winner():
+    df = pd.DataFrame({"key": ["a", "a", "b"], "id": [5, 2, 9], "x": [1, 2, 3]})
+    out = _pdf(exact_dedup(rd.from_pandas(df), ["key"], "id", keep="min")).sort_values("key")
+    assert list(out["id"]) == [2, 9]
+
+
+def test_shingle_jaccard_simhash_properties():
+    assert jaccard("hello world", "hello world") == 1.0
+    assert jaccard("hello world", "entirely different text") < 0.2
+    a = shingle_hashes("abcdefg", 5)
+    assert len(a) == 3
+    assert simhash64("same tokens here") == simhash64("same tokens here")
+    h1 = simhash64("the quick brown fox jumps over the lazy dog")
+    h2 = simhash64("the quick brown fox jumps over the lazy cat")
+    assert bin(h1 ^ h2).count("1") < 20
