@@ -63,6 +63,25 @@ def _ray_init(num_cpus: int):
     ctx.execution_options.verbose_progress = False
 
 
+def warmup_workers():
+    """Untimed: spin up the worker pool and import the heavy libs in each
+    worker, so timed regions measure steady-state throughput rather than
+    cluster startup (first pipeline in a fresh session pays ~5-10s of
+    worker spawn + pandas import at 32 CPUs)."""
+    import ray.data as rd
+
+    def _touch(batch):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        import pyarrow.compute  # noqa: F401
+
+        return batch
+
+    rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 8).map_batches(
+        _touch, batch_format="pyarrow"
+    ).materialize()
+
+
 def ensure_changelog() -> str:
     """Generate (once) the fixed bench changelog; warm the page cache."""
     from engine.cdc.synth import SynthConfig, synth_changelog
@@ -128,9 +147,19 @@ def run_relational_queries() -> dict:
 
 
 def main_single():
+    # Generate the changelog (untimed), then measure the CDC replay in a
+    # FRESH subprocess: generating 2M events leaves dirty pages flushing
+    # and a loaded Ray session behind, which skews an in-process
+    # measurement by 3x.
     _ray_init(NUM_CPUS)
-    log_dir = ensure_changelog()
-    cdc = run_cdc(log_dir, os.path.join(BENCH_ROOT, f"lake_{NUM_CPUS}"))
+    ensure_changelog()
+    import ray
+
+    ray.shutdown()
+    os.sync()
+    cdc = _subprocess_cdc(NUM_CPUS)
+    _ray_init(NUM_CPUS)
+    warmup_workers()
     queries = run_relational_queries()
     out = {
         "metric": "cdc_replay_throughput",
@@ -149,23 +178,37 @@ def main_single():
     print(json.dumps(out))
 
 
-def _subprocess_cdc(num_cpus: int) -> dict:
-    """Fresh interpreter → fresh ray session at the given parallelism."""
+REPS = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
+
+
+def _subprocess_cdc(num_cpus: int, reps: int = REPS) -> dict:
+    """Fresh interpreter → fresh ray session at the given parallelism;
+    ``reps`` runs, median throughput reported (BASELINE.md protocol —
+    single-run wall times vary ±40% with background page flushing)."""
     env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus))
-    out = subprocess.run(
-        [sys.executable, "bench.py", "--cdc-only"],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-    ).stdout
-    return json.loads(out.strip().splitlines()[-1])
+    runs = []
+    for _ in range(reps):
+        out = subprocess.run(
+            [sys.executable, "bench.py", "--cdc-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        runs.append(json.loads(out.strip().splitlines()[-1]))
+    hashes = {r["state_hash"] for r in runs}
+    assert len(hashes) == 1, f"nondeterministic state across reps: {hashes}"
+    runs.sort(key=lambda r: r["events_per_sec"])
+    med = runs[len(runs) // 2]
+    med["events_per_sec_runs"] = [r["events_per_sec"] for r in runs]
+    return med
 
 
 def main_cdc_only():
     _ray_init(NUM_CPUS)
     log_dir = ensure_changelog()
+    warmup_workers()
     cdc = run_cdc(log_dir, os.path.join(BENCH_ROOT, f"lake_{NUM_CPUS}"))
     import ray
 
@@ -180,6 +223,7 @@ def main_scaling():
     import ray
 
     ray.shutdown()
+    os.sync()
     lo, hi = 8, 32
     r_lo, r_hi = _subprocess_cdc(lo), _subprocess_cdc(hi)
     eff = (r_hi["events_per_sec"] / r_lo["events_per_sec"]) / (hi / lo)

@@ -110,20 +110,34 @@ class MinHasher:
 
 
 def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(set(df["doc_id"]))
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pd.DataFrame({"a": a, "b": b})
+    """All (a<b) pairs within each LSH bucket, vectorized: self-merge on
+    the (band, band_hash) key. Called once per HASH bucket (a shuffle
+    group holding many LSH buckets), not once per LSH bucket."""
+    df = df[["band", "band_hash", "doc_id"]].drop_duplicates()
+    m = df.merge(df, on=["band", "band_hash"], suffixes=("_a", "_b"))
+    m = m[m["doc_id_a"] < m["doc_id_b"]]
+    return pd.DataFrame(
+        {"a": m["doc_id_a"].to_numpy(), "b": m["doc_id_b"].to_numpy()}
+    ).drop_duplicates()
 
 
 def minhash_candidate_pairs(
-    ds: rd.Dataset, text_col: str, id_col: str, num_perm: int = 64, bands: int = 16, k: int = 5, seed: int = 42
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    seed: int = 42,
+    num_buckets: int = 64,
 ) -> rd.Dataset:
     """Candidate near-duplicate pairs via MinHash-LSH banding
-    (shingle→minhash→band→bucket groupby — ray_guide 'Near-dup')."""
+    (shingle→minhash→band→bucket groupby — ray_guide 'Near-dup').
+    The shuffle key is hash(band, band_hash) % num_buckets, so the Ray
+    group count is O(num_buckets) regardless of LSH-bucket cardinality;
+    pair generation inside a group is a vectorized pandas self-merge."""
+    from engine.util.hashing import fast_hash_column
+
     sig = ds.map_batches(
         MinHasher,
         fn_constructor_args=(text_col, id_col, num_perm, bands, k, seed),
@@ -131,8 +145,17 @@ def minhash_candidate_pairs(
         concurrency=4,
         batch_size=512,
     )
-    pairs = sig.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
+
+    def _route(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["band"].astype(str) + "\x1f" + df["band_hash"].astype(str)
+        df = df.copy()
+        df["__bucket"] = fast_hash_column(key, num_buckets, seed="lsh")
+        return df
+
+    pairs = (
+        sig.map_batches(_route, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_bucket_pairs, batch_format="pandas")
     )
     return exact_dedup(pairs, ["a", "b"], tiebreak="a")
 
@@ -219,21 +242,37 @@ def simhash_near_dup_pairs(
         batch_format="pandas", concurrency=4, batch_size=512,
     )
 
+    from engine.util.hashing import fast_hash_column
+
+    def _route(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["band"].astype(str) + "\x1f" + df["band_key"].astype(str)
+        df = df.copy()
+        df["__bucket"] = fast_hash_column(key, 64, seed="simhash")
+        return df
+
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = d["doc_id"].to_numpy()
-        hs = d["simhash"].to_numpy(dtype=np.uint64)
+        # One call per hash bucket; pair within each (band, band_key)
+        # collision group it contains. Only groups with ≥2 docs matter.
+        df = df[df.duplicated(["band", "band_key"], keep=False)]
         a, b, ham = [], [], []
-        for i in range(len(ids)):
-            x = hs[i] ^ hs[i + 1 :]
-            dist = np.array([bin(int(v)).count("1") for v in x])
-            for j in np.nonzero(dist <= max_hamming)[0]:
-                a.append(ids[i])
-                b.append(ids[i + 1 + j])
-                ham.append(int(dist[j]))
+        for _, d in df.groupby(["band", "band_key"], sort=False):
+            d = d.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = d["doc_id"].to_numpy()
+            hs = d["simhash"].to_numpy(dtype=np.uint64)
+            for i in range(len(ids)):
+                x = hs[i] ^ hs[i + 1 :]
+                dist = np.array([bin(int(v)).count("1") for v in x])
+                for j in np.nonzero(dist <= max_hamming)[0]:
+                    a.append(ids[i])
+                    b.append(ids[i + 1 + j])
+                    ham.append(int(dist[j]))
         return pd.DataFrame({"a": a, "b": b, "hamming": ham})
 
-    pairs = sig.groupby(["band", "band_key"]).map_groups(_pairs, batch_format="pandas")
+    pairs = (
+        sig.map_batches(_route, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_pairs, batch_format="pandas")
+    )
     return exact_dedup(pairs, ["a", "b"], tiebreak="hamming")
 
 
