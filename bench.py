@@ -30,18 +30,22 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_ROOT = os.environ.get("GRAFT_BENCH_DIR", "/tmp/graft_bench")
 
-# Fixed bench changelog (seed 42): ~2M events over 8 epochs, 50k keys,
-# 40% of events on the hot repo, schema evolution at epoch 6.
+# Fixed bench changelog (seed 42): 4M events over 4 epochs (1M/epoch —
+# per-epoch fixed costs amortize as they would at the nominal
+# 10^10-event scale where epochs are huge), 50k keys, 40% of events on
+# the hot repo, schema evolution at epoch 3. 256 repos so the repo-hash
+# lake partitioning touches all P=64 partitions (32 repos left 23
+# touched → merge parallelism capped below the CPU count).
 SYNTH = dict(
     seed=42,
-    n_events=int(os.environ.get("GRAFT_BENCH_EVENTS", "2000000")),
-    n_epochs=8,
+    n_events=int(os.environ.get("GRAFT_BENCH_EVENTS", "4000000")),
+    n_epochs=4,
     n_keys=50_000,
-    n_repos=32,
+    n_repos=256,
     hot_event_frac=0.4,
     files_per_epoch=64,
     max_content_chars=400,
-    evolve_at_epoch=6,
+    evolve_at_epoch=3,
 )
 REPLAY = dict(num_partitions=64, num_salts=4)
 
@@ -234,6 +238,8 @@ def main_scaling():
         f"sec_{hi}": r_hi["cdc_wall_s"],
         f"events_per_sec_{lo}": r_lo["events_per_sec"],
         f"events_per_sec_{hi}": r_hi["events_per_sec"],
+        f"runs_{lo}": r_lo.get("events_per_sec_runs"),
+        f"runs_{hi}": r_hi.get("events_per_sec_runs"),
         "scaling_efficiency": round(eff, 3),
         "state_hash_match": r_lo["state_hash"] == r_hi["state_hash"],
         "state_hash": r_lo["state_hash"][:16],

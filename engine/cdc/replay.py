@@ -12,6 +12,14 @@ else is Ray Data tasks/actors with streaming execution. Resume (C4):
 committed epochs are skipped via the manifest. The module never calls
 ``ray.init()`` (driver contract, __ray_entry__.py:11-13).
 
+**Pipelined epochs**: epoch k+1's read→prepare→shuffle-1→sub-LWW stage
+depends only on the changelog and the negotiated schema chain — never on
+epoch k's data files — so it is prefetched (materialized) concurrently
+with epoch k's merge+commit. Commit ORDER is untouched: the merge of
+k+1 starts only after k's manifest is committed, so exactly-once and
+resume semantics are identical to the serial loop; the overlap only
+hides shuffle latency behind merge work.
+
 CLI: ``python -m engine.cdc.replay --log-dir L --lake-dir K [--verify]``
 (this is the job a cluster user would ``ray job submit``).
 """
@@ -20,6 +28,7 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 import pyarrow as pa
@@ -44,6 +53,17 @@ class ReplayConfig:
     # for upstream shuffle tasks).
     merge_compute: str = "tasks"
     merge_concurrency: int | None = None  # actors mode: default min(P, cpus-2)
+    # Ray Data shuffle backend for the groupby exchanges. Push-based sort
+    # shuffle measured ~10-15% faster end-to-end at every parallelism on
+    # the bench changelog; "pull" restores the Ray default.
+    shuffle: str = "push"
+    # Prefetch epoch k+1's winners concurrently with epoch k's merge.
+    # Measured SLOWER on the bench box (materialize() pays an extra
+    # object-store round-trip that outweighs the hidden latency; the
+    # serial path streams winners straight into the merge shuffle) —
+    # kept as an option for real multi-node clusters where exchange
+    # latency is higher relative to store bandwidth.
+    pipeline_epochs: bool = False
 
 
 def _cpus() -> int:
@@ -52,23 +72,26 @@ def _cpus() -> int:
     return 4
 
 
-def run_epoch(
-    log_dir: str,
-    lake_dir: str,
-    epoch: int,
-    cfg: ReplayConfig,
-    prev_manifest: dict | None,
-) -> dict:
-    """Run + commit one epoch; returns the committed manifest."""
-    t0 = time.monotonic()
-    eschema = tailer.epoch_schema(log_dir, epoch)
-    prev_schema = (
-        sink.schema_from_b64(prev_manifest["schema_b64"]) if prev_manifest else None
-    )
-    target = negotiate(prev_schema, eschema)  # M11 additive evolution
-    target_b64 = sink.schema_to_b64(target)
-    active = sink.active_files(prev_manifest)
+def _shuffle_ctx(cfg: ReplayConfig):
+    """Set the session's shuffle strategy per config; returns a restore fn."""
+    import ray.data as rd
+    from ray.data.context import ShuffleStrategy
 
+    ctx = rd.DataContext.get_current()
+    old = ctx.shuffle_strategy
+    if cfg.shuffle == "push":
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+
+    def restore():
+        ctx.shuffle_strategy = old
+
+    return restore
+
+
+def build_winners(log_dir: str, lake_dir: str, epoch: int, cfg: ReplayConfig, target_b64: str):
+    """The commit-independent half of an epoch: tail → prepare (validate/
+    conform/partition/per-batch LWW) → (pid, salt) shuffle → sub-LWW.
+    Safe to run before earlier epochs have committed."""
     ds = tailer.read_epoch(log_dir, epoch, parallelism_hint=2 * _cpus())
     ds = ds.map_batches(
         prepare_batch,
@@ -83,9 +106,29 @@ def run_epoch(
         batch_size=cfg.batch_size,
         zero_copy_batch=True,
     )
-    winners = ds.groupby(["pid", "salt"]).map_groups(
-        lww_collapse, batch_format="pyarrow"
-    )
+    # NOTE on groupby(num_partitions=...): measured WORSE at every level
+    # (explicit num_partitions forces a slower exchange path in Ray
+    # 2.49's sort shuffle — 3x at 32 CPUs). The default (reduce count =
+    # input blocks) is right as long as epochs are big enough that
+    # per-task scheduling overhead amortizes; sizing epochs is the
+    # correct knob, not reduce-task count.
+    return ds.groupby(["pid", "salt"]).map_groups(lww_collapse, batch_format="pyarrow")
+
+
+def merge_and_commit(
+    lake_dir: str,
+    epoch: int,
+    winners,
+    target: pa.Schema,
+    cfg: ReplayConfig,
+    prev_manifest: dict | None,
+    t0: float,
+) -> dict:
+    """The commit-dependent half: reconcile salted winners per pid against
+    the base files named by the PREVIOUS manifest, write new partition
+    files, then the two-phase manifest commit."""
+    target_b64 = sink.schema_to_b64(target)
+    active = sink.active_files(prev_manifest)
     if cfg.merge_compute == "actors":
         merge_conc = cfg.merge_concurrency or max(2, min(cfg.num_partitions, _cpus() - 2))
         reports_ds = winners.groupby("pid").map_groups(
@@ -119,6 +162,23 @@ def run_epoch(
     return manifest
 
 
+def run_epoch(
+    log_dir: str,
+    lake_dir: str,
+    epoch: int,
+    cfg: ReplayConfig,
+    prev_manifest: dict | None,
+) -> dict:
+    """Run + commit one epoch serially; returns the committed manifest."""
+    t0 = time.monotonic()
+    prev_schema = (
+        sink.schema_from_b64(prev_manifest["schema_b64"]) if prev_manifest else None
+    )
+    target = negotiate(prev_schema, tailer.epoch_schema(log_dir, epoch))  # M11
+    winners = build_winners(log_dir, lake_dir, epoch, cfg, sink.schema_to_b64(target))
+    return merge_and_commit(lake_dir, epoch, winners, target, cfg, prev_manifest, t0)
+
+
 def _write_lineage(lake_dir: str, epoch: int, reports: list[dict]) -> None:
     rows = {
         f.name: [int(r[f.name]) if f.type != pa.float64() else float(r[f.name]) for r in reports]
@@ -136,7 +196,12 @@ def replay(
     max_epoch: int | None = None,
 ) -> dict:
     """Replay all (or up to ``max_epoch``) epochs, resuming after the last
-    committed one. Returns a summary dict."""
+    committed one. Returns a summary dict.
+
+    The schema chain target_k = negotiate(target_{k-1}, schema(epoch k))
+    is computed driver-side from parquet footers, so the whole chain is
+    known upfront and epoch k+1's winners can be prefetched while epoch
+    k merges (see module docstring)."""
     cfg = cfg or ReplayConfig()
     sink.init_lake(lake_dir)
     epochs = tailer.available_epochs(log_dir)
@@ -145,13 +210,51 @@ def replay(
     manifest = sink.read_manifest(lake_dir)
     ran, skipped = [], []
     t0 = time.monotonic()
+    todo = []
     for k in epochs:
         if sink.is_committed(lake_dir, k):  # C4: idempotent replay / resume
             skipped.append(k)
             manifest = sink.read_manifest(lake_dir, k)
             continue
-        manifest = run_epoch(log_dir, lake_dir, k, cfg, manifest)
-        ran.append(k)
+        todo.append(k)
+
+    restore = _shuffle_ctx(cfg)
+    try:
+        # Negotiate the full schema chain upfront (footer metadata only).
+        targets: dict[int, pa.Schema] = {}
+        prev_schema = sink.schema_from_b64(manifest["schema_b64"]) if manifest else None
+        for k in todo:
+            prev_schema = negotiate(prev_schema, tailer.epoch_schema(log_dir, k))
+            targets[k] = prev_schema
+
+        def _prefetch(k: int):
+            return build_winners(
+                log_dir, lake_dir, k, cfg, sink.schema_to_b64(targets[k])
+            ).materialize()
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pending = None  # (epoch, Future)
+            for i, k in enumerate(todo):
+                tk = time.monotonic()
+                if pending is not None and pending[0] == k:
+                    winners = pending[1].result()
+                else:
+                    winners = build_winners(
+                        log_dir, lake_dir, k, cfg, sink.schema_to_b64(targets[k])
+                    )
+                pending = None
+                if cfg.pipeline_epochs and i + 1 < len(todo):
+                    nxt = todo[i + 1]
+                    pending = (nxt, pool.submit(_prefetch, nxt))
+                manifest = merge_and_commit(
+                    lake_dir, k, winners, targets[k], cfg, manifest, tk
+                )
+                ran.append(k)
+            if pending is not None:  # max_epoch edge: drop unused prefetch
+                pending[1].cancel()
+    finally:
+        restore()
+
     events = sum(
         r["events_in"] for k in ran for r in sink.read_manifest(lake_dir, k)["lineage"]
     )

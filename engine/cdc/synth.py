@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from dataclasses import asdict, dataclass, field
 
 import numpy as np
@@ -130,6 +131,10 @@ def synth_changelog(sf_dir: str, out_dir: str, cfg: SynthConfig | None = None, *
         with open(marker) as f:
             if f.read() == cfg_json:
                 return out_dir
+    # Config changed (or partial previous run): clear the dir so stale
+    # epoch files from an old layout can't survive alongside new ones.
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     texts, langs = _load_doc_bases(sf_dir, cfg.max_content_chars)

@@ -22,6 +22,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from engine.util.hashing import actor_pool_size
+
 _B = np.uint64(1_000_003)  # polynomial base
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -142,7 +144,7 @@ def minhash_candidate_pairs(
         MinHasher,
         fn_constructor_args=(text_col, id_col, num_perm, bands, k, seed),
         batch_format="pandas",
-        concurrency=4,
+        concurrency=actor_pool_size(4),
         batch_size=512,
     )
 
@@ -239,7 +241,7 @@ def simhash_near_dup_pairs(
 ) -> rd.Dataset:
     sig = ds.map_batches(
         SimHasher, fn_constructor_args=(text_col, id_col),
-        batch_format="pandas", concurrency=4, batch_size=512,
+        batch_format="pandas", concurrency=actor_pool_size(4), batch_size=512,
     )
 
     from engine.util.hashing import fast_hash_column

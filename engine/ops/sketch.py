@@ -55,3 +55,39 @@ def approx_count_distinct(ds: rd.Dataset, col: str, p: int = 12) -> pa.Table:
     for row in partials.iter_rows():  # one tiny row per input batch
         merged = np.maximum(merged, np.frombuffer(row["registers"], dtype=np.uint8))
     return pa.table({"approx_n": pa.array([int(round(hll_estimate(merged)))], pa.int64())})
+
+
+def hll_partial_grouped(df: pd.DataFrame, keys: list[str], col: str, p: int) -> pd.DataFrame:
+    """One register-row per group per batch — the shuffle moves
+    (groups-per-batch × 2^p) bytes, never the values."""
+    out_keys: dict[str, list] = {k: [] for k in keys}
+    regs: list[bytes] = []
+    for gk, d in df.groupby(keys, sort=False, dropna=False):
+        gk = gk if isinstance(gk, tuple) else (gk,)
+        for k, v in zip(keys, gk):
+            out_keys[k].append(v)
+        regs.append(hll_partial(d, col, p)["registers"].iloc[0])
+    out_keys["registers"] = regs
+    return pd.DataFrame(out_keys)
+
+
+def approx_count_distinct_grouped(
+    ds: rd.Dataset, keys: list[str], col: str, p: int = 12, out: str = "approx_n"
+) -> rd.Dataset:
+    """Per-group approximate COUNT(DISTINCT col): per-batch grouped
+    registers → groupby(keys) merge (elementwise max) → estimate.
+    Mergeability makes the combine exact regardless of how batches split
+    the groups; intended for low/medium-cardinality group keys."""
+    partials = ds.select_columns(keys + [col]).map_batches(
+        lambda df: hll_partial_grouped(df, keys, col, p), batch_format="pandas"
+    )
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        merged = np.zeros(1 << p, dtype=np.uint8)
+        for b in df["registers"]:
+            merged = np.maximum(merged, np.frombuffer(b, dtype=np.uint8))
+        res = df.iloc[:1][keys].copy()
+        res[out] = int(round(hll_estimate(merged)))
+        return res
+
+    return partials.groupby(keys).map_groups(_merge, batch_format="pandas")

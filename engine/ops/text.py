@@ -12,6 +12,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+from engine.util.hashing import actor_pool_size
 
 from engine.ops.dedup import _poly_hash
 
@@ -68,7 +69,7 @@ def quality_score(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
             ).round(6)
             return out
 
-    return ds.map_batches(Scorer, batch_format="pandas", concurrency=4, batch_size=1024)
+    return ds.map_batches(Scorer, batch_format="pandas", concurrency=actor_pool_size(4), batch_size=1024)
 
 
 class LangId:
@@ -97,7 +98,7 @@ class LangId:
 
 
 def lang_id(ds: rd.Dataset) -> rd.Dataset:
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=4, batch_size=1024)
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=actor_pool_size(4), batch_size=1024)
 
 
 def fingerprint(ds: rd.Dataset, text_col: str = "text", w: int = 5) -> rd.Dataset:

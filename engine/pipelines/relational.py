@@ -321,6 +321,17 @@ def q_hll_count_distinct(sf_dir):
     return approx_count_distinct(read_table(sf_dir, "orders", columns=["o_custkey"]), "o_custkey")
 
 
+@register_query("q_hll_grouped")  # sketch → rows-only driver check
+def q_hll_grouped(sf_dir):
+    """Per-group approximate COUNT(DISTINCT user_id): grouped mergeable
+    registers — the shuffle moves one 2^p-byte register row per group
+    per batch, never user ids."""
+    from engine.ops.sketch import approx_count_distinct_grouped
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return approx_count_distinct_grouped(ds, ["event_type"], "user_id")
+
+
 @register_query(
     "q_topk_per_group",
     oracle="""SELECT o_custkey, o_orderkey, o_totalprice FROM (

@@ -80,3 +80,15 @@ def sha256_hex_column(values) -> list[str]:
         else:
             out.append(hashlib.sha256(v.encode("utf-8")).hexdigest())
     return out
+
+
+def actor_pool_size(want: int = 4, reserve: int = 2) -> int:
+    """Actor-pool concurrency that never starves downstream stages: cap
+    at cluster CPUs minus ``reserve`` (a fixed pool equal to the CPU
+    count deadlocks the shuffle tasks scheduled behind it)."""
+    import ray
+
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        return max(1, min(want, cpus - reserve))
+    return max(1, min(want, 2))

@@ -117,3 +117,30 @@ def test_pipeline_api():
     )
     out = p.run(rd.from_pandas(df)).to_pandas()
     assert sorted(out["x"]) == [6, 8]
+
+
+def test_minhash_lsh_recall(sf_dir):
+    """The bucketed LSH shuffle must not lose candidate pairs: every
+    true near-dup (exact Jaccard >= 0.5) is captured."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.dedup import minhash_candidate_pairs
+
+    from engine.ops.dedup import shingle_hashes
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cand = minhash_candidate_pairs(ds, "text", "doc_id").to_pandas()
+    got = set(map(tuple, cand[["a", "b"]].values))
+    ids = docs.column("doc_id").to_pylist()
+    txt = docs.column("text").to_pylist()
+    sh = [set(shingle_hashes(t or "", 5).tolist()) for t in txt]  # precompute once
+    truth = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = len(sh[i] & sh[j])
+            union = len(sh[i]) + len(sh[j]) - inter
+            if union and inter / union >= 0.5:
+                truth.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    assert truth, "fixture should contain at least one near-dup pair"
+    assert not (truth - got), f"LSH missed {len(truth - got)} true pairs"

@@ -169,6 +169,17 @@ def test_hll_close_to_exact(sales):
     assert abs(est - exact) / exact < 0.1
 
 
+def test_hll_grouped_close_to_exact(sales):
+    from engine.ops.sketch import approx_count_distinct_grouped
+
+    out = _pdf(approx_count_distinct_grouped(rd.from_pandas(sales), ["g"], "v", p=12))
+    exact = sales.groupby("g")["v"].nunique()
+    assert len(out) == len(exact)
+    for _, row in out.iterrows():
+        e = exact[row["g"]]
+        assert abs(row["approx_n"] - e) / e < 0.1
+
+
 def test_exact_dedup_deterministic_winner():
     df = pd.DataFrame({"key": ["a", "a", "b"], "id": [5, 2, 9], "x": [1, 2, 3]})
     out = _pdf(exact_dedup(rd.from_pandas(df), ["key"], "id", keep="min")).sort_values("key")
