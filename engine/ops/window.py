@@ -99,3 +99,60 @@ def session(
         return out.reset_index(drop=True)
 
     return ds.groupby(key).map_groups(_sessions, batch_format="pandas")
+
+
+def analytic(
+    ds: rd.Dataset,
+    partition_by: list[str],
+    order_by: list[str],
+    specs: dict[str, tuple],
+    num_buckets: int = 64,
+    descending: bool = False,
+) -> rd.Dataset:
+    """SQL analytic window functions over partitions: one output row per
+    input row with added columns. ``specs`` maps output name →
+    ("row_number",) | ("rank", col) | ("lag", col, n) | ("lead", col, n)
+    | ("cumsum", col).
+
+    Shuffle key is hash(partition_by) % num_buckets (one Ray group per
+    BUCKET); inside a bucket every computation is a vectorized pandas
+    groupby transform. Partitioning assumption: one partition key's rows
+    fit one worker group (same as any SQL engine's hash window exchange).
+    """
+    from engine.util.hashing import fast_hash_column
+
+    def _route(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[partition_by].astype(str).agg("\x1f".join, axis=1)
+        df = df.copy()
+        df["__bucket"] = fast_hash_column(key, num_buckets, seed="analytic")
+        return df
+
+    asc = [not descending] * len(order_by)
+
+    def _windows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_by + partition_by, ascending=asc + [True] * len(partition_by), kind="mergesort")
+        g = df.groupby(partition_by, sort=False)
+        out = df.copy()
+        for name, spec in specs.items():
+            fn = spec[0]
+            if fn == "row_number":
+                out[name] = g.cumcount() + 1
+            elif fn == "rank":
+                out[name] = (
+                    g[spec[1]].rank(method="min", ascending=not descending).astype("int64")
+                )
+            elif fn == "lag":
+                out[name] = g[spec[1]].shift(spec[2] if len(spec) > 2 else 1)
+            elif fn == "lead":
+                out[name] = g[spec[1]].shift(-(spec[2] if len(spec) > 2 else 1))
+            elif fn == "cumsum":
+                out[name] = g[spec[1]].cumsum()
+            else:
+                raise ValueError(f"unknown analytic fn {fn!r}")
+        return out.drop(columns="__bucket")
+
+    return (
+        ds.map_batches(_route, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_windows, batch_format="pandas")
+    )

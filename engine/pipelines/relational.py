@@ -562,3 +562,59 @@ def q_window_session(sf_dir):
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
     ds = with_columns(ds, {"value_cents": _cents("value")})
     return session(ds, "ts", "user_id", gap_us=30 * 60 * 1_000_000, agg_col="value_cents")
+
+
+@register_query(
+    "q_window_rank",
+    oracle="""SELECT o_custkey, o_orderkey, o_totalprice,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey DESC) AS BIGINT) AS rn,
+                     CAST(RANK() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC) AS BIGINT) AS rnk
+              FROM orders""",
+)
+def q_window_rank(sf_dir):
+    """SQL analytic functions (row_number, rank) over a hash-bucketed
+    partition exchange — one Ray group per bucket, vectorized pandas
+    transforms per partition inside."""
+    from engine.ops.window import analytic
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return analytic(
+        ds,
+        partition_by=["o_custkey"],
+        order_by=["o_totalprice", "o_orderkey"],
+        specs={"rn": ("row_number",), "rnk": ("rank", "o_totalprice")},
+        descending=True,
+    )
+
+
+@register_query(
+    "q_window_lag_lead",
+    oracle="""SELECT event_id, user_id, ts, value,
+                     COALESCE(LAG(value)  OVER w, -1.0) AS prev_value,
+                     COALESCE(LEAD(value) OVER w, -1.0) AS next_value
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def q_window_lag_lead(sf_dir):
+    """LAG/LEAD per user over event time (deterministic tiebreak on
+    event_id)."""
+    from engine.ops.map import with_columns
+    from engine.ops.window import analytic
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = analytic(
+        ds,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        specs={"prev_value": ("lag", "value", 1), "next_value": ("lead", "value", 1)},
+    )
+
+    def _fill(df):
+        df = df.copy()
+        df["prev_value"] = df["prev_value"].fillna(-1.0)
+        df["next_value"] = df["next_value"].fillna(-1.0)
+        return df
+
+    return out.map_batches(_fill, batch_format="pandas")

@@ -195,3 +195,23 @@ def test_shingle_jaccard_simhash_properties():
     h1 = simhash64("the quick brown fox jumps over the lazy dog")
     h2 = simhash64("the quick brown fox jumps over the lazy cat")
     assert bin(h1 ^ h2).count("1") < 20
+
+
+def test_analytic_window_matches_pandas(sales):
+    from engine.ops.window import analytic
+
+    out = _pdf(
+        analytic(
+            rd.from_pandas(sales),
+            partition_by=["g"],
+            order_by=["v", "k"],
+            specs={"rn": ("row_number",), "prev_v": ("lag", "v", 1), "cum_v": ("cumsum", "v")},
+        )
+    ).sort_values(["g", "v", "k"]).reset_index(drop=True)
+    ref = sales.sort_values(["v", "k"], kind="mergesort")
+    gg = ref.groupby("g", sort=False)
+    ref = ref.assign(rn=gg.cumcount() + 1, prev_v=gg["v"].shift(1), cum_v=gg["v"].cumsum())
+    ref = ref.sort_values(["g", "v", "k"]).reset_index(drop=True)
+    assert (out["rn"].to_numpy() == ref["rn"].to_numpy()).all()
+    assert out["prev_v"].fillna(-1).tolist() == ref["prev_v"].fillna(-1).tolist()
+    assert (out["cum_v"].to_numpy() == ref["cum_v"].to_numpy()).all()
