@@ -1,0 +1,91 @@
+"""Reshape operators (ETL capability parity, SURVEY.md §2 [CT]):
+unpivot (wide→long melt), pivot (long→wide conditional aggregation),
+per-group exact percentiles.
+
+All follow the engine's shuffle discipline: unpivot is a pure per-batch
+Arrow transform (no shuffle); pivot pre-aggregates per batch so the
+groupby moves one row per (group, category) per batch; percentiles
+shuffle one group per KEY only when key cardinality is low (documented —
+use the bucketed pattern upstream for high-cardinality keys).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def unpivot(
+    ds: rd.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    name_col: str = "name",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """Wide→long melt: one output row per (input row, value column).
+    Pure Arrow per batch — concat of column slices, no Python rows."""
+
+    def _melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {k: t.column(k) for k in id_cols}
+            cols[name_col] = pa.array([c] * t.num_rows, pa.string())
+            cols[value_col] = t.column(c)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(_melt, batch_format="pyarrow")
+
+
+def pivot_count(
+    ds: rd.Dataset,
+    key: str,
+    category_col: str,
+    categories: list[str],
+    prefix: str = "",
+) -> rd.Dataset:
+    """Long→wide: one row per key, one int64 count column per category.
+    Per-batch crosstab combiner → groupby(key) sum of the partials (the
+    shuffle moves one wide row per key per batch, not events)."""
+    from ray.data.aggregate import Sum
+
+    out_cols = [f"{prefix}{c}" for c in categories]
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df[key], df[category_col])  # vectorized counts
+        ct = ct.reindex(columns=categories, fill_value=0).astype("int64")
+        ct.columns = out_cols
+        return ct.reset_index()
+
+    partial = ds.map_batches(_partial, batch_format="pandas")
+    return partial.groupby(key).aggregate(*[Sum(c, alias_name=c) for c in out_cols])
+
+
+def percentile_disc_by_group(
+    ds: rd.Dataset,
+    keys: list[str],
+    col: str,
+    q: float,
+    out: str = "percentile",
+) -> rd.Dataset:
+    """Exact PERCENTILE_DISC(q) per group: the smallest value whose
+    cumulative distribution >= q (DuckDB/ANSI semantics). One Ray group
+    per key combination — intended for low-cardinality keys; the rows
+    shuffled are (keys, col) only."""
+
+    def _pct(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df[col].to_numpy())
+        idx = max(0, math.ceil(q * len(v)) - 1)
+        res = df.iloc[:1][keys].copy()
+        res[out] = v[idx]
+        return res
+
+    return (
+        ds.select_columns(keys + [col])
+        .groupby(keys)
+        .map_groups(_pct, batch_format="pandas")
+    )

@@ -9,6 +9,7 @@ import os
 import shutil
 import uuid
 
+import pyarrow as pa
 import pyarrow.compute as pc
 
 from engine.io.sinks import write_csv, write_json
@@ -48,3 +49,36 @@ def q_json_roundtrip(sf_dir):
     ds = select(read_table(sf_dir, "region"), ["r_regionkey", "r_name"])
     write_json(ds, out)
     return read_json(out)
+
+
+@register_query(
+    "q_partitioned_write_roundtrip",
+    oracle="""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+              FROM lineitem GROUP BY l_returnflag""",
+)
+def q_partitioned_write_roundtrip(sf_dir):
+    """Resumable-output layout (SURVEY.md §4): write Hive-partitioned
+    parquet (one directory per key), read it back, aggregate. A failed
+    run can skip finished partitions by directory."""
+    import pyarrow.compute as pc
+
+    from engine.io.sources import read_parquet, read_table
+    from engine.ops.agg import grouped_agg
+    from engine.ops.map import with_columns
+
+    out = _fresh_dir("partwrite")
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    ds.write_parquet(out, partition_cols=["l_returnflag"])
+    back = read_parquet(out)
+    # Hive partition values come back as dictionary/string; normalize.
+    back = with_columns(
+        back,
+        {
+            "l_returnflag": lambda t: pc.cast(t.column("l_returnflag"), pa.string()),
+            "sum_qty": lambda t: pc.cast(t.column("l_quantity"), pa.int64()),
+        },
+    )
+    return grouped_agg(
+        back, ["l_returnflag"], {"n": ("count", None), "sum_qty": ("sum", "sum_qty")}
+    )

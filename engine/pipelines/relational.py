@@ -618,3 +618,56 @@ def q_window_lag_lead(sf_dir):
         return df
 
     return out.map_batches(_fill, batch_format="pandas")
+
+
+@register_query(
+    "q_unpivot",
+    oracle="""SELECT l_orderkey, l_linenumber, 'l_quantity' AS name, l_quantity AS value
+              FROM lineitem WHERE l_orderkey < 500
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+              FROM lineitem WHERE l_orderkey < 500
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+              FROM lineitem WHERE l_orderkey < 500""",
+)
+def q_unpivot(sf_dir):
+    """Wide→long melt (pure per-batch Arrow, no shuffle)."""
+    from engine.ops.reshape import unpivot
+
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"],
+    )
+    ds = filter_expr(ds, lambda t: pc.less(t.column("l_orderkey"), 500))
+    return unpivot(ds, ["l_orderkey", "l_linenumber"], ["l_quantity", "l_discount", "l_tax"])
+
+
+@register_query(
+    "q_pivot",
+    oracle="""SELECT o_custkey,
+                     CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+                     CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+                     CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P
+              FROM orders GROUP BY o_custkey""",
+)
+def q_pivot(sf_dir):
+    """Long→wide pivot: per-batch crosstab combiner → groupby sum."""
+    from engine.ops.reshape import pivot_count
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+    return pivot_count(ds, "o_custkey", "o_orderstatus", ["O", "F", "P"], prefix="n_")
+
+
+@register_query(
+    "q_percentile",
+    oracle="""SELECT l_returnflag,
+                     PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS median_price
+              FROM lineitem GROUP BY l_returnflag""",
+)
+def q_percentile(sf_dir):
+    """Exact per-group PERCENTILE_DISC(0.5) (ANSI semantics)."""
+    from engine.ops.reshape import percentile_disc_by_group
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    return percentile_disc_by_group(ds, ["l_returnflag"], "l_extendedprice", 0.5, out="median_price")

@@ -215,3 +215,24 @@ def test_analytic_window_matches_pandas(sales):
     assert (out["rn"].to_numpy() == ref["rn"].to_numpy()).all()
     assert out["prev_v"].fillna(-1).tolist() == ref["prev_v"].fillna(-1).tolist()
     assert (out["cum_v"].to_numpy() == ref["cum_v"].to_numpy()).all()
+
+
+def test_reshape_ops_match_pandas(sales):
+    from engine.ops.reshape import percentile_disc_by_group, pivot_count, unpivot
+
+    ds = rd.from_pandas(sales.assign(v2=sales["v"] * 2))
+    long = _pdf(unpivot(ds, ["k", "g"], ["v", "v2"]))
+    assert len(long) == 2 * len(sales)
+    assert set(long["name"]) == {"v", "v2"}
+    assert long[long["name"] == "v"]["value"].sum() == sales["v"].sum()
+
+    wide = _pdf(pivot_count(rd.from_pandas(sales), "k", "g", ["a", "b", "c"], prefix="n_"))
+    ref = pd.crosstab(sales["k"], sales["g"]).reindex(columns=["a", "b", "c"], fill_value=0)
+    wide = wide.sort_values("k").reset_index(drop=True)
+    assert (wide[["n_a", "n_b", "n_c"]].to_numpy() == ref.to_numpy()).all()
+
+    med = _pdf(percentile_disc_by_group(rd.from_pandas(sales), ["g"], "v", 0.5))
+    import math
+    for _, row in med.iterrows():
+        v = np.sort(sales[sales["g"] == row["g"]]["v"].to_numpy())
+        assert row["percentile"] == v[max(0, math.ceil(0.5 * len(v)) - 1)]
