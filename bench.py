@@ -131,11 +131,14 @@ def run_relational_queries() -> dict:
         "q_join_shuffle",
         "q_with_column_revenue",
         "q_window_session",
+        "q_window_rank",
         "q_dedup_exact",
         "q_dedup_minhash",
         "q_ann_bruteforce",
         "q_sort_limit",
         "q_text_stats",
+        "q_pivot",
+        "q_percentile",
     ]
     import ray.data as rd
 
