@@ -131,11 +131,27 @@ def shuffle_join(
         right.map_batches(_tag(1), batch_format="pyarrow")
     )
 
+    type_of = {f.name: f.type for f in union_fields}
+
+    def _restore_types(out: pd.DataFrame) -> pd.DataFrame:
+        # The tagged union nulls the absent side's columns (pandas →
+        # float); restore Arrow-faithful dtypes so a left/outer join's
+        # int columns stay integers (nullable Int64), not 10.0/NaN.
+        for c in out.columns:
+            t = type_of.get(c.removesuffix(suffixes[1]) if c.endswith(suffixes[1]) and suffixes[1] else c, type_of.get(c))
+            if t is None:
+                continue
+            if pa.types.is_integer(t):
+                out[c] = out[c].astype("Int64")
+            elif pa.types.is_timestamp(t):
+                out[c] = out[c].astype("datetime64[us]")
+        return out
+
     def _join_bucket(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["__side"] == 0][lcols]
         r = df[df["__side"] == 1][rcols]
         how = {"inner": "inner", "left": "left", "right": "right", "outer": "outer"}[join_type]
-        return l.merge(r, on=key, how=how, suffixes=suffixes)
+        return _restore_types(l.merge(r, on=key, how=how, suffixes=suffixes))
 
     return u.groupby("__bucket").map_groups(_join_bucket, batch_format="pandas")
 

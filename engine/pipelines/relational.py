@@ -29,7 +29,7 @@ from engine.ops.agg import (
     topk_per_group,
 )
 from engine.ops.join import asof_join, broadcast_join, semi_join, shuffle_join
-from engine.ops.map import explode, filter_expr, select, with_columns
+from engine.ops.map import explode, filter_expr, rename as rename_ds, select, with_columns
 from engine.ops.order import sample_sql, seeded_sample
 from engine.ops.setops import except_distinct, intersect_distinct, union_all
 from engine.ops.sketch import approx_count_distinct
@@ -671,3 +671,28 @@ def q_percentile(sf_dir):
 
     ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
     return percentile_disc_by_group(ds, ["l_returnflag"], "l_extendedprice", 0.5, out="median_price")
+
+
+@register_query(
+    "q_join_left",
+    oracle="""SELECT c.c_custkey, COALESCE(o.o_orderkey, -1) AS o_orderkey,
+                     COALESCE(CAST(ROUND(o.o_totalprice * 100) AS BIGINT), -1) AS total_cents
+              FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey""",
+)
+def q_join_left(sf_dir):
+    """Left outer shuffle join — unmatched customers keep one row with
+    typed-null right side (coalesced for the oracle compare)."""
+    left = read_table(sf_dir, "customer", columns=["c_custkey"])
+    right = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    right = with_columns(right, {"total_cents": _cents("o_totalprice")})
+    right = select(right, ["o_custkey", "o_orderkey", "total_cents"])
+    right = rename_ds(right, {"o_custkey": "c_custkey"})
+    out = shuffle_join(left, right, key="c_custkey", join_type="left")
+
+    def _fill(df):
+        df = df.copy()
+        df["o_orderkey"] = df["o_orderkey"].fillna(-1).astype("int64")
+        df["total_cents"] = df["total_cents"].fillna(-1).astype("int64")
+        return df
+
+    return out.map_batches(_fill, batch_format="pandas")
