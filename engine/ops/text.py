@@ -119,3 +119,30 @@ def fingerprint(ds: rd.Dataset, text_col: str = "text", w: int = 5) -> rd.Datase
         return out
 
     return ds.map_batches(_fp, batch_format="pandas")
+
+
+def word_counts(ds: rd.Dataset, text_col: str = "text", num_buckets: int = 64) -> rd.Dataset:
+    """Corpus vocabulary counts: per-batch vectorized tokenize+count
+    combiner (one row per word per batch) → hash-bucket shuffle →
+    per-bucket sum. The shuffle moves (word, partial_count), never text."""
+    from engine.util.hashing import fast_hash_column
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        # Split on spaces only (empty tokens from runs are filtered) so
+        # semantics match the SQL twin string_split_regex(text, ' +')
+        # for any corpus, not just whitespace-normalized ones.
+        words = df[text_col].fillna("").str.split(" ").explode()
+        words = words[words.str.len() > 0]
+        out = words.value_counts().rename_axis("word").reset_index(name="n")
+        out["__bucket"] = fast_hash_column(out["word"], num_buckets, seed="wc")
+        return out
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("word", sort=False, as_index=False)["n"].sum()
+
+    return (
+        ds.select_columns([text_col])
+        .map_batches(_partial, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_final, batch_format="pandas")
+    )

@@ -169,3 +169,33 @@ def q_multimodal_meta(sf_dir):
     def _meta(t: pa.Table) -> pa.Table:
         return t.select(["doc_id", "media_type", "n_bytes", "checksum", "width", "height", "channels"])
     return ds.map_batches(_meta, batch_format="pyarrow")
+
+
+@register_query(
+    "q_wordcount",
+    oracle="""SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+                SELECT unnest(string_split_regex(text, ' +')) AS word FROM documents
+              ) WHERE length(word) > 0 GROUP BY word""",
+)
+def q_wordcount(sf_dir):
+    """Corpus vocabulary: tokenize → per-batch count combiner →
+    bucketed sum (the canonical large-corpus wordcount)."""
+    from engine.ops.text import word_counts
+
+    return word_counts(read_table(sf_dir, "documents"))
+
+
+@register_query(
+    "q_vocab_topk",
+    oracle="""SELECT word, n FROM (
+                SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+                  SELECT unnest(string_split_regex(text, ' +')) AS word FROM documents
+                ) WHERE length(word) > 0 GROUP BY word
+              ) ORDER BY n DESC, word LIMIT 50""",
+)
+def q_vocab_topk(sf_dir):
+    """Top-50 vocabulary terms (deterministic tiebreak on the word)."""
+    from engine.ops.text import word_counts
+
+    wc = word_counts(read_table(sf_dir, "documents"))
+    return wc.sort(["n", "word"], descending=[True, False]).limit(50)
