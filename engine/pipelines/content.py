@@ -199,3 +199,56 @@ def q_vocab_topk(sf_dir):
 
     wc = word_counts(read_table(sf_dir, "documents"))
     return wc.sort(["n", "word"], descending=[True, False]).limit(50)
+
+
+@register_query(
+    "q_embedding_sum_by_lang",
+    oracle="""SELECT lang, pos, CAST(SUM(q) AS BIGINT) AS sum_q FROM (
+                SELECT d.lang,
+                       CAST(generate_subscripts(e.embedding, 1) - 1 AS BIGINT) AS pos,
+                       CAST(ROUND(CAST(unnest(e.embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+                FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+              ) GROUP BY lang, pos""",
+)
+def q_embedding_sum_by_lang(sf_dir):
+    """Per-language embedding component sums — broadcast join → explode
+    → integer quantization (exact, order-independent) → bucketed grouped
+    sum. The building block of per-group centroid pooling at corpus
+    scale (divide by count for the mean)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from engine.ops.agg import grouped_agg
+    from engine.ops.join import _cached_get
+    from engine.ops.map import explode, select, with_columns
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    docs = table(sf_dir, "documents", columns=["doc_id", "lang"])
+    # Broadcast dict lookup instead of an Arrow hash join: Acero cannot
+    # carry list<float> payload columns through a join.
+    ref = ray.put(dict(zip(docs.column("doc_id").to_pylist(), docs.column("lang").to_pylist())))
+
+    def _lang(t):
+        # Arrow in/out: a pandas round-trip would turn the list<float>
+        # column into Ray's tensor extension type and break explode().
+        import pandas as pd
+
+        m = _cached_get(ref)
+        langs = pd.Series(t.column("vec_id").to_pylist()).map(m)
+        return t.append_column("lang", pa.array(langs, pa.string()))
+
+    joined = emb.map_batches(_lang, batch_format="pyarrow")
+    ex = explode(joined, "embedding", value_name="value", pos_name="pos")
+    q = with_columns(
+        ex,
+        {
+            "sum_q": lambda t: pc.cast(
+                pc.round(
+                    pc.multiply(pc.cast(t.column("value"), pa.float64()), 1_000_000.0),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+        },
+    )
+    return grouped_agg(select(q, ["lang", "pos", "sum_q"]), ["lang", "pos"], {"sum_q": ("sum", "sum_q")})
