@@ -18,14 +18,19 @@ _AGGS = {"sum": Sum, "min": Min, "max": Max, "mean": Mean, "std": Std}
 
 def global_agg(ds: rd.Dataset, specs: dict[str, tuple[str, str]]) -> pa.Table:
     """Global aggregates: ``{out_name: (fn, col)}`` with fn in
-    sum/min/max/mean/std/count. Returns a one-row Arrow table."""
-    cols = {}
+    sum/min/max/mean/std/count. Returns a one-row Arrow table.
+
+    All aggregates run in ONE ``ds.aggregate(...)`` pass (tree reduce) —
+    per-aggregate ``ds.sum()``/``ds.min()`` calls would each re-execute
+    the whole upstream pipeline."""
+    aggs = []
     for out, (fn, col) in specs.items():
         if fn == "count":
-            cols[out] = [ds.count()]
+            aggs.append(Count(alias_name=out))
         else:
-            cols[out] = [getattr(ds, fn)(col)]
-    return pa.table(cols)
+            aggs.append(_AGGS[fn](col, alias_name=out))
+    row = ds.aggregate(*aggs)
+    return pa.table({out: [row[out]] for out in specs})
 
 
 _DECOMPOSABLE = {"sum", "min", "max", "count"}
@@ -144,12 +149,24 @@ def topk_per_group(
     k: int,
     descending: bool = True,
     tiebreak: list[str] | None = None,
+    num_buckets: int = 64,
 ) -> rd.Dataset:
-    """Top-k rows per group; deterministic via explicit tiebreak columns."""
+    """Top-k rows per group; deterministic via explicit tiebreak columns.
+
+    Per-batch head-k combiner (at most k rows per key per batch survive)
+    → hash-bucket exchange (O(num_buckets) Ray groups, not one per key)
+    → vectorized per-bucket groupby.head(k)."""
+    from engine.ops.bucket import bucketed_map_groups
+
     by = [order_col] + (tiebreak or [])
     asc = [not descending] + [True] * len(tiebreak or [])
 
     def _top(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(by, ascending=asc).head(k)
+        return (
+            df.sort_values(by, ascending=asc, kind="mergesort")
+            .groupby(keys, sort=False, dropna=False)
+            .head(k)
+        )
 
-    return ds.groupby(keys).map_groups(_top, batch_format="pandas")
+    pre = ds.map_batches(_top, batch_format="pandas")
+    return bucketed_map_groups(pre, keys, _top, num_buckets=num_buckets, seed="topk")

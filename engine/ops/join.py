@@ -167,7 +167,9 @@ def asof_join(
 ) -> rd.Dataset:
     """As-of join: for each left row, the latest right row with
     ``right_on <= on`` within the same ``by`` group (direction=backward).
-    Co-shuffles both sides on the by-key; merge_asof per sorted group."""
+    Co-shuffles both sides into O(num_buckets) hash buckets of the
+    by-key (not one Ray group per key value); within a bucket a single
+    ``pd.merge_asof(..., by=)`` call handles every key vectorized."""
     right_on = right_on or on
     right_by = right_by or by
     left, lschema = _ensure_arrow(left)
@@ -220,16 +222,29 @@ def asof_join(
     rkeep = [c for c in rcols if c not in lcols or c == right_on]
 
     def _asof(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["__side"] == 0][lcols].sort_values(on, kind="mergesort")
-        r = df[df["__side"] == 1][rkeep].sort_values(right_on, kind="mergesort")
+        l = df[df["__side"] == 0][["__k"] + lcols].sort_values(on, kind="mergesort")
+        r = df[df["__side"] == 1][["__k"] + rkeep].sort_values(right_on, kind="mergesort")
         # Align datetime precisions (upstream groupbys can downcast to [s]).
         for frame, col in ((l, on), (r, right_on)):
             if str(frame[col].dtype).startswith("datetime64"):
                 frame[col] = frame[col].astype("datetime64[us]")
         if l.empty:
-            return _restore_types(l)
-        return _restore_types(
-            pd.merge_asof(l, r, left_on=on, right_on=right_on, direction=direction)
+            return _restore_types(l.drop(columns="__k"))
+        out = pd.merge_asof(
+            l, r, left_on=on, right_on=right_on, by="__k", direction=direction
         )
+        return _restore_types(out.drop(columns="__k"))
 
-    return u.groupby("__k").map_groups(_asof, batch_format="pandas")
+    from engine.ops.bucket import BUCKET_COL
+    from engine.util.hashing import fast_hash_column
+
+    def _route(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[BUCKET_COL] = fast_hash_column(df["__k"].astype(str), 64, seed="asof")
+        return df
+
+    return (
+        u.map_batches(_route, batch_format="pandas")
+        .groupby(BUCKET_COL)
+        .map_groups(lambda df: _asof(df.drop(columns=BUCKET_COL)), batch_format="pandas")
+    )

@@ -73,19 +73,25 @@ def percentile_disc_by_group(
     out: str = "percentile",
 ) -> rd.Dataset:
     """Exact PERCENTILE_DISC(q) per group: the smallest value whose
-    cumulative distribution >= q (DuckDB/ANSI semantics). One Ray group
-    per key combination — intended for low-cardinality keys; the rows
-    shuffled are (keys, col) only."""
+    cumulative distribution >= q (DuckDB/ANSI semantics). Hash-bucket
+    exchange (O(64) Ray groups regardless of key cardinality); the rows
+    shuffled are (keys, col) only. Exact percentiles need every value of
+    a key on one worker — for keys whose value sets exceed worker memory
+    use an approximate sketch instead."""
+    from engine.ops.bucket import bucketed_map_groups
 
     def _pct(df: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(df[col].to_numpy())
-        idx = max(0, math.ceil(q * len(v)) - 1)
-        res = df.iloc[:1][keys].copy()
-        res[out] = v[idx]
-        return res
+        def one(d: pd.DataFrame) -> pd.Series:
+            v = np.sort(d[col].to_numpy())
+            idx = max(0, math.ceil(q * len(v)) - 1)
+            return pd.Series({out: v[idx]})
 
-    return (
-        ds.select_columns(keys + [col])
-        .groupby(keys)
-        .map_groups(_pct, batch_format="pandas")
+        return (
+            df.groupby(keys, sort=False, dropna=False)
+            .apply(one, include_groups=False)
+            .reset_index()
+        )
+
+    return bucketed_map_groups(
+        ds.select_columns(keys + [col]), keys, _pct, seed="pct"
     )

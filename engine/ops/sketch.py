@@ -75,19 +75,27 @@ def approx_count_distinct_grouped(
     ds: rd.Dataset, keys: list[str], col: str, p: int = 12, out: str = "approx_n"
 ) -> rd.Dataset:
     """Per-group approximate COUNT(DISTINCT col): per-batch grouped
-    registers → groupby(keys) merge (elementwise max) → estimate.
+    registers → hash-bucket exchange of the register rows (O(64) Ray
+    groups, not one per key) → per-key elementwise-max merge → estimate.
     Mergeability makes the combine exact regardless of how batches split
-    the groups; intended for low/medium-cardinality group keys."""
+    the groups. The shuffle moves (groups-per-batch × 2^p) bytes."""
+    from engine.ops.bucket import bucketed_map_groups
+
     partials = ds.select_columns(keys + [col]).map_batches(
         lambda df: hll_partial_grouped(df, keys, col, p), batch_format="pandas"
     )
 
     def _merge(df: pd.DataFrame) -> pd.DataFrame:
-        merged = np.zeros(1 << p, dtype=np.uint8)
-        for b in df["registers"]:
-            merged = np.maximum(merged, np.frombuffer(b, dtype=np.uint8))
-        res = df.iloc[:1][keys].copy()
-        res[out] = int(round(hll_estimate(merged)))
-        return res
+        def one(d: pd.DataFrame) -> pd.Series:
+            merged = np.zeros(1 << p, dtype=np.uint8)
+            for b in d["registers"]:
+                merged = np.maximum(merged, np.frombuffer(b, dtype=np.uint8))
+            return pd.Series({out: int(round(hll_estimate(merged)))})
 
-    return partials.groupby(keys).map_groups(_merge, batch_format="pandas")
+        return (
+            df.groupby(keys, sort=False, dropna=False)
+            .apply(one, include_groups=False)
+            .reset_index()
+        )
+
+    return bucketed_map_groups(partials, keys, _merge, seed="hll")

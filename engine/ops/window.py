@@ -80,13 +80,19 @@ def session(
     agg_col: str,
 ) -> rd.Dataset:
     """Session windows per key split at inactivity gaps > gap_us.
-    Emits (key, session_start, n_events, sum_<agg_col>). Partitioning
-    assumption: one key's events fit one worker group."""
+    Emits (key, session_start, n_events, sum_<agg_col>). Hash-bucket
+    exchange on the key (O(64) Ray groups, not one per user); the
+    gap-split inside a bucket is a single vectorized sort + diff over
+    (key, ts) — identical semantics because a bucket holds ALL events of
+    each key it contains. Partitioning assumption: one key's events fit
+    one worker group."""
+    from engine.ops.bucket import bucketed_map_groups
 
     def _sessions(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(ts_col, kind="mergesort")
+        df = df.sort_values([key, ts_col], kind="mergesort")
         ts = df[ts_col].astype("int64")
-        new = (ts.diff().fillna(gap_us + 1) > gap_us).cumsum()
+        new_key = df[key] != df[key].shift()
+        new = (new_key | (ts.diff().fillna(gap_us + 1) > gap_us)).cumsum()
         g = df.groupby(new)
         out = pd.DataFrame(
             {
@@ -98,7 +104,7 @@ def session(
         )
         return out.reset_index(drop=True)
 
-    return ds.groupby(key).map_groups(_sessions, batch_format="pandas")
+    return bucketed_map_groups(ds, [key], _sessions, seed="session")
 
 
 def analytic(
