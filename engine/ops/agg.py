@@ -8,6 +8,7 @@ scale")."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -33,7 +34,7 @@ def global_agg(ds: rd.Dataset, specs: dict[str, tuple[str, str]]) -> pa.Table:
     return pa.table({out: [row[out]] for out in specs})
 
 
-_DECOMPOSABLE = {"sum", "min", "max", "count"}
+_DECOMPOSABLE = {"sum", "min", "max", "count", "mean", "std"}
 
 
 def grouped_agg(
@@ -43,52 +44,63 @@ def grouped_agg(
     supports "count" (col ignored). Output columns carry ``out_name``
     (oracle naming rule).
 
-    sum/min/max/count lower onto the bucketed combiner: per-batch pandas
-    partials (one row per key per batch) → hash-bucket shuffle → per-
-    bucket vectorized final. Ray's native multi-aggregate over many keys
+    Every fn lowers onto the bucketed combiner: per-batch pandas partials
+    (one row per key per batch) → hash-bucket shuffle → per-bucket
+    vectorized final. Ray's native multi-aggregate over many keys
     measured 23x slower (28s vs 1.2s on 139k partial rows / 15k keys at
-    sf0.1), so the native path is only the mean/std fallback."""
-    if not all(fn in _DECOMPOSABLE for fn, _ in specs.values()):
-        aggs = []
-        for out, (fn, col) in specs.items():
-            if fn == "count":
-                aggs.append(Count(alias_name=out))
-            else:
-                aggs.append(_AGGS[fn](col, alias_name=out))
-        return ds.groupby(keys).aggregate(*aggs)
-
+    sf0.1). mean/std are decomposed into (sum, sumsq, count) partials —
+    exact when the column is integer (quantize money per-row upstream);
+    float inputs inherit the usual summation-order caveat."""
     from engine.util.hashing import fast_hash_column
+
+    unknown = {fn for fn, _ in specs.values()} - _DECOMPOSABLE
+    if unknown:
+        raise ValueError(f"unsupported aggregate fns {sorted(unknown)!r}")
 
     need_cols = list(keys) + sorted(
         {col for fn, col in specs.values() if fn != "count"}
     )
 
-    def _apply(g, items):
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        for name, (fn, col) in specs.items():
+            if fn == "std":
+                df = df.assign(**{f"{name}__q": df[col].to_numpy() ** 2})
+        g = df.groupby(keys, sort=False, dropna=False)
         out = pd.DataFrame(index=g.size().index)
-        for name, (fn, col) in items:
+        for name, (fn, col) in specs.items():
             if fn == "count":
                 out[name] = g.size()
-            else:
+            elif fn in ("sum", "min", "max"):
                 out[name] = getattr(g[col], fn)()
-        return out.reset_index()
-
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = _apply(df.groupby(keys, sort=False, dropna=False), specs.items())
+            elif fn == "mean":
+                out[f"{name}__s"] = g[col].sum()
+                out[f"{name}__n"] = g[col].count()
+            elif fn == "std":
+                out[f"{name}__s"] = g[col].sum()
+                out[f"{name}__q"] = g[f"{name}__q"].sum()
+                out[f"{name}__n"] = g[col].count()
+        out = out.reset_index()
         key = out[keys].astype(str).agg("\x1f".join, axis=1)
         out["__bucket"] = fast_hash_column(key, num_buckets, seed="gagg")
         return out
 
-    # Combine step: a partial COUNT is summed, not re-counted.
-    final_specs = [
-        (name, ("sum" if fn in ("sum", "count") else fn, name))
-        for name, (fn, _) in specs.items()
-    ]
-
     def _final(df: pd.DataFrame) -> pd.DataFrame:
-        return _apply(
-            df.drop(columns="__bucket").groupby(keys, sort=False, dropna=False),
-            final_specs,
-        )
+        g = df.drop(columns="__bucket").groupby(keys, sort=False, dropna=False)
+        out = pd.DataFrame(index=g.size().index)
+        for name, (fn, _) in specs.items():
+            if fn in ("count", "sum"):
+                out[name] = g[name].sum()
+            elif fn in ("min", "max"):
+                out[name] = getattr(g[name], fn)()
+            elif fn == "mean":
+                out[name] = g[f"{name}__s"].sum() / g[f"{name}__n"].sum()
+            elif fn == "std":
+                s = g[f"{name}__s"].sum().astype("float64")
+                q = g[f"{name}__q"].sum().astype("float64")
+                n = g[f"{name}__n"].sum().astype("float64")
+                # Sample std (SQL STDDEV): sqrt((Σx² - (Σx)²/n) / (n-1)).
+                out[name] = np.sqrt((q - s * s / n) / (n - 1.0))
+        return out.reset_index()
 
     return (
         ds.select_columns(need_cols)

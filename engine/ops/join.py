@@ -89,17 +89,19 @@ def semi_join(ds: rd.Dataset, keys_table: pa.Table, key: str, anti: bool = False
 def shuffle_join(
     left: rd.Dataset,
     right: rd.Dataset,
-    key: str,
+    key: str | list[str],
     join_type: str = "inner",
     suffixes: tuple[str, str] = ("", "_r"),
     num_buckets: int = 64,
 ) -> rd.Dataset:
-    """Partitioned hash join of two large Datasets on ``key``: tag sides,
-    union (schemas unioned with typed nulls), co-partition into
-    ``num_buckets`` hash buckets, vectorized pandas merge within each
-    bucket. Bucketing (instead of one group per key) keeps the
-    per-group Python overhead at O(buckets), not O(distinct keys); a
-    pathologically hot key still lands in one bucket — salt upstream."""
+    """Partitioned hash join of two large Datasets on ``key`` (a single
+    column or a composite-key list): tag sides, union (schemas unioned
+    with typed nulls), co-partition into ``num_buckets`` hash buckets of
+    the key tuple, vectorized pandas merge within each bucket. Bucketing
+    (instead of one group per key) keeps the per-group Python overhead
+    at O(buckets), not O(distinct keys); a pathologically hot key still
+    lands in one bucket — salt upstream."""
+    keys = [key] if isinstance(key, str) else list(key)
     left, lschema = _ensure_arrow(left)
     right, rschema = _ensure_arrow(right)
     lcols, rcols = list(lschema.names), list(rschema.names)
@@ -122,7 +124,13 @@ def shuffle_join(
             out = pa.table(cols, schema=target)
             from engine.util.hashing import fast_hash_column
 
-            bucket = fast_hash_column(out.column(key).to_pandas(), num_buckets, seed="join")
+            kp = out.select(keys).to_pandas()
+            kcat = (
+                kp[keys[0]].astype(str)
+                if len(keys) == 1
+                else kp.astype(str).agg("\x1f".join, axis=1)
+            )
+            bucket = fast_hash_column(kcat, num_buckets, seed="join")
             return out.append_column("__bucket", pa.array(bucket, pa.int64()))
 
         return fn
@@ -151,7 +159,7 @@ def shuffle_join(
         l = df[df["__side"] == 0][lcols]
         r = df[df["__side"] == 1][rcols]
         how = {"inner": "inner", "left": "left", "right": "right", "outer": "outer"}[join_type]
-        return _restore_types(l.merge(r, on=key, how=how, suffixes=suffixes))
+        return _restore_types(l.merge(r, on=keys, how=how, suffixes=suffixes))
 
     return u.groupby("__bucket").map_groups(_join_bucket, batch_format="pandas")
 
