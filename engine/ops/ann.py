@@ -49,6 +49,10 @@ def knn_brute(
     ref = ray.put((qm, np.asarray(query_ids)))
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # IVF cell pruning can emit empty frames
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="int64")})
         q, qids = _cached_get(ref)
         vecs = quantize(_stack(df, vec_col))
         ids = df[id_col].to_numpy()
@@ -105,6 +109,8 @@ def knn_ivf(
     ref = ray.put((centroids, sorted(probe)))
 
     def _filter(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
         cent, cells = _cached_get(ref)
         vecs = _stack(df, vec_col).astype(np.float64)
         dd = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
@@ -116,27 +122,85 @@ def knn_ivf(
 
 
 def cosine_near_dup_pairs(
-    ds: rd.Dataset, vec_col: str, id_col: str, all_vecs: pa.Table, threshold: float
+    ds: rd.Dataset,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sample_size: int = 2048,
 ) -> rd.Dataset:
-    """Embedding near-duplicate pairs: per-batch rows × broadcast full
-    matrix, cosine ≥ threshold, i<j. O(n²/batch) flops, vectorized."""
-    ids_all = np.asarray(all_vecs.column(id_col).to_pylist())
-    m = np.stack([np.asarray(v, dtype=np.float64) for v in all_vecs.column(vec_col).to_pylist()])
-    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids_all, m))
+    """Embedding near-duplicate pairs (cos ≥ threshold, a<b) via IVF-cell
+    co-partitioned pairing — the scale path:
 
-    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
-        aids, mat = _cached_get(ref)
+    1. seeded k-means centroids from a bounded driver-side sample; only
+       the tiny centroid matrix is broadcast (``ray.put`` once);
+    2. each vector is routed to its ``n_probe`` nearest cells (multi-probe
+       catches cross-boundary pairs), so the exchange moves each vector a
+       constant number of times — never the full matrix;
+    3. exact all-pairs cosine INSIDE each cell (one vectorized matmul per
+       cell, O(Σ cell² ) flops ≈ n²/n_cells when balanced, vs the
+       round-1 broadcast version's O(n²) with the whole matrix in every
+       worker's heap);
+    4. pairs found in more than one probed cell are deduped.
+
+    Approximate: a pair is missed iff its two vectors share no probed
+    cell (recall measured vs brute force in tests/test_ops_content.py).
+    """
+    from engine.ops.dedup import exact_dedup
+
+    sample = _stack_any(ds.limit(sample_size).take_all(), vec_col)
+    cent = build_centroids(sample, n_cells=n_cells, seed=seed)
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    ref = ray.put(cent)
+    probe = min(n_probe, len(cent))
+
+    def _route(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"cell": [], id_col: [], vec_col: []})
+        c = _cached_get(ref)
         v = _stack(df, vec_col).astype(np.float64)
         v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        ids = df[id_col].to_numpy()
-        cos = v @ mat.T
-        rows = {"a": [], "b": [], "cos": []}
-        for i in range(len(ids)):
-            hit = np.nonzero((cos[i] >= threshold) & (aids > ids[i]))[0]
-            rows["a"] += [int(ids[i])] * len(hit)
-            rows["b"] += [int(x) for x in aids[hit]]
-            rows["cos"] += [round(float(c), 6) for c in cos[i][hit]]
-        return pd.DataFrame(rows)
+        # nearest centroids by cosine (all unit vectors)
+        cells = np.argsort(-(v @ c.T), axis=1)[:, :probe]
+        n = len(df)
+        reps = np.repeat(np.arange(n), probe)
+        return pd.DataFrame(
+            {
+                "cell": cells.ravel(),
+                id_col: df[id_col].to_numpy()[reps],
+                vec_col: [v[i] for i in reps],
+            }
+        )
 
-    return ds.map_batches(_pairs, batch_format="pandas")
+    def _cell_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                              "cos": pd.Series(dtype="float64")})
+        out = [empty]
+        for _, d in df.groupby("cell", sort=False):
+            d = d.drop_duplicates(id_col)
+            if len(d) < 2:
+                continue
+            ids = d[id_col].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            mat = np.stack(d[vec_col].to_numpy())[order]
+            cos = mat @ mat.T
+            ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
+            if len(ii) == 0:
+                continue
+            out.append(pd.DataFrame({
+                "a": ids[ii].astype("int64"),
+                "b": ids[jj].astype("int64"),
+                "cos": np.round(cos[ii, jj], 6),
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    routed = ds.map_batches(_route, batch_format="pandas")
+    pairs = routed.groupby("cell").map_groups(_cell_pairs, batch_format="pandas")
+    return exact_dedup(pairs, ["a", "b"], tiebreak="a")
+
+
+def _stack_any(rows: list[dict], vec_col: str) -> np.ndarray:
+    return np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])

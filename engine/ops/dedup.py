@@ -170,25 +170,35 @@ def jaccard(t1: str, t2: str, k: int = 5) -> float:
 
 
 def verify_pairs_jaccard(
-    pairs: rd.Dataset, docs: pa.Table, text_col: str, id_col: str, threshold: float, k: int = 5
+    pairs: rd.Dataset, docs: rd.Dataset, text_col: str, id_col: str, threshold: float, k: int = 5
 ) -> rd.Dataset:
-    """Exact-Jaccard verification of candidate pairs against broadcast
-    texts (small-side lookup: `ray.put` once, read per worker). At 100 TB
-    the texts side would instead be co-partitioned by doc_id — documented
-    scale path."""
-    lookup = dict(zip(docs.column(id_col).to_pylist(), docs.column(text_col).to_pylist()))
-    ref = ray.put(lookup)
+    """Exact-Jaccard verification of candidate pairs with the corpus
+    CO-PARTITIONED by doc id: two bucketed shuffle joins attach text_a
+    (pairs.a → docs) then text_b (pairs.b → docs). No broadcast of the
+    corpus anywhere — each document's text crosses the exchange once per
+    side, so the stage streams at any corpus size (the round-1 broadcast
+    dict held the whole corpus in every worker's heap)."""
+    from engine.ops.join import shuffle_join
+
+    da = docs.select_columns([id_col, text_col]).rename_columns(
+        {id_col: "a", text_col: "__text_a"}
+    )
+    db = docs.select_columns([id_col, text_col]).rename_columns(
+        {id_col: "b", text_col: "__text_b"}
+    )
+    j = shuffle_join(pairs, da, key="a", join_type="inner")
+    j = shuffle_join(j, db, key="b", join_type="inner")
 
     def _verify(df: pd.DataFrame) -> pd.DataFrame:
-        from engine.ops.join import _cached_get
-
-        texts = _cached_get(ref)
-        jac = [jaccard(texts.get(a, ""), texts.get(b, ""), k) for a, b in zip(df["a"], df["b"])]
+        jac = [
+            jaccard(ta or "", tb or "", k)
+            for ta, tb in zip(df["__text_a"], df["__text_b"])
+        ]
         df = df.copy()
         df["jaccard"] = np.round(jac, 6)
-        return df[df["jaccard"] >= threshold]
+        return df[df["jaccard"] >= threshold].drop(columns=["__text_a", "__text_b"])
 
-    return pairs.map_batches(_verify, batch_format="pandas")
+    return j.map_batches(_verify, batch_format="pandas")
 
 
 # ---- SimHash ---------------------------------------------------------------
@@ -280,7 +290,7 @@ def simhash_near_dup_pairs(
 
 def ngram_jaccard_pairs(
     ds: rd.Dataset,
-    docs: pa.Table,
+    docs: rd.Dataset,
     text_col: str,
     id_col: str,
     threshold: float,

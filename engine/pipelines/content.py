@@ -38,9 +38,10 @@ def q_dedup_exact(sf_dir):
 
 @register_query("q_dedup_minhash")  # LSH — not SQL-expressible, rows-only check
 def q_dedup_minhash(sf_dir):
-    """MinHash+LSH near-dup pairs verified at Jaccard ≥ 0.5."""
+    """MinHash+LSH near-dup pairs verified at Jaccard ≥ 0.5. The verify
+    stage co-partitions texts by doc_id (no corpus broadcast)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     cand = minhash_candidate_pairs(ds, "text", "doc_id")
     return verify_pairs_jaccard(cand, docs, "text", "doc_id", threshold=0.5)
 
@@ -54,18 +55,20 @@ def q_dedup_simhash(sf_dir):
 @register_query("q_dedup_ngram")  # rows-only (LSH-blocked exact Jaccard)
 def q_dedup_ngram(sf_dir):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ngram_jaccard_pairs(ds, docs, "text", "doc_id", threshold=0.7)
 
 
-@register_query("q_dedup_embedding")  # rows-only (float cosine)
+@register_query("q_dedup_embedding")  # rows-only (approximate by design)
 def q_dedup_embedding(sf_dir):
-    """Embedding-cosine near-dup pairs (cos ≥ 0.95, i<j)."""
+    """Embedding-cosine near-dup pairs via IVF-cell co-partitioned
+    pairing — only the tiny centroid matrix is broadcast; vectors move
+    through the exchange a constant number of times (multi-probe), and
+    the per-cell matmul is exact. The synthetic embeddings are
+    near-orthogonal (max pairwise cosine ~0.48 at sf0.001) — 0.4
+    demonstrates the operator with real output."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    vecs = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    # The synthetic embeddings are near-orthogonal (max pairwise cosine
-    # ~0.48 at sf0.001) — 0.4 demonstrates the operator with real output.
-    return cosine_near_dup_pairs(ds, "embedding", "vec_id", vecs, threshold=0.4)
+    return cosine_near_dup_pairs(ds, "embedding", "vec_id", threshold=0.4)
 
 
 @register_query(

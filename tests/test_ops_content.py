@@ -144,3 +144,35 @@ def test_minhash_lsh_recall(sf_dir):
                 truth.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
     assert truth, "fixture should contain at least one near-dup pair"
     assert not (truth - got), f"LSH missed {len(truth - got)} true pairs"
+
+
+def test_cosine_ivf_pairs_recall(sf_dir):
+    """IVF-cell co-partitioned pairing vs brute-force cosine: precision
+    must be exact (every emitted pair really is >= threshold, with the
+    true cosine) and recall high (multi-probe cells capture the planted
+    near-dups)."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.ann import cosine_near_dup_pairs
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    cos = m @ m.T
+    ii, jj = np.nonzero(np.triu(cos >= 0.4, k=1))
+    truth = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))): round(float(cos[i, j]), 6)
+        for i, j in zip(ii, jj)
+    }
+    assert truth, "fixture should contain at least one high-cosine pair"
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    got = cosine_near_dup_pairs(ds, "embedding", "vec_id", threshold=0.4).to_pandas()
+    got_pairs = {(int(a), int(b)): c for a, b, c in zip(got["a"], got["b"], got["cos"])}
+    # precision: every emitted pair is a true pair with the exact cosine
+    for p, c in got_pairs.items():
+        assert p in truth and abs(c - truth[p]) < 2e-6, p
+    # recall: multi-probe IVF captures at least 80% of the true pairs
+    recall = len(set(got_pairs) & set(truth)) / len(truth)
+    assert recall >= 0.8, f"recall {recall:.2f} over {len(truth)} true pairs"
