@@ -24,6 +24,8 @@ import ray
 import ray.data as rd
 
 _BCAST_CACHE: dict[bytes, object] = {}
+_BCAST_CACHE_MAX = 4  # bounded LRU-ish: interleaved broadcast refs on one
+# worker (e.g. IVF centroids + query matrix) must not evict each other.
 
 
 def _ensure_arrow(ds: rd.Dataset) -> tuple[rd.Dataset, pa.Schema]:
@@ -42,7 +44,8 @@ def _cached_get(ref: ray.ObjectRef):
     once, not once per batch."""
     key = ref.binary()
     if key not in _BCAST_CACHE:
-        _BCAST_CACHE.clear()
+        while len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))  # evict oldest
         _BCAST_CACHE[key] = ray.get(ref)
     return _BCAST_CACHE[key]
 
@@ -72,15 +75,23 @@ def broadcast_join(
 
 
 def semi_join(ds: rd.Dataset, keys_table: pa.Table, key: str, anti: bool = False) -> rd.Dataset:
-    """EXISTS / NOT EXISTS filter against a broadcast key set."""
+    """IN / NOT IN filter against a broadcast key set, with SQL
+    three-valued NULL semantics: a NULL left key is never IN and never
+    NOT IN (dropped both ways); a NULL inside the key set makes NOT IN
+    unsatisfiable for every row (x <> NULL is unknown), so the anti side
+    returns empty."""
     key_set = pc.unique(keys_table.column(key))
+    set_has_null = bool(pc.any(pc.is_null(key_set)).as_py()) if len(key_set) else False
+    key_set = key_set.drop_null()
     ref = ray.put(key_set)
 
     def _mask(t: pa.Table) -> pa.Table:
+        if anti and set_has_null:
+            return t.slice(0, 0)
         ks = _cached_get(ref)
         m = pc.is_in(t.column(key), value_set=ks)
         if anti:
-            m = pc.invert(m)
+            m = pc.and_(pc.invert(m), pc.is_valid(t.column(key)))
         return t.filter(m)
 
     return ds.map_batches(_mask, batch_format="pyarrow")

@@ -139,8 +139,34 @@ def q_token_count_total(sf_dir):
     return global_agg(out, {"total_tokens": ("sum", "n_tokens")})
 
 
-@register_query("q_quality_score")  # heuristic — rows-only
+def _stop_sql() -> str:
+    from engine.ops.text import STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in sorted(set().union(*STOPWORDS.values())))
+
+
+@register_query(
+    "q_quality_score",
+    oracle=f"""WITH t AS (
+                 SELECT doc_id, text,
+                        CAST(greatest(length(text), 1) AS DOUBLE) AS n,
+                        string_split(lower(text), ' ') AS ws
+                 FROM documents)
+               SELECT doc_id,
+                      round(0.4 * least(n / 200.0, 1.0)
+                          + 0.3 * (1.0 - least(
+                                (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / n * 5.0,
+                                1.0))
+                          + 0.3 * least(
+                                CAST(len(list_filter(ws, w -> w IN ({_stop_sql()}))) AS DOUBLE)
+                                / greatest(len(ws), 1) * 4.0,
+                                1.0), 6) AS quality
+               FROM t""",
+)
 def q_quality_score(sf_dir):
+    """Heuristic quality score — pure arithmetic over text features, so
+    the formula is mirrored in SQL (length band + punctuation sanity +
+    stopword presence; stopword list shared with engine.ops.text)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return select(quality_score(ds), ["doc_id", "quality"])
 
@@ -163,14 +189,40 @@ def q_model_score(sf_dir):
     return select(score_documents(ds), ["doc_id", "model_score"])
 
 
-@register_query("q_multimodal_meta")  # binary plumbing (stubbed codec) — rows-only
+@register_query(
+    "q_multimodal_meta",
+    oracle="""SELECT doc_id, 'image/fake' AS media_type,
+                     CAST(strlen(text) AS BIGINT) AS n_bytes
+              FROM documents""",
+)
 def q_multimodal_meta(sf_dir):
+    """SQL-expressible half of the multimodal metadata (payload byte
+    length + media type) — runs the full binary-plumbing pipeline and
+    projects the oracle-checkable columns."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = attach_fake_payload(ds, "text")
+
+    def _meta(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "media_type", "n_bytes"])
+
+    return ds.map_batches(_meta, batch_format="pyarrow")
+
+
+@register_query("q_multimodal_decode")  # stubbed codec output — rows-only
+def q_multimodal_decode(sf_dir):
+    """Full multimodal plumbing: payload attach → actor-pool fake decode
+    → feature extraction; checksum/width/height/channels derive from the
+    payload bytes (crc32 — not SQL-expressible)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     ds = attach_fake_payload(ds, "text")
     ds = decode_payloads(ds, fake=True)
     ds = payload_features(ds)
+
     def _meta(t: pa.Table) -> pa.Table:
-        return t.select(["doc_id", "media_type", "n_bytes", "checksum", "width", "height", "channels"])
+        return t.select(
+            ["doc_id", "media_type", "n_bytes", "checksum", "width", "height", "channels"]
+        )
+
     return ds.map_batches(_meta, batch_format="pyarrow")
 
 
@@ -185,7 +237,7 @@ def q_wordcount(sf_dir):
     bucketed sum (the canonical large-corpus wordcount)."""
     from engine.ops.text import word_counts
 
-    return word_counts(read_table(sf_dir, "documents"))
+    return word_counts(read_table(sf_dir, "documents", columns=["text"]))
 
 
 @register_query(
@@ -200,7 +252,7 @@ def q_vocab_topk(sf_dir):
     """Top-50 vocabulary terms (deterministic tiebreak on the word)."""
     from engine.ops.text import word_counts
 
-    wc = word_counts(read_table(sf_dir, "documents"))
+    wc = word_counts(read_table(sf_dir, "documents", columns=["text"]))
     return wc.sort(["n", "word"], descending=[True, False]).limit(50)
 
 
@@ -238,7 +290,10 @@ def q_embedding_sum_by_lang(sf_dir):
 
         m = _cached_get(ref)
         langs = pd.Series(t.column("vec_id").to_pylist()).map(m)
-        return t.append_column("lang", pa.array(langs, pa.string()))
+        out = t.append_column("lang", pa.array(langs, pa.string()))
+        # Inner-join semantics (mirrors the oracle): drop vec_ids with no
+        # matching document instead of forming a null-lang group.
+        return out.filter(pc.is_valid(out.column("lang")))
 
     joined = emb.map_batches(_lang, batch_format="pyarrow")
     ex = explode(joined, "embedding", value_name="value", pos_name="pos")

@@ -34,7 +34,7 @@ def _fresh_dir(tag: str) -> str:
 )
 def q_csv_roundtrip(sf_dir):
     out = _fresh_dir("csv")
-    ds = select(read_table(sf_dir, "nation"), ["n_nationkey", "n_name", "n_regionkey"])
+    ds = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
     write_csv(ds, out)
     back = read_csv(out)
     return filter_expr(back, lambda t: pc.greater_equal(t.column("n_regionkey"), 2))
@@ -46,7 +46,7 @@ def q_csv_roundtrip(sf_dir):
 )
 def q_json_roundtrip(sf_dir):
     out = _fresh_dir("json")
-    ds = select(read_table(sf_dir, "region"), ["r_regionkey", "r_name"])
+    ds = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"])
     write_json(ds, out)
     return read_json(out)
 
