@@ -192,9 +192,12 @@ def _subprocess_cdc(num_cpus: int, reps: int = REPS) -> dict:
     """Fresh interpreter → fresh ray session at the given parallelism;
     ``reps`` runs, median throughput reported (BASELINE.md protocol —
     single-run wall times vary ±40% with background page flushing)."""
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus))
     runs = []
-    for _ in range(reps):
+    for i in range(reps):
+        # Separate lake scratch dir per rep + sync cooldown between reps:
+        # rewriting one dir leaves dirty pages flushing into the next
+        # rep's timed region (the documented 8-CPU bimodality source).
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus), GRAFT_LAKE_TAG=f"rep{i}")
         out = subprocess.run(
             [sys.executable, "bench.py", "--cdc-only"],
             env=env,
@@ -204,6 +207,11 @@ def _subprocess_cdc(num_cpus: int, reps: int = REPS) -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         runs.append(json.loads(out.strip().splitlines()[-1]))
+        shutil.rmtree(
+            os.path.join(BENCH_ROOT, f"lake_{num_cpus}_rep{i}"), ignore_errors=True
+        )
+        os.sync()
+        time.sleep(2.0)
     hashes = {r["state_hash"] for r in runs}
     assert len(hashes) == 1, f"nondeterministic state across reps: {hashes}"
     runs.sort(key=lambda r: r["events_per_sec"])
@@ -216,7 +224,9 @@ def main_cdc_only():
     _ray_init(NUM_CPUS)
     log_dir = ensure_changelog()
     warmup_workers()
-    cdc = run_cdc(log_dir, os.path.join(BENCH_ROOT, f"lake_{NUM_CPUS}"))
+    tag = os.environ.get("GRAFT_LAKE_TAG")
+    lake = f"lake_{NUM_CPUS}_{tag}" if tag else f"lake_{NUM_CPUS}"
+    cdc = run_cdc(log_dir, os.path.join(BENCH_ROOT, lake))
     import ray
 
     ray.shutdown()
