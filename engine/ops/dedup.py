@@ -132,12 +132,17 @@ def minhash_candidate_pairs(
     k: int = 5,
     seed: int = 42,
     num_buckets: int = 64,
+    dedup_pairs: bool = True,
 ) -> rd.Dataset:
     """Candidate near-duplicate pairs via MinHash-LSH banding
     (shingle→minhash→band→bucket groupby — ray_guide 'Near-dup').
     The shuffle key is hash(band, band_hash) % num_buckets, so the Ray
     group count is O(num_buckets) regardless of LSH-bucket cardinality;
-    pair generation inside a group is a vectorized pandas self-merge."""
+    pair generation inside a group is a vectorized pandas self-merge.
+
+    ``dedup_pairs=False`` skips the cross-band dedup shuffle — pass it
+    when a downstream verify stage (which groups by (a, b) anyway)
+    collapses duplicates for free."""
     from engine.util.hashing import fast_hash_column
 
     sig = ds.map_batches(
@@ -159,7 +164,7 @@ def minhash_candidate_pairs(
         .groupby("__bucket")
         .map_groups(_bucket_pairs, batch_format="pandas")
     )
-    return exact_dedup(pairs, ["a", "b"], tiebreak="a")
+    return exact_dedup(pairs, ["a", "b"], tiebreak="a") if dedup_pairs else pairs
 
 
 def jaccard(t1: str, t2: str, k: int = 5) -> float:
@@ -173,32 +178,82 @@ def verify_pairs_jaccard(
     pairs: rd.Dataset, docs: rd.Dataset, text_col: str, id_col: str, threshold: float, k: int = 5
 ) -> rd.Dataset:
     """Exact-Jaccard verification of candidate pairs with the corpus
-    CO-PARTITIONED by doc id: two bucketed shuffle joins attach text_a
-    (pairs.a → docs) then text_b (pairs.b → docs). No broadcast of the
-    corpus anywhere — each document's text crosses the exchange once per
-    side, so the stage streams at any corpus size (the round-1 broadcast
-    dict held the whole corpus in every worker's heap)."""
-    from engine.ops.join import shuffle_join
+    CO-PARTITIONED by doc id — no broadcast of the corpus anywhere (the
+    round-1 broadcast dict held the whole corpus in every worker's heap).
 
-    da = docs.select_columns([id_col, text_col]).rename_columns(
-        {id_col: "a", text_col: "__text_a"}
+    Two bucketed exchanges:
+    1. key = doc id: each pair contributes two half-rows (keyed by a and
+       by b), each document one text row; texts attach to halves inside
+       the bucket. The corpus crosses this exchange exactly ONCE.
+    2. key = (a, b): the two halves of each pair regroup — only
+       candidate rows move here (texts for candidates, not the corpus) —
+       then exact Jaccard + threshold filter per bucket.
+    """
+    from engine.util.hashing import fast_hash_column
+
+    COLS = ["key", "a", "b", "half", "txt", "__bucket"]
+
+    def _halves(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.concat(
+            [
+                pd.DataFrame({"key": df["a"], "a": df["a"], "b": df["b"], "half": 0}),
+                pd.DataFrame({"key": df["b"], "a": df["a"], "b": df["b"], "half": 1}),
+            ],
+            ignore_index=True,
+        )
+        out["txt"] = None
+        out["__bucket"] = fast_hash_column(out["key"].astype(str), 64, seed="jvtx")
+        return out[COLS]
+
+    def _docrows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"key": df[id_col], "a": -1, "b": -1, "half": 2, "txt": df[text_col]}
+        )
+        out["__bucket"] = fast_hash_column(out["key"].astype(str), 64, seed="jvtx")
+        return out[COLS]
+
+    u = pairs.map_batches(_halves, batch_format="pandas").union(
+        docs.select_columns([id_col, text_col]).map_batches(
+            _docrows, batch_format="pandas"
+        )
     )
-    db = docs.select_columns([id_col, text_col]).rename_columns(
-        {id_col: "b", text_col: "__text_b"}
+
+    def _attach(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["half"] == 2]
+        lookup = pd.Series(d["txt"].to_numpy(), index=d["key"].to_numpy())
+        p = df[df["half"] != 2].copy()
+        p["txt"] = p["key"].map(lookup)
+        return p.drop(columns="key")
+
+    half = u.groupby("__bucket").map_groups(
+        lambda df: _attach(df.drop(columns="__bucket")), batch_format="pandas"
     )
-    j = shuffle_join(pairs, da, key="a", join_type="inner")
-    j = shuffle_join(j, db, key="b", join_type="inner")
+
+    def _route2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        key = df["a"].astype(str) + "\x1f" + df["b"].astype(str)
+        df["__bucket"] = fast_hash_column(key, 64, seed="jvpair")
+        return df
 
     def _verify(df: pd.DataFrame) -> pd.DataFrame:
-        jac = [
-            jaccard(ta or "", tb or "", k)
-            for ta, tb in zip(df["__text_a"], df["__text_b"])
-        ]
-        df = df.copy()
-        df["jaccard"] = np.round(jac, 6)
-        return df[df["jaccard"] >= threshold].drop(columns=["__text_a", "__text_b"])
+        # Cross-band duplicate candidates collapse here for free (this
+        # exchange groups by (a, b) anyway), letting callers skip a
+        # dedicated dedup shuffle on the candidate stream.
+        t0 = df[df["half"] == 0][["a", "b", "txt"]].drop_duplicates(["a", "b"])
+        t1 = df[df["half"] == 1][["a", "b", "txt"]].drop_duplicates(["a", "b"])
+        m = t0.merge(t1, on=["a", "b"], suffixes=("_a", "_b"))
+        jac = [jaccard(ta or "", tb or "", k) for ta, tb in zip(m["txt_a"], m["txt_b"])]
+        m = m.drop(columns=["txt_a", "txt_b"])
+        m["a"] = m["a"].astype("int64")
+        m["b"] = m["b"].astype("int64")
+        m["jaccard"] = np.round(jac, 6)
+        return m[m["jaccard"] >= threshold]
 
-    return j.map_batches(_verify, batch_format="pandas")
+    return (
+        half.map_batches(_route2, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda df: _verify(df.drop(columns="__bucket")), batch_format="pandas")
+    )
 
 
 # ---- SimHash ---------------------------------------------------------------
@@ -301,5 +356,5 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard over LSH-blocked candidates (recall bounded
     by the banding parameters; with bands=16, r=4 the capture probability
     at jaccard=threshold is 1-(1-t^4)^16)."""
-    cand = minhash_candidate_pairs(ds, text_col, id_col, num_perm, bands, k)
+    cand = minhash_candidate_pairs(ds, text_col, id_col, num_perm, bands, k, dedup_pairs=False)
     return verify_pairs_jaccard(cand, docs, text_col, id_col, threshold, k)

@@ -28,9 +28,36 @@ _BCAST_CACHE_MAX = 4  # bounded LRU-ish: interleaved broadcast refs on one
 # worker (e.g. IVF centroids + query matrix) must not evict each other.
 
 
+def _has_all_to_all(ds: rd.Dataset) -> bool:
+    from ray.data._internal.logical.operators.all_to_all_operator import AbstractAllToAll
+
+    def walk(op) -> bool:
+        return isinstance(op, AbstractAllToAll) or any(
+            walk(d) for d in op.input_dependencies
+        )
+
+    try:
+        return walk(ds._logical_plan.dag)
+    except Exception:
+        return False
+
+
 def _ensure_arrow(ds: rd.Dataset) -> tuple[rd.Dataset, pa.Schema]:
     """Return the dataset with Arrow blocks plus its Arrow schema
-    (pandas-backed datasets — e.g. from_pandas — are converted)."""
+    (pandas-backed datasets — e.g. from_pandas — are converted).
+
+    Schema inference on a LAZY pipeline containing a shuffle would
+    execute the whole upstream plan just to read the schema and then
+    re-execute it for the real run (measured 6x on the minhash-verify
+    chain); such inputs are materialized once — distributed, in the
+    object store, at a boundary where Ray would materialize for the
+    shuffle anyway — and the blocks reused."""
+    s = ds.schema(fetch_if_missing=False)
+    base = getattr(s, "base_schema", None) if s is not None else None
+    if isinstance(base, pa.Schema):
+        return ds, base
+    if s is None and _has_all_to_all(ds):
+        ds = ds.materialize()
     s = ds.schema()
     base = getattr(s, "base_schema", None)
     if isinstance(base, pa.Schema):

@@ -42,7 +42,7 @@ def q_dedup_minhash(sf_dir):
     stage co-partitions texts by doc_id (no corpus broadcast)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    cand = minhash_candidate_pairs(ds, "text", "doc_id")
+    cand = minhash_candidate_pairs(ds, "text", "doc_id", dedup_pairs=False)
     return verify_pairs_jaccard(cand, docs, "text", "doc_id", threshold=0.5)
 
 
