@@ -96,19 +96,24 @@ class MinHasher:
         return v.min(axis=1)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        ids, bands, bhashes = [], [], []
-        r = self.rows_per_band
-        for doc_id, text in zip(df[self.id_col], df[self.text_col]):
-            sig = self.signature(text or "")
-            for band in range(self.bands):
-                chunk = sig[band * r : (band + 1) * r]
-                bh = np.uint64(0)
-                for x in chunk:  # tiny loop: r elements (4)
-                    bh = bh * _B + x
-                ids.append(doc_id)
-                bands.append(band)
-                bhashes.append(int(bh))
-        return pd.DataFrame({"doc_id": ids, "band": bands, "band_hash": bhashes})
+        r, nb = self.rows_per_band, self.bands
+        n = len(df)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        for i, text in enumerate(df[self.text_col]):
+            sigs[i] = self.signature(text or "")
+        # Horner band-hash across the r signature rows of every band of
+        # every doc at once: (n, bands, r) → (n, bands), no Python loops.
+        chunks = sigs.reshape(n, nb, r)
+        bh = np.zeros((n, nb), dtype=np.uint64)
+        for j in range(r):  # r is tiny (4); the vectorized axis is n×bands
+            bh = bh * _B + chunks[:, :, j]
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(df[self.id_col].to_numpy(), nb),
+                "band": np.tile(np.arange(nb, dtype=np.int64), n),
+                "band_hash": bh.ravel().astype(np.int64),
+            }
+        )
 
 
 def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -290,15 +295,20 @@ class SimHasher:
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        rows = {"doc_id": [], "simhash": [], "band": [], "band_key": []}
-        for doc_id, text in zip(df[self.id_col], df[self.text_col]):
-            sh = simhash64(text)
-            for band in range(4):
-                rows["doc_id"].append(doc_id)
-                rows["simhash"].append(sh)
-                rows["band"].append(band)
-                rows["band_key"].append((sh >> (band * 16)) & 0xFFFF)
-        return pd.DataFrame(rows)
+        n = len(df)
+        sh = np.fromiter(
+            (simhash64(t) for t in df[self.text_col]), dtype=np.uint64, count=n
+        )
+        shifts = (np.arange(4, dtype=np.uint64) * np.uint64(16))[None, :]
+        keys = (sh[:, None] >> shifts) & np.uint64(0xFFFF)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(df[self.id_col].to_numpy(), 4),
+                "simhash": np.repeat(sh.astype(np.int64), 4),
+                "band": np.tile(np.arange(4, dtype=np.int64), n),
+                "band_key": keys.ravel().astype(np.int64),
+            }
+        )
 
 
 def simhash_near_dup_pairs(
@@ -328,7 +338,12 @@ def simhash_near_dup_pairs(
             hs = d["simhash"].to_numpy(dtype=np.uint64)
             for i in range(len(ids)):
                 x = hs[i] ^ hs[i + 1 :]
-                dist = np.array([bin(int(v)).count("1") for v in x])
+                if not len(x):
+                    continue
+                # vectorized popcount: bytes → unpackbits → row sums
+                dist = np.unpackbits(
+                    x.view(np.uint8).reshape(len(x), 8), axis=1
+                ).sum(axis=1)
                 for j in np.nonzero(dist <= max_hamming)[0]:
                     a.append(ids[i])
                     b.append(ids[i + 1 + j])

@@ -95,3 +95,22 @@ def percentile_disc_by_group(
     return bucketed_map_groups(
         ds.select_columns(keys + [col]), keys, _pct, seed="pct"
     )
+
+
+def histogram_fixed_width(
+    ds: rd.Dataset, col: str, width: float, bin_col: str = "bin", out: str = "n"
+) -> rd.Dataset:
+    """Fixed-width histogram: bin = floor(col / width), count per bin —
+    a per-batch binning projection feeding the bucketed count combiner
+    (the shuffle moves one row per bin per batch)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from engine.ops.agg import grouped_agg
+
+    def _bin(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(pc.cast(t.column(col), pa.float64()), width)), pa.int64())
+        return pa.table({bin_col: b})
+
+    binned = ds.select_columns([col]).map_batches(_bin, batch_format="pyarrow")
+    return grouped_agg(binned, [bin_col], {out: ("count", None)})

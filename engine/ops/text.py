@@ -90,10 +90,12 @@ class LangId:
                 if n > best_n:
                     best, best_n = lang, n
             preds.append(best if best_n else "unknown")
-            confs.append(round(best_n / total, 6))
+            # integer micro-confidence (round-half-up in exact integer
+            # arithmetic) — bit-identical in SQL, no float rounding hazard
+            confs.append((best_n * 2_000_000 + total) // (2 * total))
         out = df.copy()
         out["lang_pred"] = preds
-        out["lang_conf"] = confs
+        out["lang_conf_micro"] = pd.array(confs, dtype="int64")
         return out
 
 
@@ -146,3 +148,20 @@ def word_counts(ds: rd.Dataset, text_col: str = "text", num_buckets: int = 64) -
         .groupby("__bucket")
         .map_groups(_final, batch_format="pandas")
     )
+
+
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_count_regex(ds: rd.Dataset, text_col: str = "text", pattern: str = TOKEN_RE) -> rd.Dataset:
+    """BPE-ish regex token count (word / number / punctuation tokens,
+    leftmost-longest like a tokenizer's pre-split). Vectorized pandas
+    str.count — the same non-overlapping match semantics as the SQL
+    twin's regexp_extract_all."""
+
+    def _count(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["n_tokens_re"] = df[text_col].fillna("").str.count(pattern).astype("int64")
+        return out
+
+    return ds.map_batches(_count, batch_format="pandas")

@@ -139,6 +139,36 @@ def q_token_count_total(sf_dir):
     return global_agg(out, {"total_tokens": ("sum", "n_tokens")})
 
 
+@register_query(
+    "q_token_count_regex",
+    oracle="""SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+                       AS n_tokens_re
+              FROM documents""",
+)
+def q_token_count_regex(sf_dir):
+    """Tokenizer-style regex token count (word/number/punct pre-split)."""
+    from engine.ops.text import token_count_regex
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return select(token_count_regex(ds), ["doc_id", "n_tokens_re"])
+
+
+@register_query(
+    "q_histogram",
+    oracle="""SELECT CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bin,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM lineitem GROUP BY 1""",
+)
+def q_histogram(sf_dir):
+    """Fixed-width histogram of line-item prices (binning projection →
+    bucketed count combiner)."""
+    from engine.ops.reshape import histogram_fixed_width
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return histogram_fixed_width(ds, "l_extendedprice", 1000.0)
+
+
 def _stop_sql() -> str:
     from engine.ops.text import STOPWORDS
 
@@ -171,10 +201,34 @@ def q_quality_score(sf_dir):
     return select(quality_score(ds), ["doc_id", "quality"])
 
 
-@register_query("q_langid")  # heuristic — rows-only
+def _langid_oracle() -> str:
+    from engine.ops.text import STOPWORDS
+
+    counts = ",\n".join(
+        f"len(list_filter(ws, w -> w IN ({', '.join(repr(w) for w in sorted(ws))}))) AS c_{lang}"
+        for lang, ws in STOPWORDS.items()
+    )
+    langs = list(STOPWORDS)  # insertion order = Python tie-break order
+    first_max = " ".join(f"WHEN c_{l} = m THEN '{l}'" for l in langs[:-1])
+    return f"""WITH t AS (
+                 SELECT doc_id, lang, string_split(lower(text), ' ')[1:200] AS ws
+                 FROM documents),
+               c AS (SELECT doc_id, lang, greatest(len(ws), 1) AS total, {counts} FROM t),
+               m AS (SELECT *, greatest(c_{', c_'.join(langs)}) AS m FROM c)
+               SELECT doc_id, lang,
+                      CASE WHEN m = 0 THEN 'unknown' {first_max} ELSE '{langs[-1]}' END AS lang_pred,
+                      CAST((m * 2000000 + total) // (2 * total) AS BIGINT) AS lang_conf_micro
+               FROM m"""
+
+
+@register_query("q_langid", oracle=_langid_oracle())
 def q_langid(sf_dir):
+    """n-gram/stopword language ID — the heuristic is deterministic
+    arithmetic over token/stopword counts, so it is mirrored in SQL
+    (first-200-token window, first-max tie-break in profile order,
+    integer micro-confidence)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    return select(lang_id(ds), ["doc_id", "lang", "lang_pred", "lang_conf"])
+    return select(lang_id(ds), ["doc_id", "lang", "lang_pred", "lang_conf_micro"])
 
 
 @register_query("q_fingerprint")  # rows-only
