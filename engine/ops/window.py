@@ -117,7 +117,8 @@ def analytic(
 ) -> rd.Dataset:
     """SQL analytic window functions over partitions: one output row per
     input row with added columns. ``specs`` maps output name →
-    ("row_number",) | ("rank", col) | ("lag", col, n) | ("lead", col, n)
+    ("row_number",) | ("rank", col) | ("dense_rank", col) | ("ntile", n)
+    | ("lag", col, n) | ("lead", col, n)
     | ("cumsum", col).
 
     Shuffle key is hash(partition_by) % num_buckets (one Ray group per
@@ -147,6 +148,21 @@ def analytic(
                 out[name] = (
                     g[spec[1]].rank(method="min", ascending=not descending).astype("int64")
                 )
+            elif fn == "dense_rank":
+                out[name] = (
+                    g[spec[1]].rank(method="dense", ascending=not descending).astype("int64")
+                )
+            elif fn == "ntile":
+                n_tiles = spec[1]
+                i = g.cumcount().to_numpy()
+                cnt = g[order_by[0]].transform("size").to_numpy()
+                q_, r_ = cnt // n_tiles, cnt % n_tiles
+                big = r_ * (q_ + 1)
+                out[name] = np.where(
+                    i < big,
+                    i // np.maximum(q_ + 1, 1),
+                    r_ + (i - big) // np.maximum(q_, 1),
+                ).astype("int64") + 1
             elif fn == "lag":
                 out[name] = g[spec[1]].shift(spec[2] if len(spec) > 2 else 1)
             elif fn == "lead":

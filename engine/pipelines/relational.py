@@ -650,6 +650,40 @@ def q_window_rank(sf_dir):
 
 
 @register_query(
+    "q_window_frames",
+    oracle="""SELECT o_custkey, o_orderkey, o_totalprice,
+                     CAST(DENSE_RANK() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC) AS BIGINT) AS drnk,
+                     CAST(NTILE(4) OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey DESC) AS BIGINT) AS tile,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+                          PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey DESC
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+              FROM orders""",
+)
+def q_window_frames(sf_dir):
+    """DENSE_RANK / NTILE / running SUM over the bucketed partition
+    exchange (running sum on per-row integer cents → order-exact)."""
+    from engine.ops.window import analytic
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    ds = with_columns(ds, {"cents": _cents("o_totalprice")})
+    out = analytic(
+        ds,
+        partition_by=["o_custkey"],
+        order_by=["o_totalprice", "o_orderkey"],
+        specs={
+            "drnk": ("dense_rank", "o_totalprice"),
+            "tile": ("ntile", 4),
+            "run_cents": ("cumsum", "cents"),
+        },
+        descending=True,
+    )
+    return select(out, ["o_custkey", "o_orderkey", "o_totalprice", "drnk", "tile", "run_cents"])
+
+
+@register_query(
     "q_window_lag_lead",
     oracle="""SELECT event_id, user_id, ts, value,
                      COALESCE(LAG(value)  OVER w, -1.0) AS prev_value,
