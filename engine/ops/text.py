@@ -14,8 +14,6 @@ import pyarrow as pa
 import ray.data as rd
 from engine.util.hashing import actor_pool_size
 
-from engine.ops.dedup import _poly_hash
-
 PUNCT_RE = r"[.,;:!?]"
 
 STOPWORDS = {
@@ -112,10 +110,11 @@ def fingerprint(ds: rd.Dataset, text_col: str = "text", w: int = 5) -> rd.Datase
         for text in df[text_col].fillna(""):
             toks = text.split()
             if len(toks) < w:
-                fps.append(int(_poly_hash(" ".join(toks))))
-                continue
-            hs = [int(_poly_hash(" ".join(toks[i : i + w]))) for i in range(len(toks) - w + 1)]
-            fps.append(min(hs))
+                grams = [" ".join(toks)]
+            else:
+                grams = [" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)]
+            hs = pd.util.hash_array(np.asarray(grams, dtype=object), hash_key="docfingerprint16")
+            fps.append(int(hs.min()))
         out = df.copy()
         out["doc_fp"] = pd.array(np.array(fps, dtype=np.uint64).astype(np.int64).tolist(), dtype="int64")
         return out
