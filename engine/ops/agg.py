@@ -182,3 +182,71 @@ def topk_per_group(
 
     pre = ds.map_batches(_top, batch_format="pandas")
     return bucketed_map_groups(pre, keys, _top, num_buckets=num_buckets, seed="topk")
+
+
+_REAGG = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def rollup(
+    ds: rd.Dataset, keys: list[str], specs: dict[str, tuple[str, str]]
+) -> rd.Dataset:
+    """GROUP BY ROLLUP(keys) for re-aggregatable fns (sum/count/min/max):
+    ONE full pass builds the finest-level aggregate; every coarser level
+    re-aggregates that small result (sum-of-sums, min-of-mins), with the
+    rolled-up key columns set to NULL (SQL ROLLUP semantics). The raw
+    data is scanned once regardless of the number of levels."""
+    import pyarrow as pa
+
+    unknown = {fn for fn, _ in specs.values()} - set(_REAGG)
+    if unknown:
+        raise ValueError(f"rollup cannot re-aggregate {sorted(unknown)!r}")
+
+    base = grouped_agg(ds, keys, specs).materialize()  # one row per key combo
+    levels = [base]
+    for i in range(len(keys) - 1, -1, -1):
+        sub_specs = {name: (_REAGG[fn], name) for name, (fn, _) in specs.items()}
+        if i:
+            lvl = grouped_agg(base, keys[:i], sub_specs)
+        else:
+            lvl = rd.from_arrow(global_agg(base, sub_specs))
+
+        def _addnull(t: pa.Table, dropped=keys[i:]) -> pa.Table:
+            for kcol in dropped:
+                t = t.append_column(kcol, pa.nulls(t.num_rows, type=pa.string()))
+            return t.select(keys + [n for n in specs])
+
+        levels.append(lvl.map_batches(_addnull, batch_format="pyarrow"))
+    out = levels[0].map_batches(
+        lambda t: t.select(keys + [n for n in specs]), batch_format="pyarrow"
+    )
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
+def string_agg_by_group(
+    ds: rd.Dataset,
+    keys: list[str],
+    col: str,
+    sep: str = ",",
+    order_by: list[str] | None = None,
+    out: str = "agg",
+) -> rd.Dataset:
+    """SQL STRING_AGG(col, sep ORDER BY order_by) per group, via the
+    bucketed exchange (O(64) Ray groups; per-key join inside is a
+    vectorized pandas groupby-apply over sorted rows)."""
+    from engine.ops.bucket import bucketed_map_groups
+
+    ob = order_by or [col]
+
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(ob, kind="mergesort")
+        return (
+            df.groupby(keys, sort=False, dropna=False)[col]
+            .agg(lambda s: sep.join(s.astype(str)))
+            .rename(out)
+            .reset_index()
+        )
+
+    need = list(dict.fromkeys(keys + [col] + ob))
+    return bucketed_map_groups(ds.select_columns(need), keys, _agg, seed="sagg")

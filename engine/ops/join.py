@@ -294,3 +294,37 @@ def asof_join(
         .groupby(BUCKET_COL)
         .map_groups(lambda df: _asof(df.drop(columns=BUCKET_COL)), batch_format="pandas")
     )
+
+
+def range_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    by: str,
+    on: str,
+    right_on: str,
+    lower_us: int,
+    upper_us: int = 0,
+    right_by: str | None = None,
+) -> rd.Dataset:
+    """Banded range join: rows match when the by-keys are equal AND
+    ``on - lower_us <= right_on <= on + upper_us`` (time window around
+    the left timestamp, microseconds).
+
+    Executed as the bucketed equi-join on the by-key with the band
+    filter applied per streamed block — co-partitioning comes from the
+    key; the band bounds the retained pairs. Partitioning assumption:
+    one by-key's rows fit a worker (same as asof_join); a keyless or
+    hot-key range join needs time-bin co-partitioning (replicate right
+    rows to overlapping bins) — not implemented here."""
+    rb = right_by or by
+    r = right if rb == by else right.rename_columns({rb: by})
+    j = shuffle_join(left, r, key=by, join_type="inner")
+
+    def _band(t: pa.Table) -> pa.Table:
+        d = pc.subtract(
+            pc.cast(t.column(on), pa.int64()), pc.cast(t.column(right_on), pa.int64())
+        )
+        m = pc.and_(pc.less_equal(d, lower_us), pc.greater_equal(d, -upper_us))
+        return t.filter(m)
+
+    return j.map_batches(_band, batch_format="pyarrow")

@@ -406,6 +406,70 @@ def q_topk_per_group(sf_dir):
     return topk_per_group(ds, ["o_custkey"], "o_totalprice", 2, descending=True, tiebreak=["o_orderkey"])
 
 
+@register_query(
+    "q_rollup",
+    oracle="""SELECT l_returnflag, l_linestatus,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+)
+def q_rollup(sf_dir):
+    """GROUP BY ROLLUP: one full-data pass at the finest level, coarser
+    levels re-aggregated from that small result (sum-of-sums)."""
+    from engine.ops.agg import rollup
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    ds = with_columns(ds, {"sum_qty": lambda t: pc.cast(t.column("l_quantity"), pa.int64())})
+    return rollup(
+        ds, ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("sum", "sum_qty"), "n": ("count", None)},
+    )
+
+
+@register_query(
+    "q_string_agg",
+    oracle="""SELECT o_custkey,
+                     STRING_AGG(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses
+              FROM orders WHERE o_custkey < 100 GROUP BY o_custkey""",
+)
+def q_string_agg(sf_dir):
+    """Ordered STRING_AGG per group through the bucketed exchange."""
+    from engine.ops.agg import string_agg_by_group
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderstatus"])
+    ds = filter_expr(ds, lambda t: pc.less(t.column("o_custkey"), 100))
+    return string_agg_by_group(
+        ds, ["o_custkey"], "o_orderstatus", sep=",", order_by=["o_orderkey"], out="statuses"
+    )
+
+
+@register_query(
+    "q_join_range",
+    oracle="""SELECT e1.event_id, e1.user_id, e2.event_id AS r_event_id
+              FROM events e1 JOIN events e2
+              ON e1.user_id = e2.user_id
+                 AND e2.ts BETWEEN e1.ts - INTERVAL 1 HOUR AND e1.ts
+                 AND e1.event_id <> e2.event_id""",
+)
+def q_join_range(sf_dir):
+    """Banded range join (self): for each event, the same user's other
+    events in the preceding hour — co-partitioned on the user key with
+    the band filtered per block."""
+    from engine.ops.join import range_join
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    other = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    other = rename_ds(other, {"event_id": "r_event_id", "ts": "r_ts"})
+    out = range_join(
+        ev, other, by="user_id", on="ts", right_on="r_ts",
+        lower_us=3_600_000_000, upper_us=0,
+    )
+    out = filter_expr(
+        out, lambda t: pc.not_equal(t.column("event_id"), t.column("r_event_id"))
+    )
+    return select(out, ["event_id", "user_id", "r_event_id"])
+
+
 # ---- sort / limit / sample / set ops --------------------------------------
 
 
