@@ -248,3 +248,67 @@ def test_shuffle_join_left_outer_types():
     assert out["y"].isna().sum() == 2 and len(out) == 4
     o = _pdf(shuffle_join(rd.from_pandas(l), rd.from_pandas(r), key="k", join_type="outer"))
     assert len(o) == 5  # 2 matches + k=2,3 left-only + k=4 right-only
+
+
+def test_rollup_levels():
+    from engine.ops.agg import rollup
+
+    df = pd.DataFrame(
+        {"k1": ["a", "a", "b"], "k2": ["x", "y", "x"], "v": [1, 2, 4]}
+    )
+    out = _pdf(
+        rollup(rd.from_pandas(df), ["k1", "k2"], {"s": ("sum", "v"), "n": ("count", None)})
+    )
+    rows = {(r.k1, r.k2): (r.s, r.n) for r in out.itertuples()}
+    assert rows[("a", "x")] == (1, 1) and rows[("a", "y")] == (2, 1)
+    assert rows[("a", None)] == (3, 2) and rows[("b", None)] == (4, 1)
+    assert rows[(None, None)] == (7, 3)
+    assert len(rows) == 6  # 3 finest + 2 mid + 1 grand total
+
+
+def test_ntile_split_matches_sql_rule():
+    from engine.ops.window import analytic
+
+    df = pd.DataFrame({"g": ["a"] * 7, "v": list(range(7))})
+    out = _pdf(
+        analytic(rd.from_pandas(df), ["g"], ["v"], {"t": ("ntile", 3)})
+    ).sort_values("v")
+    # SQL NTILE(3) over 7 rows → tile sizes 3,2,2
+    assert list(out["t"]) == [1, 1, 1, 2, 2, 3, 3]
+
+
+def test_string_agg_ordered():
+    from engine.ops.agg import string_agg_by_group
+
+    df = pd.DataFrame({"k": [1, 1, 1, 2], "o": [3, 1, 2, 9], "s": ["c", "a", "b", "z"]})
+    out = _pdf(
+        string_agg_by_group(rd.from_pandas(df), ["k"], "s", sep="-", order_by=["o"], out="agg")
+    ).sort_values("k")
+    assert list(out["agg"]) == ["a-b-c", "z"]
+
+
+def test_range_join_band():
+    from engine.ops.join import range_join
+
+    left = pd.DataFrame({"u": [1, 1, 2], "ts": [100, 200, 100], "lid": [10, 11, 12]})
+    right = pd.DataFrame({"u": [1, 1, 2], "rts": [95, 160, 300], "rid": [20, 21, 22]})
+    out = _pdf(
+        range_join(rd.from_pandas(left), rd.from_pandas(right),
+                   by="u", on="ts", right_on="rts", lower_us=50, upper_us=0)
+    )
+    got = sorted(zip(out["lid"], out["rid"]))
+    # lid10@100 matches rts95 (d=5); lid11@200 matches rts160 (d=40);
+    # rts95 is 105 before 200 (out of band); u=2 rts300 is after ts100.
+    assert got == [(10, 20), (11, 21)]
+
+
+def test_grouped_mean_std_matches_pandas():
+    from engine.ops.agg import grouped_agg
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({"k": rng.randint(0, 5, 300), "v": rng.randint(0, 1000, 300)})
+    out = _pdf(
+        grouped_agg(rd.from_pandas(df), ["k"], {"m": ("mean", "v"), "s": ("std", "v")})
+    ).sort_values("k").reset_index(drop=True)
+    exp = df.groupby("k")["v"].agg(["mean", "std"]).reset_index()
+    assert np.allclose(out["m"], exp["mean"]) and np.allclose(out["s"], exp["std"])
