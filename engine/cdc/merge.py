@@ -51,8 +51,38 @@ REPORT_SCHEMA = pa.schema(
         pa.field("rows_out", pa.int64()),
         pa.field("bytes_written", pa.int64()),
         pa.field("duration_s", pa.float64()),
+        # JSON {repo: [d_files, d_chars]} — the partition's contribution to
+        # the incrementally-maintained per-repo summary (engine/cdc/summary.py).
+        pa.field("summary_delta", pa.string()),
     ]
 )
+
+
+def _summary_delta(removed: pa.Table, added: pa.Table) -> str:
+    """Per-repo (Δlive_files, Δcontent_chars) from the rows this merge
+    removed from and added to its partition. Incremental-view math:
+    replace = remove old + add new, delete = remove old — so folding
+    deltas over epochs reproduces a full recompute exactly."""
+    import json
+
+    acc: dict[str, list[int]] = {}
+    for tbl, sign in ((removed, -1), (added, 1)):
+        if tbl.num_rows == 0:
+            continue
+        df = pd.DataFrame(
+            {
+                "r": tbl.column("repo").to_pandas(),
+                "c": pc.utf8_length(tbl.column("content")).to_pandas().fillna(0),
+            }
+        )
+        g = df.groupby("r", sort=False)["c"]
+        for repo, (cnt, chars) in zip(
+            g.count().index, zip(g.count().to_numpy(), g.sum().to_numpy())
+        ):
+            e = acc.setdefault(str(repo), [0, 0])
+            e[0] += sign * int(cnt)
+            e[1] += sign * int(chars)
+    return json.dumps({k: v for k, v in sorted(acc.items()) if v != [0, 0]})
 
 
 def lww_collapse(table: pa.Table) -> pa.Table:
@@ -155,10 +185,12 @@ class MergeApply:
         upsert_rows = pa.table(cols, schema=self.lake_schema)
 
         base = self._read_base(pid)
+        removed = base.slice(0, 0)
         if base.num_rows:
             touched = _key_array(winners)
-            keep = pc.invert(pc.is_in(_key_array(base), value_set=touched))
-            base = base.filter(keep)
+            hit = pc.is_in(_key_array(base), value_set=touched)
+            removed = base.filter(hit)
+            base = base.filter(pc.invert(hit))
         out = pa.concat_tables([base, upsert_rows])
         out = out.sort_by([("repo", "ascending"), ("path", "ascending")])
 
@@ -185,6 +217,7 @@ class MergeApply:
                 "rows_out": [int(out.num_rows)],
                 "bytes_written": [nbytes],
                 "duration_s": [time.monotonic() - t0],
+                "summary_delta": [_summary_delta(removed, upsert_rows)],
             },
             schema=REPORT_SCHEMA,
         )

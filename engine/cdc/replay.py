@@ -150,13 +150,16 @@ def merge_and_commit(
         )
     reports = reports_ds.take_all()  # ≤ P tiny rows — the commit barrier
 
+    from engine.cdc.summary import fold_summary
+
+    summary_rel = fold_summary(lake_dir, prev_manifest, reports, epoch)
     manifest = sink.commit_epoch(
         lake_dir,
         epoch,
         reports,
         target,
         prev_manifest,
-        extra={"wall_s": time.monotonic() - t0},
+        extra={"wall_s": time.monotonic() - t0, "summary_file": summary_rel},
     )
     _write_lineage(lake_dir, epoch, reports)
     return manifest

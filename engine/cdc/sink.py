@@ -34,6 +34,7 @@ MANIFEST_DIR = "manifest"
 DATA_DIR = "data"
 LINEAGE_DIR = "lineage"
 DEADLETTER_DIR = "deadletter"
+SUMMARY_DIR = "summary"
 
 
 def lake_paths(lake_dir: str) -> dict:
@@ -42,6 +43,7 @@ def lake_paths(lake_dir: str) -> dict:
         "data": os.path.join(lake_dir, DATA_DIR),
         "lineage": os.path.join(lake_dir, LINEAGE_DIR),
         "deadletter": os.path.join(lake_dir, DEADLETTER_DIR),
+        "summary": os.path.join(lake_dir, SUMMARY_DIR),
     }
 
 
@@ -118,7 +120,7 @@ def commit_epoch(
         elif pid in files and r.get("rows_out", 1) == 0:
             # Partition emptied by deletes — drop it from the active set.
             del files[pid]
-        lineage.append({k: r[k] for k in r if k != "file"})
+        lineage.append({k: r[k] for k in r if k not in ("file", "summary_delta")})
     manifest = {
         "epoch": epoch,
         "schema_b64": schema_to_b64(event_schema),

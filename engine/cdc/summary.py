@@ -1,0 +1,120 @@
+"""Incrementally-maintained per-repo summary — materialized-view
+maintenance over the CDC lake (north-star "incremental-ingest engine").
+
+The merge stage already holds each touched partition's OLD rows (being
+replaced/deleted) and NEW rows in memory, so it emits per-repo deltas
+(Δlive_files, Δcontent_chars) for free in its report row
+(engine/cdc/merge.py::_summary_delta). This module folds those deltas
+into the running summary each epoch:
+
+- **Exactly-once**: the folded summary is written to a uniquely-named
+  parquet under ``lake/summary/`` BEFORE the manifest commit, and the
+  manifest's ``summary_file`` field is the only reference to it — a
+  crashed epoch leaves an unreferenced orphan, identical to the data
+  files' two-phase protocol (engine/cdc/sink.py).
+- **Correctness**: delta math (replace = −old +new, delete = −old)
+  makes the fold equal a full recompute from the lake at every epoch
+  (tests/test_cdc_summary.py asserts table equality).
+- **Scale**: the driver fold is O(repos touched per epoch + summary
+  size). At huge repo counts the fold becomes a bucketed Ray join of
+  (summary ∪ deltas) — same math, distributed; the per-partition delta
+  emission already scales (partitions are hashed by repo).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from engine.cdc import sink
+
+SUMMARY_SCHEMA = pa.schema(
+    [
+        pa.field("repo", pa.string()),
+        pa.field("n_files", pa.int64()),
+        pa.field("n_chars", pa.int64()),
+    ]
+)
+
+
+def fold_summary(
+    lake_dir: str, prev_manifest: dict | None, reports: list[dict], epoch: int
+) -> str:
+    """Fold this epoch's per-partition deltas into the previous epoch's
+    summary; write a uniquely-named parquet and return its lake-relative
+    path (active only once the referencing manifest commits)."""
+    acc: dict[str, list[int]] = {}
+    prev_rel = (prev_manifest or {}).get("summary_file")
+    if prev_rel:
+        prev = pq.read_table(os.path.join(lake_dir, prev_rel))
+        for r, f, c in zip(
+            prev.column("repo").to_pylist(),
+            prev.column("n_files").to_pylist(),
+            prev.column("n_chars").to_pylist(),
+        ):
+            acc[r] = [f, c]
+    for rep in reports:
+        for r, (d_files, d_chars) in json.loads(rep.get("summary_delta") or "{}").items():
+            e = acc.setdefault(r, [0, 0])
+            e[0] += int(d_files)
+            e[1] += int(d_chars)
+    live = sorted((r, v[0], v[1]) for r, v in acc.items() if v[0] > 0)
+    table = pa.table(
+        {
+            "repo": [r for r, _, _ in live],
+            "n_files": [f for _, f, _ in live],
+            "n_chars": [c for _, _, c in live],
+        },
+        schema=SUMMARY_SCHEMA,
+    )
+    rel = os.path.join("summary", f"epoch-{epoch:05d}-{uuid.uuid4().hex[:12]}.parquet")
+    abs_path = os.path.join(lake_dir, rel)
+    os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+    pq.write_table(table, abs_path)
+    return rel
+
+
+def read_summary(lake_dir: str, epoch: int | None = None) -> pa.Table:
+    """The committed summary as of ``epoch`` (default: latest), resolved
+    only through the manifest — orphans from failed epochs are invisible."""
+    manifest = sink.read_manifest(lake_dir, epoch)
+    rel = (manifest or {}).get("summary_file")
+    if not rel:
+        return SUMMARY_SCHEMA.empty_table()
+    return pq.read_table(os.path.join(lake_dir, rel))
+
+
+def recompute_summary(lake_dir: str, epoch: int | None = None) -> pa.Table:
+    """Full recompute from the lake's active data files (the oracle the
+    incremental fold must equal)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    manifest = sink.read_manifest(lake_dir, epoch)
+    files = sink.active_files(manifest)
+    acc: dict[str, list[int]] = {}
+    for rel in files.values():
+        t = pq.read_table(os.path.join(lake_dir, rel), columns=["repo", "content"])
+        df = pd.DataFrame(
+            {
+                "r": t.column("repo").to_pandas(),
+                "c": pc.utf8_length(t.column("content")).to_pandas().fillna(0),
+            }
+        )
+        for r, (cnt, chars) in df.groupby("r")["c"].agg(["count", "sum"]).iterrows():
+            e = acc.setdefault(str(r), [0, 0])
+            e[0] += int(cnt)
+            e[1] += int(chars)
+    live = sorted((r, v[0], v[1]) for r, v in acc.items() if v[0] > 0)
+    return pa.table(
+        {
+            "repo": [r for r, _, _ in live],
+            "n_files": [f for _, f, _ in live],
+            "n_chars": [c for _, _, c in live],
+        },
+        schema=SUMMARY_SCHEMA,
+    )

@@ -44,6 +44,17 @@ def q_cdc_replay_state(sf_dir):
     return ds.select_columns(["repo", "path", "content_sha256", "seq", "size_bytes"])
 
 
+@register_query("q_cdc_summary")
+def q_cdc_summary(sf_dir):
+    """Incrementally-maintained per-repo summary (materialized view):
+    folded from per-partition merge deltas each epoch, committed with
+    the manifest; equals a full recompute (tests/test_cdc_summary.py)."""
+    from engine.cdc.summary import read_summary
+
+    work = _replayed_lake(sf_dir)
+    return rd.from_arrow(read_summary(f"{work}/lake"))
+
+
 @register_query("q_cdc_lineage")
 def q_cdc_lineage(sf_dir):
     """Per-partition lineage records (event-range, epoch, row counts)."""
