@@ -139,6 +139,12 @@ def run_relational_queries() -> dict:
         "q_text_stats",
         "q_pivot",
         "q_percentile",
+        # round-2 operators
+        "q_join_composite",
+        "q_grouped_mean_std",
+        "q_window_frames",
+        "q_histogram",
+        "q_rollup",
     ]
     import ray.data as rd
 

@@ -53,6 +53,22 @@ def regexp_contains(a, pattern: str):
     return pc.match_substring_regex(a, pattern)
 
 
+def trim(a):
+    return pc.utf8_trim_whitespace(a)
+
+
+def lpad(a, width: int, padding: str = " "):
+    return pc.utf8_lpad(a, width, padding=padding)
+
+
+def rpad(a, width: int, padding: str = " "):
+    return pc.utf8_rpad(a, width, padding=padding)
+
+
+def regexp_replace(a, pattern: str, replacement: str):
+    return pc.replace_substring_regex(a, pattern, replacement)
+
+
 def regexp_extract(a, pattern: str):
     """First capture group of ``pattern`` (pattern must contain exactly one
     named or unnamed group rewritten as named internally)."""

@@ -119,6 +119,31 @@ def q_string_funcs(sf_dir):
 
 
 @register_query(
+    "q_regex_funcs",
+    oracle="""SELECT p_partkey,
+                     regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+                     regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+                     lpad(p_brand, 12, '*') AS brand_pad,
+                     trim(p_type) AS type_trim
+              FROM part""",
+)
+def q_regex_funcs(sf_dir):
+    """Regex + padding scalar functions (Arrow compute kernels, RE2 on
+    both sides)."""
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_name", "p_brand", "p_type"])
+    ds = with_columns(
+        ds,
+        {
+            "first_word": lambda t: F.regexp_extract(t.column("p_name"), "([a-z]+)"),
+            "devoweled": lambda t: F.regexp_replace(t.column("p_name"), "[aeiou]", "_"),
+            "brand_pad": lambda t: F.lpad(t.column("p_brand"), 12, "*"),
+            "type_trim": lambda t: F.trim(t.column("p_type")),
+        },
+    )
+    return select(ds, ["p_partkey", "first_word", "devoweled", "brand_pad", "type_trim"])
+
+
+@register_query(
     "q_date_funcs",
     oracle="""SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS o_year,
                      CAST(month(o_orderdate) AS BIGINT) AS o_month,
