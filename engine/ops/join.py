@@ -193,11 +193,38 @@ def shuffle_join(
                 out[c] = out[c].astype("datetime64[us]")
         return out
 
+    # Arrow-native per-bucket join (Acero hash join): type-exact output —
+    # no pandas NaN upcasts to repair. Acero cannot carry list-typed
+    # payload columns (CLAUDE.md measured fact), so those fall back to
+    # the pandas merge + dtype-restore path.
+    has_list = any(
+        pa.types.is_list(f.type) or pa.types.is_large_list(f.type) for f in union_fields
+    )
+    acero_type = {"inner": "inner", "left": "left outer", "right": "right outer",
+                  "outer": "full outer"}[join_type]
+    out_cols = lcols + [
+        (c + suffixes[1] if c in lcols else c) for c in rcols if c not in keys
+    ]
+
+    def _join_bucket_arrow(t: pa.Table) -> pa.Table:
+        l = t.filter(pc.equal(t.column("__side"), 0)).select(lcols)
+        r = t.filter(pc.equal(t.column("__side"), 1)).select(rcols)
+        j = l.join(
+            r, keys=keys, join_type=acero_type, right_suffix=suffixes[1]
+        )
+        return j.select(out_cols).combine_chunks()
+
     def _join_bucket(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["__side"] == 0][lcols]
         r = df[df["__side"] == 1][rcols]
         how = {"inner": "inner", "left": "left", "right": "right", "outer": "outer"}[join_type]
         return _restore_types(l.merge(r, on=keys, how=how, suffixes=suffixes))
+
+    if not has_list:
+        return u.groupby("__bucket").map_groups(
+            lambda t: _join_bucket_arrow(t.drop_columns("__bucket")),
+            batch_format="pyarrow",
+        )
 
     return u.groupby("__bucket").map_groups(_join_bucket, batch_format="pandas")
 

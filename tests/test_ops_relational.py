@@ -241,13 +241,17 @@ def test_reshape_ops_match_pandas(sales):
 def test_shuffle_join_left_outer_types():
     l = pd.DataFrame({"k": [1, 2, 3], "x": [10, 20, 30]})
     r = pd.DataFrame({"k": [1, 1, 4], "y": [100, 200, 400]})
-    out = _pdf(shuffle_join(rd.from_pandas(l), rd.from_pandas(r), key="k", join_type="left"))
-    out = out.sort_values(["k", "y"]).reset_index(drop=True)
-    # Int columns stay integers (nullable), never 10.0/NaN floats.
-    assert str(out["x"].dtype) == "Int64" and str(out["y"].dtype) == "Int64"
+    joined = shuffle_join(rd.from_pandas(l), rd.from_pandas(r), key="k", join_type="left")
+    # Arrow-native bucket join: int columns stay int64 with typed nulls
+    # (never 10.0/NaN float upcasts).
+    sch = joined.schema()
+    types = dict(zip(sch.names, sch.types))
+    assert str(types["x"]) == "int64" and str(types["y"]) == "int64"
+    out = _pdf(joined).sort_values(["k", "y"]).reset_index(drop=True)
     assert out["y"].isna().sum() == 2 and len(out) == 4
     o = _pdf(shuffle_join(rd.from_pandas(l), rd.from_pandas(r), key="k", join_type="outer"))
     assert len(o) == 5  # 2 matches + k=2,3 left-only + k=4 right-only
+    assert sorted(o["k"].fillna(-1)) == [1, 1, 2, 3, 4]  # outer keys coalesced
 
 
 def test_rollup_levels():
