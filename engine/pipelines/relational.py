@@ -658,6 +658,89 @@ def q_join_asof(sf_dir):
     return select(out, ["event_id", "user_id", "ts", "o_orderkey", "o_orderdate"])
 
 
+@register_query(
+    "q_tpch_q3",
+    oracle="""SELECT l_orderkey,
+                     CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents,
+                     o_orderdate
+              FROM customer, orders, lineitem
+              WHERE c_mktsegment = 'BUILDING'
+                AND c_custkey = o_custkey
+                AND l_orderkey = o_orderkey
+                AND o_orderdate < TIMESTAMP '1995-03-15'
+                AND l_shipdate > TIMESTAMP '1995-03-15'
+              GROUP BY l_orderkey, o_orderdate
+              ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
+              LIMIT 10""",
+)
+def q_tpch_q3(sf_dir):
+    """TPC-H Q3 shape end-to-end: semi-join the customer segment into
+    orders (broadcast key set — no customer columns survive, so no data
+    join needed), shuffle-join lineitem x orders on the order key,
+    combiner group-sum on integer cents, sort+limit with tiebreaks."""
+    cust = table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+    cust = cust.select(["c_custkey"]).rename_columns(["o_custkey"])
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = filter_expr(
+        orders,
+        lambda t: pc.less(t.column("o_orderdate"), pa.scalar(np.datetime64("1995-03-15", "us"))),
+    )
+    orders = semi_join(orders, cust, "o_custkey")
+    orders = select(orders, ["o_orderkey", "o_orderdate"]).rename_columns(
+        {"o_orderkey": "l_orderkey"}
+    )
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    li = filter_expr(
+        li, lambda t: pc.greater(t.column("l_shipdate"), pa.scalar(np.datetime64("1995-03-15", "us")))
+    )
+    li = with_columns(
+        li,
+        {
+            "revenue_cents": lambda t: pc.cast(
+                _round_away(
+                    pc.multiply(
+                        pc.multiply(t.column("l_extendedprice"), pc.subtract(1.0, t.column("l_discount"))),
+                        100.0,
+                    )
+                ),
+                pa.int64(),
+            )
+        },
+    )
+    li = select(li, ["l_orderkey", "revenue_cents"])
+
+    j = shuffle_join(li, orders, key="l_orderkey", join_type="inner")
+    agg = partial_grouped_sum(j, ["l_orderkey", "o_orderdate"], ["revenue_cents"])
+    return agg.sort(
+        ["revenue_cents", "o_orderdate", "l_orderkey"], descending=[True, False, False]
+    ).limit(10)
+
+
+@register_query(
+    "q_filter_pushdown",
+    oracle="""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+              WHERE l_quantity > 49""",
+)
+def q_filter_pushdown(sf_dir):
+    """Row-predicate pushdown at the parquet scan (S1): the filter is
+    evaluated by the reader (row-group stats + scan-level filtering), not
+    a downstream operator."""
+    import pyarrow.dataset as pads
+
+    return read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+        filter_expr=pads.field("l_quantity") > 49,
+    )
+
+
 # ---- windows ---------------------------------------------------------------
 
 
