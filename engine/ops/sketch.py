@@ -99,3 +99,55 @@ def approx_count_distinct_grouped(
         )
 
     return bucketed_map_groups(partials, keys, _merge, seed="hll")
+
+
+def _misra_gries(values: pd.Series, k: int) -> pd.Index:
+    """Batch-level Misra-Gries survivors: every item with batch count
+    > n/(k+1) survives (superset of the batch's heavy hitters)."""
+    vc = values.value_counts()
+    return vc.index[: 4 * k] if len(vc) > 4 * k else vc.index
+
+
+def heavy_hitters(
+    ds: rd.Dataset, col: str, min_count: int, k: int = 1024, out: str = "n"
+) -> rd.Dataset:
+    """Exact heavy hitters at scale via sketch-then-verify:
+
+    1. candidate pass — per-batch Misra-Gries-style survivors (top ~4k
+       distinct values per batch) are unioned driver-side. Pigeonhole: an
+       item with global count >= n_total/k has batch frequency >= the MG
+       retention bound in at least one batch, so the union is a superset
+       of every item with count >= max(min_count, n_total/k). The
+       shuffle-free candidate pass moves only value lists.
+    2. verify pass — the candidate set is broadcast (small by
+       construction), and ONLY candidate rows are exactly counted by the
+       bucketed combiner, then filtered to count >= min_count.
+
+    Output is EXACT (the sketch only prunes the recount), so the result
+    is oracle-checkable — unlike a raw sketch's approximate counts.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from engine.ops.agg import grouped_agg
+
+    def _cand(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({col: _misra_gries(df[col], k)})
+
+    cand_rows = ds.select_columns([col]).map_batches(_cand, batch_format="pandas")
+    candidates = pa.array(sorted(set(cand_rows.to_pandas()[col])))
+    ref = ray.put(candidates)
+
+    def _only_candidates(t: pa.Table) -> pa.Table:
+        from engine.ops.join import _cached_get
+
+        cs = _cached_get(ref)
+        return t.filter(pc.is_in(t.column(col), value_set=cs))
+
+    pruned = ds.select_columns([col]).map_batches(_only_candidates, batch_format="pyarrow")
+    counted = grouped_agg(pruned, [col], {out: ("count", None)})
+
+    def _thresh(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df[out] >= min_count]
+
+    return counted.map_batches(_thresh, batch_format="pandas")

@@ -400,6 +400,22 @@ def q_count_distinct(sf_dir):
     return count_distinct(read_table(sf_dir, "orders", columns=["o_custkey"]), "o_custkey", out="n")
 
 
+@register_query(
+    "q_heavy_hitters",
+    oracle="""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events
+              GROUP BY user_id HAVING COUNT(*) >= 15""",
+)
+def q_heavy_hitters(sf_dir):
+    """Exact heavy hitters via sketch-then-verify: per-batch Misra-Gries
+    candidate survivors → broadcast candidate set → exact bucketed
+    recount of candidates only. The sketch prunes, never decides, so the
+    output is exact and oracle-checked."""
+    from engine.ops.sketch import heavy_hitters
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    return heavy_hitters(ds, "user_id", min_count=15, k=1024)
+
+
 @register_query("q_hll_count_distinct")  # sketch → rows-only driver check
 def q_hll_count_distinct(sf_dir):
     """Approximate COUNT DISTINCT via mergeable HLL (G5; p=12 → ~1.6%)."""
