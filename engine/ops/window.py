@@ -152,6 +152,13 @@ def analytic(
                 out[name] = (
                     g[spec[1]].rank(method="dense", ascending=not descending).astype("int64")
                 )
+            elif fn == "percent_rank":
+                rk = g[spec[1]].rank(method="min", ascending=not descending)
+                cnt = g[spec[1]].transform("size")
+                out[name] = ((rk - 1) / (cnt - 1).clip(lower=1)).where(cnt > 1, 0.0)
+            elif fn == "cume_dist":
+                rk = g[spec[1]].rank(method="max", ascending=not descending)
+                out[name] = rk / g[spec[1]].transform("size")
             elif fn == "ntile":
                 n_tiles = spec[1]
                 i = g.cumcount().to_numpy()

@@ -316,3 +316,26 @@ def test_grouped_mean_std_matches_pandas():
     ).sort_values("k").reset_index(drop=True)
     exp = df.groupby("k")["v"].agg(["mean", "std"]).reset_index()
     assert np.allclose(out["m"], exp["mean"]) and np.allclose(out["s"], exp["std"])
+
+
+def test_percent_rank_cume_dist_match_duckdb():
+    from engine.ops.window import analytic
+
+    df = pd.DataFrame({"g": ["a"] * 5 + ["b"], "v": [10, 20, 20, 30, 40, 7]})
+    out = (
+        _pdf(
+            analytic(
+                rd.from_pandas(df), ["g"], ["v"],
+                {"pr": ("percent_rank", "v"), "cd": ("cume_dist", "v")},
+            )
+        )
+        .sort_values(["g", "v"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.sql(
+        """SELECT g, v, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+           FROM t WINDOW w AS (PARTITION BY g ORDER BY v) ORDER BY g, v"""
+    ).df()
+    assert np.allclose(out["pr"], exp["pr"]) and np.allclose(out["cd"], exp["cd"])
