@@ -151,3 +151,40 @@ def heavy_hitters(
         return df[df[out] >= min_count]
 
     return counted.map_batches(_thresh, batch_format="pandas")
+
+
+def approx_percentile(
+    ds: rd.Dataset, col: str, qs: list[float], bins: int = 4096, out_prefix: str = "p"
+) -> pa.Table:
+    """Mergeable approximate percentiles via a fixed-grid histogram
+    sketch: one min/max pass sets the grid, then each batch emits ONE
+    row carrying its bin-count vector; the driver folds counts and reads
+    the quantiles off the cumulative histogram. Error ≤ one bin width
+    ((max-min)/bins); both passes stream, the shuffle moves `bins` int64
+    per batch. Deterministic (no sampling)."""
+    import numpy as np
+
+    from engine.ops.agg import global_agg
+
+    mm = global_agg(ds.select_columns([col]), {"lo": ("min", col), "hi": ("max", col)})
+    lo, hi = mm.column("lo")[0].as_py(), mm.column("hi")[0].as_py()
+    if lo is None or hi is None or hi <= lo:
+        return pa.table({f"{out_prefix}{int(q*100)}": [lo] for q in qs})
+    width = (hi - lo) / bins
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+        return pd.DataFrame({"counts": [np.bincount(idx, minlength=bins).tobytes()]})
+
+    merged = np.zeros(bins, dtype=np.int64)
+    for row in ds.select_columns([col]).map_batches(_hist, batch_format="pandas").iter_rows():
+        merged += np.frombuffer(row["counts"], dtype=np.int64)
+    cum = np.cumsum(merged)
+    n = cum[-1]
+    cols = {}
+    for q in qs:
+        target = max(1, int(np.ceil(q * n)))
+        b = int(np.searchsorted(cum, target))
+        cols[f"{out_prefix}{int(q*100)}"] = [lo + (b + 1) * width]  # bin upper edge
+    return pa.table(cols)

@@ -955,6 +955,16 @@ def q_percentile(sf_dir):
     return percentile_disc_by_group(ds, ["l_returnflag"], "l_extendedprice", 0.5, out="median_price")
 
 
+@register_query("q_approx_percentile")  # sketch — rows-only (error ≤ bin width)
+def q_approx_percentile(sf_dir):
+    """Mergeable histogram-sketch percentiles of l_extendedprice (p50/
+    p90/p99); accuracy asserted vs exact in tests/test_ops_relational.py."""
+    from engine.ops.sketch import approx_percentile
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return approx_percentile(ds, "l_extendedprice", [0.5, 0.9, 0.99])
+
+
 @register_query(
     "q_join_left",
     oracle="""SELECT c.c_custkey, COALESCE(o.o_orderkey, -1) AS o_orderkey,

@@ -339,3 +339,14 @@ def test_percent_rank_cume_dist_match_duckdb():
            FROM t WINDOW w AS (PARTITION BY g ORDER BY v) ORDER BY g, v"""
     ).df()
     assert np.allclose(out["pr"], exp["pr"]) and np.allclose(out["cd"], exp["cd"])
+
+
+def test_approx_percentile_within_bin_width(sales):
+    from engine.ops.sketch import approx_percentile
+
+    out = approx_percentile(rd.from_pandas(sales), "v", [0.5, 0.9], bins=256)
+    lo, hi = sales["v"].min(), sales["v"].max()
+    width = (hi - lo) / 256
+    for q, name in ((0.5, "p50"), (0.9, "p90")):
+        exact = np.quantile(sales["v"], q, method="inverted_cdf")
+        assert abs(out.column(name)[0].as_py() - exact) <= width + 1e-9
