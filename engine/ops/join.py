@@ -355,3 +355,43 @@ def range_join(
         return t.filter(m)
 
     return j.map_batches(_band, batch_format="pyarrow")
+
+
+def salted_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    join_type: str = "inner",
+    num_salts: int = 8,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Skew-resistant join for hot keys (the Layer-R counterpart of the
+    CDC salted sub-partitioner, SURVEY.md C2): each left row scatters to
+    one of ``num_salts`` sub-keys, the right side replicates to ALL
+    salts of its key, and the bucketed join runs on the composite
+    (key, salt) — a pathological hot key now spreads over num_salts
+    buckets instead of one. Result set is identical to the unsalted join
+    (each left row still meets each of its right matches exactly once).
+    Supports inner/left (right/outer would duplicate unmatched right
+    rows across salts)."""
+    import numpy as np
+
+    if join_type not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left only")
+
+    def _salt_left(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__salt", pa.array(np.arange(t.num_rows, dtype=np.int64) % num_salts)
+        )
+
+    def _replicate_right(t: pa.Table) -> pa.Table:
+        reps = np.repeat(np.arange(t.num_rows, dtype=np.int64), num_salts)
+        out = t.take(pa.array(reps))
+        return out.append_column(
+            "__salt", pa.array(np.tile(np.arange(num_salts, dtype=np.int64), t.num_rows))
+        )
+
+    l = left.map_batches(_salt_left, batch_format="pyarrow")
+    r = right.map_batches(_replicate_right, batch_format="pyarrow")
+    j = shuffle_join(l, r, key=[key, "__salt"], join_type=join_type, num_buckets=num_buckets)
+    return j.map_batches(lambda t: t.drop_columns(["__salt"]), batch_format="pyarrow")

@@ -675,6 +675,31 @@ def q_join_asof(sf_dir):
 
 
 @register_query(
+    "q_join_salted",
+    oracle="""SELECT e.event_id, e.user_id, a.n_type
+              FROM events e
+              JOIN (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_type
+                    FROM events GROUP BY user_id) a
+              ON e.user_id = a.user_id""",
+)
+def q_join_salted(sf_dir):
+    """Skew-resistant salted join on the hot user keys (the events table
+    has ~1% of users carrying ~90 events each): left rows scatter over 8
+    salts, the right side replicates per salt, result identical to the
+    plain join (same SQL oracle shape as q_join_composite)."""
+    from engine.ops.join import salted_join
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    agg = grouped_agg(
+        read_table(sf_dir, "events", columns=["user_id"]),
+        ["user_id"],
+        {"n_type": ("count", None)},
+    )
+    out = salted_join(ev, agg, key="user_id", num_salts=8)
+    return select(out, ["event_id", "user_id", "n_type"])
+
+
+@register_query(
     "q_tpch_q3",
     oracle="""SELECT l_orderkey,
                      CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
