@@ -782,6 +782,41 @@ def q_filter_pushdown(sf_dir):
     )
 
 
+@register_query(
+    "q_join_asof_forward",
+    oracle="""WITH e AS (SELECT user_id, ts, MIN(event_id) AS event_id
+                         FROM events GROUP BY user_id, ts)
+              SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+                     COALESCE(e.event_id, -1) AS event_id,
+                     COALESCE(e.ts, TIMESTAMP '1970-01-01') AS ts
+              FROM orders o ASOF LEFT JOIN e
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts""",
+)
+def q_join_asof_forward(sf_dir):
+    """Forward as-of join (direction='forward'): per customer, the
+    EARLIEST event at-or-after each order date; events pre-reduced to one
+    row per (user, ts) for a deterministic winner, unmatched customers
+    coalesced for the oracle compare."""
+    import pandas as pd
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    ev = grouped_agg(ev, ["user_id", "ts"], {"event_id": ("min", "event_id")})
+    out = asof_join(
+        orders, ev, on="o_orderdate", by="o_custkey", right_on="ts", right_by="user_id",
+        direction="forward",
+    )
+
+    def _fill(df):
+        df = df.copy()
+        df["event_id"] = df["event_id"].fillna(-1).astype("int64")
+        df["ts"] = df["ts"].fillna(pd.Timestamp("1970-01-01")).astype("datetime64[us]")
+        return df
+
+    out = out.map_batches(_fill, batch_format="pandas")
+    return select(out, ["o_orderkey", "o_custkey", "o_orderdate", "event_id", "ts"])
+
+
 # ---- windows ---------------------------------------------------------------
 
 
