@@ -240,7 +240,12 @@ def main_cdc_only():
 
 
 def main_scaling():
-    # Pre-generate + warm cache once (untimed), then two fresh processes.
+    # Pre-generate + warm cache once (untimed), then fresh processes.
+    # The two parallelism legs are INTERLEAVED in (lo, hi) pairs so both
+    # sample the same host-contention window — this box's external load
+    # drifts over minutes and starves the wide leg specifically, so
+    # leg-after-leg ordering biases the ratio. Efficiency = median of the
+    # per-pair ratios (drift-robust); per-leg medians also reported.
     _ray_init(8)
     ensure_changelog()
     import ray
@@ -248,20 +253,32 @@ def main_scaling():
     ray.shutdown()
     os.sync()
     lo, hi = 8, 32
-    r_lo, r_hi = _subprocess_cdc(lo), _subprocess_cdc(hi)
-    eff = (r_hi["events_per_sec"] / r_lo["events_per_sec"]) / (hi / lo)
+    pairs = []
+    for i in range(REPS):
+        pairs.append((_subprocess_cdc(lo, reps=1), _subprocess_cdc(hi, reps=1)))
+    hashes = {r["state_hash"] for p in pairs for r in p}
+    assert len(hashes) == 1, f"nondeterministic state: {hashes}"
+    runs_lo = sorted(p[0]["events_per_sec"] for p in pairs)
+    runs_hi = sorted(p[1]["events_per_sec"] for p in pairs)
+    pair_effs = sorted(
+        (p[1]["events_per_sec"] / p[0]["events_per_sec"]) / (hi / lo) for p in pairs
+    )
+    med_lo = runs_lo[len(runs_lo) // 2]
+    med_hi = runs_hi[len(runs_hi) // 2]
+    n_events = pairs[0][0]["events"]
     out = {
         "metric": "cdc_scaling",
-        "events": r_lo["events"],
-        f"sec_{lo}": r_lo["cdc_wall_s"],
-        f"sec_{hi}": r_hi["cdc_wall_s"],
-        f"events_per_sec_{lo}": r_lo["events_per_sec"],
-        f"events_per_sec_{hi}": r_hi["events_per_sec"],
-        f"runs_{lo}": r_lo.get("events_per_sec_runs"),
-        f"runs_{hi}": r_hi.get("events_per_sec_runs"),
-        "scaling_efficiency": round(eff, 3),
-        "state_hash_match": r_lo["state_hash"] == r_hi["state_hash"],
-        "state_hash": r_lo["state_hash"][:16],
+        "events": n_events,
+        f"sec_{lo}": round(n_events / med_lo if med_lo else 0, 3),
+        f"sec_{hi}": round(n_events / med_hi if med_hi else 0, 3),
+        f"events_per_sec_{lo}": med_lo,
+        f"events_per_sec_{hi}": med_hi,
+        f"runs_{lo}": runs_lo,
+        f"runs_{hi}": runs_hi,
+        "pair_efficiencies": [round(e, 3) for e in pair_effs],
+        "scaling_efficiency": round(pair_effs[len(pair_effs) // 2], 3),
+        "state_hash_match": True,
+        "state_hash": pairs[0][0]["state_hash"][:16],
     }
     print(json.dumps(out))
 
