@@ -176,6 +176,11 @@ def analytic(
                 out[name] = g[spec[1]].shift(-(spec[2] if len(spec) > 2 else 1))
             elif fn == "cumsum":
                 out[name] = g[spec[1]].cumsum()
+            elif fn == "rolling_sum":
+                r = g[spec[1]].rolling(spec[2], min_periods=1).sum()
+                out[name] = r.reset_index(
+                    level=list(range(len(partition_by))), drop=True
+                )
             else:
                 raise ValueError(f"unknown analytic fn {fn!r}")
         return out.drop(columns="__bucket")

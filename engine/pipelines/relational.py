@@ -963,6 +963,38 @@ def q_window_lag_lead(sf_dir):
 
 
 @register_query(
+    "q_window_moving",
+    oracle="""SELECT event_id, user_id, ts,
+                     CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS moving_cents
+              FROM events""",
+)
+def q_window_moving(sf_dir):
+    """3-row moving sum per user over event time (rolling frame on
+    integer cents — order-exact)."""
+    from engine.ops.window import analytic
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    ds = with_columns(ds, {"cents": _cents("value")})
+    out = analytic(
+        ds,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        specs={"moving_cents": ("rolling_sum", "cents", 3)},
+    )
+
+    def _int(df):
+        df = df.copy()
+        df["moving_cents"] = df["moving_cents"].astype("int64")
+        return df
+
+    out = out.map_batches(_int, batch_format="pandas")
+    return select(out, ["event_id", "user_id", "ts", "moving_cents"])
+
+
+@register_query(
     "q_unpivot",
     oracle="""SELECT l_orderkey, l_linenumber, 'l_quantity' AS name, l_quantity AS value
               FROM lineitem WHERE l_orderkey < 500
