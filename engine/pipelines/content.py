@@ -281,6 +281,54 @@ def q_multimodal_decode(sf_dir):
 
 
 @register_query(
+    "q_corpus_curation",
+    oracle=f"""WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+               d AS (SELECT doc.doc_id, doc.lang, doc.text FROM documents doc
+                     JOIN keep USING (doc_id)),
+               t AS (SELECT doc_id, lang, text,
+                            CAST(greatest(length(text), 1) AS DOUBLE) AS n,
+                            string_split(lower(text), ' ') AS ws
+                     FROM d),
+               s AS (SELECT doc_id, lang,
+                            CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+                            round(0.4 * least(n / 200.0, 1.0)
+                                + 0.3 * (1.0 - least(
+                                      (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / n * 5.0,
+                                      1.0))
+                                + 0.3 * least(
+                                      CAST(len(list_filter(ws, w -> w IN ({_stop_sql()}))) AS DOUBLE)
+                                      / greatest(len(ws), 1) * 4.0,
+                                      1.0), 6) AS quality
+                     FROM t)
+               SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+               FROM s WHERE quality >= 0.6 GROUP BY lang""",
+)
+def q_corpus_curation(sf_dir):
+    """End-to-end corpus curation: exact dedup (min doc_id per text) →
+    quality scoring → threshold filter → per-language doc/token summary.
+    Every stage is SQL-mirrored, so the whole chain is value-hash
+    checked — the composed version of q_dedup_exact + q_quality_score +
+    q_text_stats."""
+    import pandas as pd
+
+    from engine.ops.agg import grouped_agg
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    ds = exact_dedup(ds, ["text"], tiebreak="doc_id", keep="min")
+    ds = quality_score(ds)
+    ds = text_stats(ds)
+
+    def _keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["quality"] >= 0.6][["lang", "n_tokens"]]
+
+    kept = ds.map_batches(_keep, batch_format="pandas")
+    return grouped_agg(
+        kept, ["lang"], {"n_docs": ("count", None), "sum_tokens": ("sum", "n_tokens")}
+    )
+
+
+@register_query(
     "q_wordcount",
     oracle="""SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
                 SELECT unnest(string_split_regex(text, ' +')) AS word FROM documents
