@@ -66,6 +66,29 @@ def _ensure_arrow(ds: rd.Dataset) -> tuple[rd.Dataset, pa.Schema]:
     return ds, ds.schema().base_schema
 
 
+def _schema_from_blocks(ds: rd.Dataset) -> tuple[rd.Dataset, pa.Schema | None]:
+    """Schema from the first NON-EMPTY materialized block. Ray 2.49's
+    sampled ``schema()`` can report a stale pre-Project schema when the
+    first sampled block is empty (the sampling plan inserts limit=1
+    before the Projects); real blocks are always right."""
+    ds = ds.materialize()
+    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        if b.num_rows:
+            return ds, b.schema
+    return ds, None
+
+
+def _keyed_arrow(ds: rd.Dataset, keys: list[str]) -> tuple[rd.Dataset, pa.Schema]:
+    """_ensure_arrow + stale-schema guard: if any join key is missing
+    from the inferred schema, re-derive it from actual blocks."""
+    ds, schema = _ensure_arrow(ds)
+    if any(k not in schema.names for k in keys):
+        ds, real = _schema_from_blocks(ds)
+        if real is not None:
+            schema = real
+    return ds, schema
+
+
 def _cached_get(ref: ray.ObjectRef):
     """Worker-process cache so each worker deserializes a broadcast table
     once, not once per batch."""
@@ -140,8 +163,8 @@ def shuffle_join(
     at O(buckets), not O(distinct keys); a pathologically hot key still
     lands in one bucket — salt upstream."""
     keys = [key] if isinstance(key, str) else list(key)
-    left, lschema = _ensure_arrow(left)
-    right, rschema = _ensure_arrow(right)
+    left, lschema = _keyed_arrow(left, keys)
+    right, rschema = _keyed_arrow(right, keys)
     lcols, rcols = list(lschema.names), list(rschema.names)
     union_fields = [lschema.field(n) for n in lcols] + [
         rschema.field(n) for n in rcols if n not in lcols
@@ -206,13 +229,29 @@ def shuffle_join(
         (c + suffixes[1] if c in lcols else c) for c in rcols if c not in keys
     ]
 
+    def _fix_types_arrow(j: pa.Table) -> pa.Table:
+        # Ray's sort shuffle may normalize mixed-format inputs to pandas
+        # blocks, upcasting null-bearing int columns to float64 before
+        # they reach this bucket; cast back to the declared field types
+        # (NaN → typed null for integer targets).
+        for i, c in enumerate(j.column_names):
+            base = c.removesuffix(suffixes[1]) if suffixes[1] and c.endswith(suffixes[1]) else c
+            want = type_of.get(base, type_of.get(c))
+            col = j.column(i)
+            if want is None or col.type == want:
+                continue
+            if pa.types.is_floating(col.type):
+                col = pc.if_else(pc.is_nan(col), pa.scalar(None, col.type), col)
+            j = j.set_column(i, c, pc.cast(col, want))
+        return j
+
     def _join_bucket_arrow(t: pa.Table) -> pa.Table:
         l = t.filter(pc.equal(t.column("__side"), 0)).select(lcols)
         r = t.filter(pc.equal(t.column("__side"), 1)).select(rcols)
         j = l.join(
             r, keys=keys, join_type=acero_type, right_suffix=suffixes[1]
         )
-        return j.select(out_cols).combine_chunks()
+        return _fix_types_arrow(j.select(out_cols)).combine_chunks()
 
     def _join_bucket(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["__side"] == 0][lcols]
@@ -245,8 +284,8 @@ def asof_join(
     ``pd.merge_asof(..., by=)`` call handles every key vectorized."""
     right_on = right_on or on
     right_by = right_by or by
-    left, lschema = _ensure_arrow(left)
-    right, rschema = _ensure_arrow(right)
+    left, lschema = _keyed_arrow(left, [on, by])
+    right, rschema = _keyed_arrow(right, [right_on, right_by])
     lcols, rcols = list(lschema.names), list(rschema.names)
     # Unified schema for the tagged union: left fields + right-only fields
     # + side tag + join key (typed nulls for the absent side's columns).
