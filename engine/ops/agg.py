@@ -202,6 +202,14 @@ def rollup(
         raise ValueError(f"rollup cannot re-aggregate {sorted(unknown)!r}")
 
     base = grouped_agg(ds, keys, specs).materialize()  # one row per key combo
+    # Key types for the rolled-up NULL columns come from the actual data
+    # (hardcoding string would give coarser levels a mismatched schema
+    # for integer/date group keys).
+    key_types: dict[str, pa.DataType] = {k: pa.string() for k in keys}
+    for b in base.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        if b.num_rows:
+            key_types = {k: b.schema.field(k).type for k in keys}
+            break
     levels = [base]
     for i in range(len(keys) - 1, -1, -1):
         sub_specs = {name: (_REAGG[fn], name) for name, (fn, _) in specs.items()}
@@ -212,7 +220,7 @@ def rollup(
 
         def _addnull(t: pa.Table, dropped=keys[i:]) -> pa.Table:
             for kcol in dropped:
-                t = t.append_column(kcol, pa.nulls(t.num_rows, type=pa.string()))
+                t = t.append_column(kcol, pa.nulls(t.num_rows, type=key_types[kcol]))
             return t.select(keys + [n for n in specs])
 
         levels.append(lvl.map_batches(_addnull, batch_format="pyarrow"))

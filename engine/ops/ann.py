@@ -150,7 +150,13 @@ def cosine_near_dup_pairs(
     """
     from engine.ops.dedup import exact_dedup
 
-    sample = _stack_any(ds.limit(sample_size).take_all(), vec_col)
+    rows = ds.limit(sample_size).take_all()
+    if not rows:  # empty corpus → no pairs
+        return rd.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64())})
+        )
+    sample = _stack_any(rows, vec_col)
     cent = build_centroids(sample, n_cells=n_cells, seed=seed)
     cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
     ref = ray.put(cent)

@@ -80,7 +80,14 @@ def _schema_from_blocks(ds: rd.Dataset) -> tuple[rd.Dataset, pa.Schema | None]:
 
 def _keyed_arrow(ds: rd.Dataset, keys: list[str]) -> tuple[rd.Dataset, pa.Schema]:
     """_ensure_arrow + stale-schema guard: if any join key is missing
-    from the inferred schema, re-derive it from actual blocks."""
+    from the inferred schema, re-derive it from actual blocks.
+
+    Known limitation: a stale schema that still CONTAINS the keys (the
+    projection only dropped non-key columns) passes the guard, and the
+    tagged union then carries extra all-null columns for the dropped
+    names — detectable downstream as surplus columns, not silent value
+    corruption. Unconditional block-derived schemas would fix it but
+    force materializing large map-only inputs."""
     ds, schema = _ensure_arrow(ds)
     if any(k not in schema.names for k in keys):
         ds, real = _schema_from_blocks(ds)
@@ -347,19 +354,9 @@ def asof_join(
         )
         return _restore_types(out.drop(columns="__k"))
 
-    from engine.ops.bucket import BUCKET_COL
-    from engine.util.hashing import fast_hash_column
+    from engine.ops.bucket import bucketed_map_groups
 
-    def _route(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df[BUCKET_COL] = fast_hash_column(df["__k"].astype(str), 64, seed="asof")
-        return df
-
-    return (
-        u.map_batches(_route, batch_format="pandas")
-        .groupby(BUCKET_COL)
-        .map_groups(lambda df: _asof(df.drop(columns=BUCKET_COL)), batch_format="pandas")
-    )
+    return bucketed_map_groups(u, ["__k"], _asof, seed="asof")
 
 
 def range_join(

@@ -58,11 +58,14 @@ def trim(a):
 
 
 def lpad(a, width: int, padding: str = " "):
-    return pc.utf8_lpad(a, width, padding=padding)
+    """SQL lpad semantics: pads AND truncates to ``width`` (Arrow's
+    utf8_lpad alone leaves longer strings untouched; DuckDB truncates)."""
+    return pc.utf8_slice_codeunits(pc.utf8_lpad(a, width, padding=padding), 0, width)
 
 
 def rpad(a, width: int, padding: str = " "):
-    return pc.utf8_rpad(a, width, padding=padding)
+    """SQL rpad semantics: pads AND truncates to ``width``."""
+    return pc.utf8_slice_codeunits(pc.utf8_rpad(a, width, padding=padding), 0, width)
 
 
 def regexp_replace(a, pattern: str, replacement: str):

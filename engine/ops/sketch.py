@@ -101,27 +101,23 @@ def approx_count_distinct_grouped(
     return bucketed_map_groups(partials, keys, _merge, seed="hll")
 
 
-def _misra_gries(values: pd.Series, k: int) -> pd.Index:
-    """Batch-level Misra-Gries survivors: every item with batch count
-    > n/(k+1) survives (superset of the batch's heavy hitters)."""
-    vc = values.value_counts()
-    return vc.index[: 4 * k] if len(vc) > 4 * k else vc.index
-
-
 def heavy_hitters(
     ds: rd.Dataset, col: str, min_count: int, k: int = 1024, out: str = "n"
 ) -> rd.Dataset:
     """Exact heavy hitters at scale via sketch-then-verify:
 
-    1. candidate pass — per-batch Misra-Gries-style survivors (top ~4k
-       distinct values per batch) are unioned driver-side. Pigeonhole: an
-       item with global count >= n_total/k has batch frequency >= the MG
-       retention bound in at least one batch, so the union is a superset
-       of every item with count >= max(min_count, n_total/k). The
-       shuffle-free candidate pass moves only value lists.
-    2. verify pass — the candidate set is broadcast (small by
-       construction), and ONLY candidate rows are exactly counted by the
-       bucketed combiner, then filtered to count >= min_count.
+    1. candidate pass — each batch emits its Misra-Gries summary: the
+       (value, batch_count) pairs with batch_count > batch_n/(k+1)
+       (at most k pairs) plus the batch size. The driver folds them:
+       for any item, true_count ≤ fold_count + Σ_absent batch_n/(k+1)
+       ≤ fold_count + n_total/(k+1), so
+       ``fold_count + n_total/(k+1) >= min_count`` selects a PROVEN
+       superset of every item with true count >= min_count. The
+       shuffle-free pass moves at most k (value, count) pairs per batch.
+    2. verify pass — the candidate set is broadcast (selective whenever
+       k >> n_total/min_count), and ONLY candidate rows are exactly
+       counted by the bucketed combiner, then filtered to
+       count >= min_count.
 
     Output is EXACT (the sketch only prunes the recount), so the result
     is oracle-checkable — unlike a raw sketch's approximate counts.
@@ -132,10 +128,25 @@ def heavy_hitters(
     from engine.ops.agg import grouped_agg
 
     def _cand(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({col: _misra_gries(df[col], k)})
+        vc = df[col].value_counts()
+        keep = vc[vc > len(df) / (k + 1)]
+        if len(keep) == 0:  # still record the batch size for the slack bound
+            return pd.DataFrame({col: [None], "__cnt": [0], "__batch_n": [len(df)]})
+        return pd.DataFrame(
+            {
+                col: keep.index,
+                "__cnt": keep.to_numpy(dtype="int64"),
+                "__batch_n": [len(df)] + [0] * (len(keep) - 1),
+            }
+        )
 
-    cand_rows = ds.select_columns([col]).map_batches(_cand, batch_format="pandas")
-    candidates = pa.array(sorted(set(cand_rows.to_pandas()[col])))
+    summary = (
+        ds.select_columns([col]).map_batches(_cand, batch_format="pandas").to_pandas()
+    )
+    n_total = int(summary["__batch_n"].sum())
+    slack = n_total / (k + 1)
+    fold = summary.groupby(col)["__cnt"].sum()
+    candidates = pa.array(sorted(fold.index[fold + slack >= min_count]))
     ref = ray.put(candidates)
 
     def _only_candidates(t: pa.Table) -> pa.Table:
@@ -169,7 +180,7 @@ def approx_percentile(
     mm = global_agg(ds.select_columns([col]), {"lo": ("min", col), "hi": ("max", col)})
     lo, hi = mm.column("lo")[0].as_py(), mm.column("hi")[0].as_py()
     if lo is None or hi is None or hi <= lo:
-        return pa.table({f"{out_prefix}{int(q*100)}": [lo] for q in qs})
+        return pa.table({f"{out_prefix}{round(q*100)}": [lo] for q in qs})
     width = (hi - lo) / bins
 
     def _hist(df: pd.DataFrame) -> pd.DataFrame:
@@ -186,5 +197,5 @@ def approx_percentile(
     for q in qs:
         target = max(1, int(np.ceil(q * n)))
         b = int(np.searchsorted(cum, target))
-        cols[f"{out_prefix}{int(q*100)}"] = [lo + (b + 1) * width]  # bin upper edge
+        cols[f"{out_prefix}{round(q*100)}"] = [lo + (b + 1) * width]  # bin upper edge
     return pa.table(cols)

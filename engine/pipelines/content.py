@@ -196,7 +196,11 @@ def _stop_sql() -> str:
 def q_quality_score(sf_dir):
     """Heuristic quality score — pure arithmetic over text features, so
     the formula is mirrored in SQL (length band + punctuation sanity +
-    stopword presence; stopword list shared with engine.ops.text)."""
+    stopword presence; stopword list shared with engine.ops.text).
+
+    Oracle parity note: Python str.split() vs SQL string_split(text,' ')
+    agree only on single-space-separated text — guaranteed by the driver
+    corpus (verified: no runs of spaces / tabs / newlines at any sf)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return select(quality_score(ds), ["doc_id", "quality"])
 
@@ -226,7 +230,8 @@ def q_langid(sf_dir):
     """n-gram/stopword language ID — the heuristic is deterministic
     arithmetic over token/stopword counts, so it is mirrored in SQL
     (first-200-token window, first-max tie-break in profile order,
-    integer micro-confidence)."""
+    integer micro-confidence). Same single-space tokenization-parity
+    assumption as q_quality_score (holds for the driver corpus)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     return select(lang_id(ds), ["doc_id", "lang", "lang_pred", "lang_conf_micro"])
 

@@ -350,3 +350,16 @@ def test_approx_percentile_within_bin_width(sales):
     for q, name in ((0.5, "p50"), (0.9, "p90")):
         exact = np.quantile(sales["v"], q, method="inverted_cdf")
         assert abs(out.column(name)[0].as_py() - exact) <= width + 1e-9
+
+
+def test_rollup_integer_keys_typed_nulls():
+    from engine.ops.agg import rollup
+
+    df = pd.DataFrame({"k": [1, 1, 2], "v": [10, 20, 30]})
+    ds = rollup(rd.from_pandas(df), ["k"], {"s": ("sum", "v")})
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+    assert str(types["k"]) == "int64"  # not string — typed from the data
+    out = _pdf(ds)
+    rows = {(-1 if pd.isna(r.k) else int(r.k)): int(r.s) for r in out.itertuples()}
+    assert rows == {1: 30, 2: 30, -1: 60}
