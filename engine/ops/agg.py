@@ -99,7 +99,14 @@ def grouped_agg(
                 q = g[f"{name}__q"].sum().astype("float64")
                 n = g[f"{name}__n"].sum().astype("float64")
                 # Sample std (SQL STDDEV): sqrt((Σx² - (Σx)²/n) / (n-1)).
-                out[name] = np.sqrt((q - s * s / n) / (n - 1.0))
+                # n==1 groups are masked to NaN/null explicitly (0/0 in
+                # numpy would warn; DuckDB's x/0 gives NULL — same result).
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    out[name] = np.where(
+                        n.to_numpy() > 1.0,
+                        np.sqrt((q - s * s / n) / (n - 1.0)),
+                        np.nan,
+                    )
         return out.reset_index()
 
     return (

@@ -75,6 +75,39 @@ def knn_brute(
     return partial.groupby("query_id").map_groups(_merge, batch_format="pandas")
 
 
+def bottomk_sample_rows(
+    ds: rd.Dataset, id_col: str, n: int, seed: str = "ann-sample"
+) -> list[dict]:
+    """Deterministic order-independent sample of ``n`` rows: keep the rows
+    whose seeded id hash is globally smallest (bottom-k sketch). Each batch
+    keeps only its own bottom-``n`` (any global bottom-k row is in its
+    batch's bottom-k), so the final sort+limit moves ≤ n rows per block —
+    never the dataset. Unlike ``limit(n)`` this is uniform for sorted or
+    clustered inputs (a clustered corpus would otherwise yield
+    unrepresentative k-means centroids)."""
+
+    import zlib
+
+    # hash_key only keys object dtypes in pandas; mix a seed constant in
+    # explicitly so integer id columns still get seed-dependent hashes.
+    mix = np.uint64(zlib.crc32(seed.encode()) | 1)
+
+    def _bottom(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(__h=pd.Series(dtype="uint64"))
+        h = pd.util.hash_array(df[id_col].to_numpy(), hash_key=seed.ljust(16)[:16])
+        h = (h ^ mix) * np.uint64(0x9E3779B97F4A7C15)
+        df = df.assign(__h=h)
+        if len(df) > n:
+            df = df.iloc[np.argpartition(h, n)[:n]]
+        return df
+
+    rows = ds.map_batches(_bottom, batch_format="pandas").sort("__h").limit(n).take_all()
+    for r in rows:
+        r.pop("__h", None)
+    return rows
+
+
 def build_centroids(sample: np.ndarray, n_cells: int, seed: int = 42, iters: int = 10) -> np.ndarray:
     """Seeded Lloyd k-means on a driver-side sample (small, one-time)."""
     rng = np.random.RandomState(seed)
@@ -150,7 +183,7 @@ def cosine_near_dup_pairs(
     """
     from engine.ops.dedup import exact_dedup
 
-    rows = ds.limit(sample_size).take_all()
+    rows = bottomk_sample_rows(ds, id_col, sample_size, seed=f"cnd-{seed}")
     if not rows:  # empty corpus → no pairs
         return rd.from_arrow(
             pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),

@@ -29,14 +29,19 @@ _BCAST_CACHE_MAX = 4  # bounded LRU-ish: interleaved broadcast refs on one
 
 
 def _has_all_to_all(ds: rd.Dataset) -> bool:
-    from ray.data._internal.logical.operators.all_to_all_operator import AbstractAllToAll
-
-    def walk(op) -> bool:
-        return isinstance(op, AbstractAllToAll) or any(
-            walk(d) for d in op.input_dependencies
+    try:
+        # Ray-internal path — import inside the guard so a Ray upgrade that
+        # moves the module degrades to "no shuffle detected" (skip the
+        # materialize-once optimization) instead of breaking every join.
+        from ray.data._internal.logical.operators.all_to_all_operator import (
+            AbstractAllToAll,
         )
 
-    try:
+        def walk(op) -> bool:
+            return isinstance(op, AbstractAllToAll) or any(
+                walk(d) for d in op.input_dependencies
+            )
+
         return walk(ds._logical_plan.dag)
     except Exception:
         return False
@@ -129,6 +134,20 @@ def broadcast_join(
         return out.combine_chunks()
 
     return ds.map_batches(_join, batch_format="pyarrow")
+
+
+def distributed_keyset(ds: rd.Dataset, key: str) -> pa.Table:
+    """Build a semi/anti-join key set from a LARGE Dataset: distributed
+    distinct first, then a driver pull bounded by the distinct key
+    cardinality — never the table's row count (the broadcast-semi-join
+    contract: the key set, not the table, must fit the driver)."""
+    from engine.ops.agg import distinct
+
+    rows = distinct(ds.select_columns([key]), [key]).take_all()
+    vals = [
+        None if (isinstance(v, float) and v != v) else v for v in (r[key] for r in rows)
+    ]
+    return pa.table({key: vals})
 
 
 def semi_join(ds: rd.Dataset, keys_table: pa.Table, key: str, anti: bool = False) -> rd.Dataset:

@@ -152,14 +152,9 @@ def list_slice(a, start: int, stop: int):
 # ---- json ------------------------------------------------------------------
 
 
-def json_get(a, key: str, as_type: pa.DataType = pa.int64()):
-    """Extract a field from a JSON-in-string column (events.props —
-    SURVEY.md §2.2 M7). Python json per row (small keys, not hot-path);
-    returns a typed Arrow array."""
-    if isinstance(a, pa.ChunkedArray):
-        a = a.combine_chunks()
+def _json_get_loop(values: list, key: str) -> list:
     out = []
-    for s in a.to_pylist():
+    for s in values:
         if s is None:
             out.append(None)
             continue
@@ -167,4 +162,50 @@ def json_get(a, key: str, as_type: pa.DataType = pa.int64()):
             out.append(json.loads(s).get(key))
         except (ValueError, AttributeError):
             out.append(None)
+    return out
+
+
+def json_get(a, key: str, as_type: pa.DataType = pa.int64()):
+    """Extract a field from a JSON-in-string column (events.props —
+    SURVEY.md §2.2 M7); returns a typed Arrow array.
+
+    Hot path: a vectorized ``pc.extract_regex`` for flat single-object
+    JSON with scalar int/float/string values (the 100-TB events shape).
+    Rows the regex cannot answer soundly fall back to real JSON parsing:
+    (a) nested documents (more than one '{' — a regex hit could be a
+    nested object's key) and (b) rows where the key is present but the
+    regex missed (escaped strings, null/bool/array values)."""
+    import re
+
+    import numpy as np
+
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    k = re.escape(key)
+    if pa.types.is_integer(as_type):
+        pat = f'"{k}"\\s*:\\s*(?P<v>-?\\d+)\\s*[,}}\\]]'
+    elif pa.types.is_floating(as_type):
+        pat = f'"{k}"\\s*:\\s*(?P<v>-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)\\s*[,}}\\]]'
+    elif pa.types.is_string(as_type) or pa.types.is_large_string(as_type):
+        pat = f'"{k}"\\s*:\\s*"(?P<v>[^"\\\\]*)"'
+    else:
+        pat = None
+    if pat is None or len(a) == 0:
+        return pa.array(_json_get_loop(a.to_pylist(), key), type=as_type)
+
+    fast = pc.struct_field(pc.extract_regex(a, pat), "v")
+    if not pa.types.is_string(as_type) and not pa.types.is_large_string(as_type):
+        fast = pc.cast(fast, as_type)
+    # Soundness fallback mask: nested docs, or key present but unmatched.
+    nested = pc.greater(pc.count_substring(a, "{"), 1)
+    missed = pc.and_kleene(pc.is_null(fast), pc.match_substring(a, f'"{key}"'))
+    slow = pc.fill_null(pc.or_kleene(nested, missed), False)
+    slow = pc.and_(slow, pc.is_valid(a))
+    if not pc.any(slow).as_py():
+        return fast
+    idx = np.nonzero(slow.to_numpy(zero_copy_only=False))[0]
+    out = fast.to_pylist()
+    parsed = _json_get_loop([a[int(i)].as_py() for i in idx], key)
+    for i, v in zip(idx, parsed):
+        out[int(i)] = v
     return pa.array(out, type=as_type)

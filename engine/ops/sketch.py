@@ -128,7 +128,10 @@ def heavy_hitters(
     from engine.ops.agg import grouped_agg
 
     def _cand(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df[col].value_counts()
+        # dropna=False: a NULL key is a first-class candidate (SQL GROUP BY
+        # forms a null group). The zero-count marker row below also uses a
+        # null key, but its __cnt of 0 never inflates the null fold.
+        vc = df[col].value_counts(dropna=False)
         keep = vc[vc > len(df) / (k + 1)]
         if len(keep) == 0:  # still record the batch size for the slack bound
             return pd.DataFrame({col: [None], "__cnt": [0], "__batch_n": [len(df)]})
@@ -145,15 +148,20 @@ def heavy_hitters(
     )
     n_total = int(summary["__batch_n"].sum())
     slack = n_total / (k + 1)
-    fold = summary.groupby(col)["__cnt"].sum()
-    candidates = pa.array(sorted(fold.index[fold + slack >= min_count]))
-    ref = ray.put(candidates)
+    fold = summary.groupby(col, dropna=False)["__cnt"].sum()
+    cand_mask = fold + slack >= min_count
+    null_is_candidate = bool(cand_mask[fold.index.isna()].any())
+    candidates = pa.array(sorted(fold.index[cand_mask & fold.index.notna()]))
+    ref = ray.put((candidates, null_is_candidate))
 
     def _only_candidates(t: pa.Table) -> pa.Table:
         from engine.ops.join import _cached_get
 
-        cs = _cached_get(ref)
-        return t.filter(pc.is_in(t.column(col), value_set=cs))
+        cs, keep_null = _cached_get(ref)
+        m = pc.is_in(t.column(col), value_set=cs)
+        if keep_null:
+            m = pc.or_kleene(m, pc.is_null(t.column(col)))
+        return t.filter(m)
 
     pruned = ds.select_columns([col]).map_batches(_only_candidates, batch_format="pyarrow")
     counted = grouped_agg(pruned, [col], {out: ("count", None)})

@@ -635,10 +635,18 @@ def q_join_shuffle(sf_dir):
               WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)""",
 )
 def q_join_semi(sf_dir):
-    keys = table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    keys = keys.filter(pc.greater(keys.column("o_totalprice"), 150000.0)).rename_columns(
-        ["c_custkey", "o_totalprice"]
+    """Broadcast semi join with a DISTRIBUTED key-set build: the orders
+    scan stays in Ray (pushed-down price filter), distinct runs bucketed,
+    and only the distinct custkeys reach the driver."""
+    import pyarrow.dataset as pads
+
+    from engine.ops.join import distributed_keyset
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"],
+        filter_expr=pads.field("o_totalprice") > 150000.0,
     )
+    keys = distributed_keyset(orders, "o_custkey").rename_columns(["c_custkey"])
     ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
     return semi_join(ds, keys, "c_custkey")
 
@@ -649,8 +657,15 @@ def q_join_semi(sf_dir):
               WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""",
 )
 def q_join_anti(sf_dir):
-    keys = table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    keys = keys.filter(pc.greater(keys.column("o_totalprice"), 400000.0)).select(["o_custkey"]).rename_columns(["c_custkey"])
+    import pyarrow.dataset as pads
+
+    from engine.ops.join import distributed_keyset
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"],
+        filter_expr=pads.field("o_totalprice") > 400000.0,
+    )
+    keys = distributed_keyset(orders, "o_custkey").rename_columns(["c_custkey"])
     ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
     return semi_join(ds, keys, "c_custkey", anti=True)
 
@@ -720,9 +735,15 @@ def q_tpch_q3(sf_dir):
     orders (broadcast key set — no customer columns survive, so no data
     join needed), shuffle-join lineitem x orders on the order key,
     combiner group-sum on integer cents, sort+limit with tiebreaks."""
-    cust = table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    cust = cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
-    cust = cust.select(["c_custkey"]).rename_columns(["o_custkey"])
+    import pyarrow.dataset as pads
+
+    from engine.ops.join import distributed_keyset
+
+    cust_ds = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
+        filter_expr=pads.field("c_mktsegment") == "BUILDING",
+    )
+    cust = distributed_keyset(cust_ds, "c_custkey").rename_columns(["o_custkey"])
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
     orders = filter_expr(

@@ -363,3 +363,63 @@ def test_rollup_integer_keys_typed_nulls():
     out = _pdf(ds)
     rows = {(-1 if pd.isna(r.k) else int(r.k)): int(r.s) for r in out.itertuples()}
     assert rows == {1: 30, 2: 30, -1: 60}
+
+
+def test_grouped_std_single_row_group_is_null():
+    """n==1 groups: decomposed std must yield null, matching DuckDB's
+    STDDEV (x/0 -> NULL), not a NaN-from-0/0 warning (ADVICE round 2)."""
+    df = pd.DataFrame({"k": ["a", "a", "b"], "v": [1.0, 3.0, 7.0]})
+    out = _pdf(grouped_agg(rd.from_pandas(df), ["k"], {"sd": ("std", "v")}))
+    ref = duckdb.sql(
+        "SELECT k, stddev(v) AS sd FROM df GROUP BY k ORDER BY k"
+    ).df()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert np.isclose(out.loc[0, "sd"], ref.loc[0, "sd"])
+    assert pd.isna(out.loc[1, "sd"]) and pd.isna(ref.loc[1, "sd"])
+
+
+def test_heavy_hitters_null_key_candidate():
+    """A NULL key above min_count is reported (SQL GROUP BY forms a null
+    group); below-threshold values are pruned (ADVICE round 2)."""
+    from engine.ops.sketch import heavy_hitters
+
+    df = pd.DataFrame({"x": [None] * 40 + ["hot"] * 50 + ["cold"] * 3})
+    out = _pdf(heavy_hitters(rd.from_pandas(df), "x", min_count=10, k=8))
+    got = {(-1 if pd.isna(r.x) else r.x): int(r.n) for r in out.itertuples()}
+    assert got == {-1: 40, "hot": 50}
+
+
+def test_json_get_nested_and_escaped_fallback():
+    """Vectorized fast path must fall back to real JSON parsing for
+    nested docs and regex-missed rows — results identical to json.loads."""
+    from engine.ops import scalar as F
+
+    vals = [
+        '{"k": 5}',                      # fast path
+        '{"a": {"k": 99}, "k": 7}',      # nested: regex unsound -> loop
+        '{"a": {"k": 99}}',              # nested, key only inside -> None
+        '{"k": null}',                   # null literal -> loop -> None
+        None,
+        "bad",
+    ]
+    out = F.json_get(pa.array(vals), "k").to_pylist()
+    assert out == [5, 7, None, None, None, None]
+    s = F.json_get(pa.array(['{"k": "x"}', '{"k": "a\\"b"}']), "k", pa.string())
+    assert s.to_pylist() == ["x", 'a"b']
+
+
+def test_bottomk_sample_order_independent():
+    """The seeded bottom-k sample must pick the same rows regardless of
+    input ordering (ADVICE round 2: limit() on a clustered corpus gave
+    unrepresentative centroids)."""
+    from engine.ops.ann import bottomk_sample_rows
+
+    df = pd.DataFrame({"id": np.arange(1000), "v": np.arange(1000) * 2})
+    a = bottomk_sample_rows(rd.from_pandas(df), "id", 50, seed="t")
+    b = bottomk_sample_rows(
+        rd.from_pandas(df.sample(frac=1.0, random_state=7)), "id", 50, seed="t"
+    )
+    ka, kb = {r["id"] for r in a}, {r["id"] for r in b}
+    assert ka == kb and len(ka) == 50
+    c = bottomk_sample_rows(rd.from_pandas(df), "id", 50, seed="other")
+    assert {r["id"] for r in c} != ka  # seed-dependent for int ids
