@@ -42,7 +42,7 @@ REPORT_SCHEMA = pa.schema(
     [
         pa.field("pid", pa.int64()),
         pa.field("epoch", pa.int64()),
-        pa.field("file", pa.string()),
+        pa.field("files", pa.list_(pa.string())),
         pa.field("seq_lo", pa.int64()),
         pa.field("seq_hi", pa.int64()),
         pa.field("events_in", pa.int64()),
@@ -134,6 +134,44 @@ def _key_array(table: pa.Table) -> pa.Array:
     return joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) else joined
 
 
+def live_view(lake_dir: str, rels: list[str], lake_schema: pa.Schema) -> pa.Table:
+    """Merge-on-read of one partition's active file list — the LSM read
+    path (C5). The list is one base file (no ``op`` column) plus zero or
+    more per-epoch delta files (lake columns + ``op``, including ``D``
+    tombstones). Later files carry strictly larger ``seq``, but the merge
+    doesn't rely on list order: max-``seq`` per (repo, path) wins, then
+    tombstones drop out. Returns live rows in lake schema, sorted by key
+    (byte-identical to what rewrite-on-touch would have produced)."""
+    if not rels:
+        return lake_schema.empty_table()
+    parts = []
+    for rel in rels:
+        t = pq.read_table(os.path.join(lake_dir, rel))
+        if "op" in t.schema.names:
+            op = t.column("op")
+            t = conform_table(t.drop_columns(["op"]), lake_schema)
+        else:
+            op = pa.nulls(t.num_rows, pa.string())  # base rows never lose
+            t = conform_table(t, lake_schema)
+        parts.append(t.append_column("op", op))
+    t = pa.concat_tables(parts)
+    if len(parts) > 1 and t.num_rows:
+        df = pd.DataFrame(
+            {
+                "r": t.column("repo").to_pandas(),
+                "p": t.column("path").to_pandas(),
+                "s": t.column("seq").to_pandas(),
+            }
+        )
+        pos = df.groupby(["r", "p"], sort=False)["s"].idxmax().to_numpy()
+        t = t.take(pa.array(np.sort(pos)))
+    live = t.filter(pc.fill_null(pc.not_equal(t.column("op"), "D"), True))
+    live = live.drop_columns(["op"])
+    if len(parts) > 1:
+        live = live.sort_by([("repo", "ascending"), ("path", "ascending")])
+    return live
+
+
 class MergeApply:
     """One call per lake partition group; actor pool so manifest state /
     schemas are deserialized once per actor (BASELINE.json:6 "stateful
@@ -145,24 +183,29 @@ class MergeApply:
         epoch: int,
         active_files: dict,
         event_schema_b64: str,
+        write_mode: str = "rewrite",
+        compact_files: int = 4,
     ):
         from engine.cdc.sink import schema_from_b64
 
         self.lake_dir = lake_dir
         self.epoch = epoch
-        self.active = {int(k): v for k, v in active_files.items()}
+        self.active = {
+            int(k): ([v] if isinstance(v, str) else list(v))
+            for k, v in active_files.items()
+        }
         self.event_schema = schema_from_b64(event_schema_b64)
         self.lake_schema = lake_schema_for(self.event_schema)
         self.payload_names = [
             f.name for f in self.lake_schema if f.name not in ("content_sha256", "seq")
         ]
+        if write_mode not in ("rewrite", "delta"):
+            raise ValueError(f"write_mode {write_mode!r}")
+        self.write_mode = write_mode
+        self.compact_files = compact_files
 
     def _read_base(self, pid: int) -> pa.Table:
-        rel = self.active.get(pid)
-        if rel is None:
-            return self.lake_schema.empty_table()
-        base = pq.read_table(os.path.join(self.lake_dir, rel))
-        return conform_table(base, self.lake_schema)  # null-backfill new columns
+        return live_view(self.lake_dir, self.active.get(pid, []), self.lake_schema)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.monotonic()
@@ -194,21 +237,47 @@ class MergeApply:
         out = pa.concat_tables([base, upsert_rows])
         out = out.sort_by([("repo", "ascending"), ("path", "ascending")])
 
-        file_rel, nbytes = None, 0
+        # LSM write policy (C5): "rewrite" rewrites the touched partition
+        # (one base file); "delta" appends only this epoch's winners —
+        # upserts plus D tombstones, ~events-sized, not partition-sized —
+        # and compacts back to one base when the file list would exceed
+        # ``compact_files`` (bounds read amplification).
+        prev = self.active.get(pid, [])
+        write_delta = self.write_mode == "delta" and len(prev) + 1 <= self.compact_files
+        files, nbytes = [], 0
         if out.num_rows:
-            file_rel = os.path.join(
-                "data", f"part={pid}", f"base-{self.epoch:05d}-{uuid.uuid4().hex[:12]}.parquet"
-            )
-            abs_path = os.path.join(self.lake_dir, file_rel)
-            os.makedirs(os.path.dirname(abs_path), exist_ok=True)
-            pq.write_table(out, abs_path)
+            if write_delta:
+                dcols = {name: winners.column(name) for name in self.payload_names}
+                dcols["content_sha256"] = pa.array(
+                    sha256_hex_column(winners.column("content")), type=pa.string()
+                )
+                dcols["seq"] = winners.column("seq")
+                dcols["op"] = winners.column("op")
+                delta = pa.table(dcols)
+                file_rel = os.path.join(
+                    "data", f"part={pid}",
+                    f"delta-{self.epoch:05d}-{uuid.uuid4().hex[:12]}.parquet",
+                )
+                abs_path = os.path.join(self.lake_dir, file_rel)
+                os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+                pq.write_table(delta, abs_path)
+                files = prev + [file_rel]
+            else:
+                file_rel = os.path.join(
+                    "data", f"part={pid}",
+                    f"base-{self.epoch:05d}-{uuid.uuid4().hex[:12]}.parquet",
+                )
+                abs_path = os.path.join(self.lake_dir, file_rel)
+                os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+                pq.write_table(out, abs_path)
+                files = [file_rel]
             nbytes = os.path.getsize(abs_path)
 
         return pa.table(
             {
                 "pid": [pid],
                 "epoch": [self.epoch],
-                "file": [file_rel],
+                "files": [files if files else None],
                 "seq_lo": [seq_lo],
                 "seq_hi": [seq_hi],
                 "events_in": [events_in],
@@ -226,16 +295,27 @@ class MergeApply:
 _MERGE_CACHE: dict[tuple, MergeApply] = {}
 
 
-def merge_apply_group(group: pa.Table, *, lake_dir, epoch, active_files, event_schema_b64) -> pa.Table:
+def merge_apply_group(
+    group: pa.Table,
+    *,
+    lake_dir,
+    epoch,
+    active_files,
+    event_schema_b64,
+    write_mode="rewrite",
+    compact_files=4,
+) -> pa.Table:
     """Task-form of :class:`MergeApply` (elastic scheduling: one task per
     partition group, no pool pre-reservation — a fixed-size actor pool
     sized to the CPU count can starve the upstream shuffle tasks, and a
     per-epoch pool pays actor startup every epoch). The constructed
     stage is cached per worker process per epoch, mirroring actor-pool
     setup amortization."""
-    key = (lake_dir, epoch, event_schema_b64)
+    key = (lake_dir, epoch, event_schema_b64, write_mode)
     fn = _MERGE_CACHE.get(key)
     if fn is None:
         _MERGE_CACHE.clear()  # previous epochs' entries are dead
-        fn = _MERGE_CACHE[key] = MergeApply(lake_dir, epoch, active_files, event_schema_b64)
+        fn = _MERGE_CACHE[key] = MergeApply(
+            lake_dir, epoch, active_files, event_schema_b64, write_mode, compact_files
+        )
     return fn(group)

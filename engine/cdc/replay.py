@@ -64,6 +64,16 @@ class ReplayConfig:
     # kept as an option for real multi-node clusters where exchange
     # latency is higher relative to store bandwidth.
     pipeline_epochs: bool = False
+    # LSM write policy (C5). "rewrite": every touched partition is
+    # rewritten whole (best when epochs are huge — the nominal 10^10-event
+    # regime — since each write is already mostly new data). "delta":
+    # append only the epoch's winners as a delta file (upserts + delete
+    # tombstones) and merge base+deltas on read — bounds write
+    # amplification to O(events) for small/frequent epochs; compaction
+    # back to one base file triggers when a partition's file list would
+    # exceed ``compact_files``.
+    write_mode: str = "rewrite"
+    compact_files: int = 4
 
 
 def _cpus() -> int:
@@ -133,7 +143,9 @@ def merge_and_commit(
         merge_conc = cfg.merge_concurrency or max(2, min(cfg.num_partitions, _cpus() - 2))
         reports_ds = winners.groupby("pid").map_groups(
             MergeApply,
-            fn_constructor_args=(lake_dir, epoch, active, target_b64),
+            fn_constructor_args=(
+                lake_dir, epoch, active, target_b64, cfg.write_mode, cfg.compact_files,
+            ),
             batch_format="pyarrow",
             concurrency=merge_conc,
         )
@@ -145,6 +157,8 @@ def merge_and_commit(
                 epoch=epoch,
                 active_files=active,
                 event_schema_b64=target_b64,
+                write_mode=cfg.write_mode,
+                compact_files=cfg.compact_files,
             ),
             batch_format="pyarrow",
         )

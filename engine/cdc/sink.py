@@ -90,11 +90,17 @@ def is_committed(lake_dir: str, epoch: int) -> bool:
     return os.path.exists(_manifest_path(lake_dir, epoch))
 
 
-def active_files(manifest: dict | None) -> dict[int, str]:
-    """pid → data-file path relative to the lake dir."""
+def active_files(manifest: dict | None) -> dict[int, list[str]]:
+    """pid → ordered data-file list relative to the lake dir: one base
+    file optionally followed by per-epoch delta files (log-structured
+    merge layout, C5). Manifests written before the delta format carried
+    a single string per pid — normalized here to a one-element list."""
     if manifest is None:
         return {}
-    return {int(k): v for k, v in manifest["active_files"].items()}
+    return {
+        int(k): ([v] if isinstance(v, str) else list(v))
+        for k, v in manifest["active_files"].items()
+    }
 
 
 def commit_epoch(
@@ -115,12 +121,14 @@ def commit_epoch(
     lineage = []
     for r in reports:
         pid = int(r["pid"])
-        if r.get("file"):
-            files[pid] = r["file"]
-        elif pid in files and r.get("rows_out", 1) == 0:
-            # Partition emptied by deletes — drop it from the active set.
-            del files[pid]
-        lineage.append({k: r[k] for k in r if k not in ("file", "summary_delta")})
+        if r.get("rows_out", 1) == 0:
+            # Partition emptied by deletes — drop it from the active set
+            # (a tombstone-only delta written this epoch stays unreferenced
+            # and is reclaimed by vacuum).
+            files.pop(pid, None)
+        elif r.get("files"):
+            files[pid] = list(r["files"])
+        lineage.append({k: r[k] for k in r if k not in ("files", "summary_delta")})
     manifest = {
         "epoch": epoch,
         "schema_b64": schema_to_b64(event_schema),

@@ -94,11 +94,15 @@ def recompute_summary(lake_dir: str, epoch: int | None = None) -> pa.Table:
     import pandas as pd
     import pyarrow.compute as pc
 
+    from engine.cdc.merge import live_view
+    from engine.schemas import lake_schema_for
+
     manifest = sink.read_manifest(lake_dir, epoch)
     files = sink.active_files(manifest)
+    schema = lake_schema_for(sink.schema_from_b64(manifest["schema_b64"])) if manifest else None
     acc: dict[str, list[int]] = {}
-    for rel in files.values():
-        t = pq.read_table(os.path.join(lake_dir, rel), columns=["repo", "content"])
+    for rels in files.values():
+        t = live_view(lake_dir, rels, schema).select(["repo", "content"])
         df = pd.DataFrame(
             {
                 "r": t.column("repo").to_pandas(),

@@ -13,14 +13,11 @@ the correctness gate run by pytest.
 from __future__ import annotations
 
 import hashlib
-import os
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 import ray.data as rd
 
 from engine.cdc import sink
-from engine.cdc.schema import conform_table
 from engine.schemas import lake_schema_for
 
 _MOD = 1 << 256
@@ -37,24 +34,26 @@ def canonical_digest(table: pa.Table, exclude: tuple = ("content",)) -> str:
     return f"{total:064x}"
 
 
-def lake_files(lake_dir: str, epoch: int | None = None) -> tuple[list[str], pa.Schema]:
+def lake_files(lake_dir: str, epoch: int | None = None) -> tuple[dict[int, list[str]], pa.Schema]:
+    """pid → active file list (lake-relative) + the lake schema, resolved
+    only through the committed manifest."""
     manifest = sink.read_manifest(lake_dir, epoch)
     if manifest is None:
         raise FileNotFoundError(f"no committed manifest under {lake_dir}")
     schema = lake_schema_for(sink.schema_from_b64(manifest["schema_b64"]))
-    files = [
-        os.path.join(lake_dir, rel) for _, rel in sorted(sink.active_files(manifest).items())
-    ]
-    return files, schema
+    return sink.active_files(manifest), schema
 
 
 def lake_table(lake_dir: str, epoch: int | None = None) -> pa.Table:
-    """Driver-side full read of the lake state (tests / small lakes),
-    conformed to the latest schema, sorted by key."""
-    files, schema = lake_files(lake_dir, epoch)
-    if not files:
+    """Driver-side full read of the lake state (tests / small lakes):
+    per-partition LSM merge-on-read (base + deltas, engine/cdc/merge.py
+    ::live_view), conformed to the latest schema, sorted by key."""
+    from engine.cdc.merge import live_view
+
+    parts, schema = lake_files(lake_dir, epoch)
+    if not parts:
         return schema.empty_table()
-    tables = [conform_table(pq.read_table(f), schema) for f in files]
+    tables = [live_view(lake_dir, rels, schema) for _, rels in sorted(parts.items())]
     return pa.concat_tables(tables).sort_by(
         [("repo", "ascending"), ("path", "ascending")]
     )
@@ -62,13 +61,26 @@ def lake_table(lake_dir: str, epoch: int | None = None) -> pa.Table:
 
 def read_lake(lake_dir: str, epoch: int | None = None) -> rd.Dataset:
     """The lake as a streaming Dataset — resolved ONLY via the committed
-    manifest, so uncommitted/orphan files are invisible."""
-    files, schema = lake_files(lake_dir, epoch)
-    if not files:
+    manifest, so uncommitted/orphan files are invisible. One task per
+    partition performs the LSM merge-on-read (a partition's base+deltas
+    must co-locate for the merge — same assumption the merge stage
+    itself relies on)."""
+    from engine.cdc.merge import live_view
+
+    parts, schema = lake_files(lake_dir, epoch)
+    if not parts:
         return rd.from_arrow(schema.empty_table())
-    ds = rd.read_parquet(files, partitioning=None)  # `part=<pid>` is addressing, not a hive column
-    return ds.map_batches(
-        lambda t: conform_table(t, schema), batch_format="pyarrow"
+    items = [{"rels": rels} for _, rels in sorted(parts.items())]
+
+    def _load(batch: pa.Table) -> pa.Table:
+        tables = [
+            live_view(lake_dir, list(rels), schema)
+            for rels in batch.column("rels").to_pylist()
+        ]
+        return pa.concat_tables(tables) if tables else schema.empty_table()
+
+    return rd.from_items(items).map_batches(
+        _load, batch_format="pyarrow", batch_size=1
     )
 
 
