@@ -211,15 +211,72 @@ def replay(
     lake_dir: str,
     cfg: ReplayConfig | None = None,
     max_epoch: int | None = None,
+    follow: bool = False,
+    poll_s: float = 1.0,
+    stop=None,
+    idle_timeout_s: float | None = None,
 ) -> dict:
     """Replay all (or up to ``max_epoch``) epochs, resuming after the last
     committed one. Returns a summary dict.
+
+    ``follow=True`` turns the bounded replay into a continuous tail (the
+    north-star binlog/WAL tailer): after draining the epochs present, the
+    loop polls ``log_dir`` every ``poll_s`` seconds for newly sealed
+    epochs and replays them as they appear, until ``stop``
+    (a ``threading.Event``) is set or no new epoch has arrived for
+    ``idle_timeout_s``. An epoch is *sealed* when its ``epoch=<k>``
+    directory exists — writers must stage elsewhere and ``os.rename`` the
+    directory in (atomic on POSIX), exactly how the follow tests and any
+    real producer should publish. Exactly-once / resume semantics are
+    untouched: each drain is the same idempotent manifest-gated loop.
 
     The schema chain target_k = negotiate(target_{k-1}, schema(epoch k))
     is computed driver-side from parquet footers, so the whole chain is
     known upfront and epoch k+1's winners can be prefetched while epoch
     k merges (see module docstring)."""
     cfg = cfg or ReplayConfig()
+    if follow:
+        t0 = time.monotonic()
+        ran_total: list[int] = []
+        skipped0: list[int] | None = None
+        events_total = 0
+        last: dict = {}
+        last_progress = time.monotonic()
+        while not (stop is not None and stop.is_set()):
+            out = _replay_available(log_dir, lake_dir, cfg, max_epoch)
+            ran_total += out["epochs_run"]
+            events_total += out["events_applied"]
+            if skipped0 is None:
+                skipped0 = out["epochs_skipped"]
+            if out["last_manifest"] is not None:
+                last = out["last_manifest"]
+            now = time.monotonic()
+            if out["epochs_run"]:
+                last_progress = now
+            elif idle_timeout_s is not None and now - last_progress >= idle_timeout_s:
+                break
+            if stop is not None:
+                stop.wait(poll_s)
+            else:
+                time.sleep(poll_s)
+        return {
+            "epochs_run": ran_total,
+            "epochs_skipped": skipped0 or [],
+            "events_applied": events_total,
+            "wall_s": time.monotonic() - t0,
+            "last_manifest": last or sink.read_manifest(lake_dir),
+        }
+    return _replay_available(log_dir, lake_dir, cfg, max_epoch)
+
+
+def _replay_available(
+    log_dir: str,
+    lake_dir: str,
+    cfg: ReplayConfig,
+    max_epoch: int | None = None,
+) -> dict:
+    """One bounded drain: replay every currently sealed, not-yet-committed
+    epoch in order."""
     sink.init_lake(lake_dir)
     epochs = tailer.available_epochs(log_dir)
     if max_epoch is not None:
@@ -228,10 +285,14 @@ def replay(
     ran, skipped = [], []
     t0 = time.monotonic()
     todo = []
+    # C4 resume: epochs commit strictly in order, so anything at or below
+    # the highest committed epoch is done — even if its own manifest was
+    # pruned by vacuum's retention policy (re-running an old epoch against
+    # a newer base would corrupt the lake).
+    last = sink.last_committed_epoch(lake_dir)
     for k in epochs:
-        if sink.is_committed(lake_dir, k):  # C4: idempotent replay / resume
+        if last is not None and k <= last:
             skipped.append(k)
-            manifest = sink.read_manifest(lake_dir, k)
             continue
         todo.append(k)
 
@@ -293,12 +354,29 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--max-epoch", type=int, default=None)
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--salts", type=int, default=4)
+    ap.add_argument("--write-mode", choices=["rewrite", "delta"], default="rewrite")
+    ap.add_argument("--follow", action="store_true", help="tail the log for new epochs")
+    ap.add_argument("--poll-s", type=float, default=1.0)
+    ap.add_argument(
+        "--idle-timeout-s", type=float, default=None,
+        help="with --follow: exit after this long without a new epoch (default: run forever)",
+    )
     ap.add_argument("--verify", action="store_true")
     args = ap.parse_args(argv)
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
-    cfg = ReplayConfig(num_partitions=args.partitions, num_salts=args.salts)
-    summary = replay(args.log_dir, args.lake_dir, cfg, args.max_epoch)
+    cfg = ReplayConfig(
+        num_partitions=args.partitions, num_salts=args.salts, write_mode=args.write_mode
+    )
+    summary = replay(
+        args.log_dir,
+        args.lake_dir,
+        cfg,
+        args.max_epoch,
+        follow=args.follow,
+        poll_s=args.poll_s,
+        idle_timeout_s=args.idle_timeout_s,
+    )
     print(
         {
             k: summary[k]

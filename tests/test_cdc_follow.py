@@ -1,0 +1,80 @@
+"""Continuous tail mode: replay(follow=True) must pick up epochs sealed
+while it runs (atomic directory rename = the seal), converge to the
+sequential oracle, and stop cleanly."""
+
+import os
+import shutil
+import threading
+import time
+
+from engine.cdc import sink
+from engine.cdc.oracle import oracle_state_hash
+from engine.cdc.replay import ReplayConfig, replay
+from engine.cdc.synth import SynthConfig, synth_changelog
+from engine.cdc.verify import state_hash
+
+
+def test_follow_converges_and_stops(tmp_path, sf_dir):
+    # Stage the full 4-epoch changelog, then publish epochs one at a time
+    # into the live log dir by atomic rename while the follower runs.
+    staging = synth_changelog(
+        sf_dir, f"{tmp_path}/staging",
+        SynthConfig(seed=42, n_events=1600, n_epochs=4, n_keys=400),
+    )
+    live = f"{tmp_path}/live"
+    os.makedirs(live)
+    epochs = sorted(os.listdir(staging))
+    epochs = [e for e in epochs if e.startswith("epoch=")]
+    os.rename(os.path.join(staging, epochs[0]), os.path.join(live, epochs[0]))
+
+    lake = f"{tmp_path}/lake"
+    stop = threading.Event()
+    result = {}
+
+    def _follow():
+        result["out"] = replay(
+            live, lake,
+            ReplayConfig(num_partitions=4, num_salts=2, write_mode="delta"),
+            follow=True, poll_s=0.1, stop=stop,
+        )
+
+    t = threading.Thread(target=_follow)
+    t.start()
+    try:
+        for e in epochs[1:]:
+            time.sleep(0.3)
+            os.rename(os.path.join(staging, e), os.path.join(live, e))
+        deadline = time.time() + 120
+        while time.time() < deadline and sink.last_committed_epoch(lake) != 3:
+            time.sleep(0.2)
+        assert sink.last_committed_epoch(lake) == 3, "follower never caught up"
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not t.is_alive()
+    out = result["out"]
+    assert out["epochs_run"] == [0, 1, 2, 3]
+    assert state_hash(lake) == oracle_state_hash(live)
+    # Restart the follower over the fully-sealed log: everything skipped.
+    out2 = replay(
+        live, lake, ReplayConfig(num_partitions=4, num_salts=2, write_mode="delta"),
+        follow=True, poll_s=0.05, idle_timeout_s=0.2,
+    )
+    assert out2["epochs_run"] == [] and out2["epochs_skipped"] == [0, 1, 2, 3]
+    shutil.rmtree(staging)
+
+
+def test_follow_idle_timeout_exits_without_stop_event(tmp_path, sf_dir):
+    log = synth_changelog(
+        sf_dir, f"{tmp_path}/log",
+        SynthConfig(seed=42, n_events=800, n_epochs=2, n_keys=200),
+    )
+    lake = f"{tmp_path}/lake"
+    t0 = time.time()
+    out = replay(
+        log, lake, ReplayConfig(num_partitions=4, num_salts=2),
+        follow=True, poll_s=0.05, idle_timeout_s=0.3,
+    )
+    assert out["epochs_run"] == [0, 1]
+    assert time.time() - t0 < 60
+    assert state_hash(lake) == oracle_state_hash(log)
