@@ -74,6 +74,12 @@ class ReplayConfig:
     # exceed ``compact_files``.
     write_mode: str = "rewrite"
     compact_files: int = 4
+    # Per-repo summary maintenance: "driver" folds deltas in driver memory
+    # (O(live repos) — right while the repo count fits); "distributed"
+    # runs the fold as a bucketed Ray grouped-sum over (summary ∪ deltas)
+    # and writes the summary straight from the Dataset (huge-repo-count
+    # path; adds a small per-epoch Ray job).
+    summary_fold: str = "driver"
 
 
 def _cpus() -> int:
@@ -166,7 +172,9 @@ def merge_and_commit(
 
     from engine.cdc.summary import fold_summary
 
-    summary_rel = fold_summary(lake_dir, prev_manifest, reports, epoch)
+    summary_rel = fold_summary(
+        lake_dir, prev_manifest, reports, epoch, mode=cfg.summary_fold
+    )
     manifest = sink.commit_epoch(
         lake_dir,
         epoch,

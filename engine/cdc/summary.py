@@ -41,12 +41,42 @@ SUMMARY_SCHEMA = pa.schema(
 )
 
 
+def _delta_rows(reports: list[dict]) -> list[dict]:
+    rows = []
+    for rep in reports:
+        for r, (d_files, d_chars) in json.loads(rep.get("summary_delta") or "{}").items():
+            rows.append({"repo": r, "n_files": int(d_files), "n_chars": int(d_chars)})
+    return rows
+
+
+def _write_summary(lake_dir: str, epoch: int, table: pa.Table) -> str:
+    rel = os.path.join("summary", f"epoch-{epoch:05d}-{uuid.uuid4().hex[:12]}.parquet")
+    abs_path = os.path.join(lake_dir, rel)
+    os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+    pq.write_table(table, abs_path)
+    return rel
+
+
 def fold_summary(
-    lake_dir: str, prev_manifest: dict | None, reports: list[dict], epoch: int
+    lake_dir: str,
+    prev_manifest: dict | None,
+    reports: list[dict],
+    epoch: int,
+    mode: str = "driver",
 ) -> str:
     """Fold this epoch's per-partition deltas into the previous epoch's
     summary; write a uniquely-named parquet and return its lake-relative
-    path (active only once the referencing manifest commits)."""
+    path (active only once the referencing manifest commits).
+
+    ``mode="driver"`` folds in driver memory — O(summary repos), the
+    right call while the repo count fits the driver. ``mode="distributed"``
+    folds as a Ray job: (previous summary parquet ∪ delta rows) through
+    the bucketed grouped-sum combiner — the same math, shuffling
+    (repo, partials) instead of holding every repo driver-side. Both
+    modes write byte-identical summaries (sorted by repo, live rows
+    only)."""
+    if mode == "distributed":
+        return _fold_distributed(lake_dir, prev_manifest, reports, epoch)
     acc: dict[str, list[int]] = {}
     prev_rel = (prev_manifest or {}).get("summary_file")
     if prev_rel:
@@ -57,11 +87,10 @@ def fold_summary(
             prev.column("n_chars").to_pylist(),
         ):
             acc[r] = [f, c]
-    for rep in reports:
-        for r, (d_files, d_chars) in json.loads(rep.get("summary_delta") or "{}").items():
-            e = acc.setdefault(r, [0, 0])
-            e[0] += int(d_files)
-            e[1] += int(d_chars)
+    for row in _delta_rows(reports):
+        e = acc.setdefault(row["repo"], [0, 0])
+        e[0] += row["n_files"]
+        e[1] += row["n_chars"]
     live = sorted((r, v[0], v[1]) for r, v in acc.items() if v[0] > 0)
     table = pa.table(
         {
@@ -71,21 +100,73 @@ def fold_summary(
         },
         schema=SUMMARY_SCHEMA,
     )
-    rel = os.path.join("summary", f"epoch-{epoch:05d}-{uuid.uuid4().hex[:12]}.parquet")
+    return _write_summary(lake_dir, epoch, table)
+
+
+def _fold_distributed(
+    lake_dir: str, prev_manifest: dict | None, reports: list[dict], epoch: int
+) -> str:
+    """Distributed fold: union the previous summary (streamed from
+    parquet) with this epoch's delta rows, bucketed grouped sum by repo,
+    keep live repos, sort. Output is byte-identical to the driver fold."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from engine.ops.agg import grouped_agg
+
+    parts = []
+    prev_rel = (prev_manifest or {}).get("summary_file")
+    if prev_rel:
+        parts.append(rd.read_parquet(os.path.join(lake_dir, prev_rel)))
+    deltas = _delta_rows(reports)
+    if deltas:
+        parts.append(rd.from_arrow(pa.Table.from_pylist(deltas, schema=SUMMARY_SCHEMA)))
+    if not parts:
+        return _write_summary(lake_dir, epoch, SUMMARY_SCHEMA.empty_table())
+    ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    folded = grouped_agg(
+        ds, ["repo"], {"n_files": ("sum", "n_files"), "n_chars": ("sum", "n_chars")}
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        t = pa.table(
+            {f.name: t.column(f.name).cast(f.type) for f in SUMMARY_SCHEMA},
+            schema=SUMMARY_SCHEMA,
+        )
+        return t.filter(pc.greater(t.column("n_files"), 0))
+
+    out = folded.map_batches(_finish, batch_format="pyarrow")
+    # Written straight from the Dataset as a summary DIRECTORY — the
+    # folded view never lands in the driver (read_summary normalizes:
+    # dir summaries are read+sorted, so both modes compare equal).
+    rel = os.path.join("summary", f"epoch-{epoch:05d}-{uuid.uuid4().hex[:12]}")
     abs_path = os.path.join(lake_dir, rel)
-    os.makedirs(os.path.dirname(abs_path), exist_ok=True)
-    pq.write_table(table, abs_path)
+    out.write_parquet(abs_path)
     return rel
 
 
 def read_summary(lake_dir: str, epoch: int | None = None) -> pa.Table:
     """The committed summary as of ``epoch`` (default: latest), resolved
-    only through the manifest — orphans from failed epochs are invisible."""
+    only through the manifest — orphans from failed epochs are invisible.
+    Driver-fold summaries are a single sorted parquet; distributed-fold
+    summaries are a directory of part files (normalized here: concat +
+    sort by repo, so both read identically)."""
     manifest = sink.read_manifest(lake_dir, epoch)
     rel = (manifest or {}).get("summary_file")
     if not rel:
         return SUMMARY_SCHEMA.empty_table()
-    return pq.read_table(os.path.join(lake_dir, rel))
+    abs_path = os.path.join(lake_dir, rel)
+    if os.path.isdir(abs_path):
+        files = sorted(
+            os.path.join(abs_path, n)
+            for n in os.listdir(abs_path)
+            if n.endswith(".parquet")
+        )
+        if not files:
+            return SUMMARY_SCHEMA.empty_table()
+        t = pa.concat_tables(pq.read_table(f) for f in files)
+        return t.sort_by([("repo", "ascending")])
+    return pq.read_table(abs_path)
 
 
 def recompute_summary(lake_dir: str, epoch: int | None = None) -> pa.Table:

@@ -77,7 +77,9 @@ def vacuum(
             for name in names:
                 abs_path = os.path.join(dirpath, name)
                 rel = os.path.relpath(abs_path, lake_dir)
-                if rel in refs:
+                # Distributed-fold summaries are referenced as a DIRECTORY;
+                # every file under a referenced prefix is protected.
+                if rel in refs or any(rel.startswith(r + os.sep) for r in refs):
                     continue
                 if min_age_s and now - os.path.getmtime(abs_path) < min_age_s:
                     continue  # possibly phase-1 of an in-flight epoch

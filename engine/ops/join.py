@@ -211,11 +211,18 @@ def shuffle_join(
             out = pa.table(cols, schema=target)
             from engine.util.hashing import fast_hash_column
 
-            kp = out.select(keys).to_pandas()
+            # Bucket on ARROW string casts of the (already type-unified)
+            # key columns. A pandas round-trip here is wrong: a null-bearing
+            # int64 key becomes float64 in to_pandas, so one side hashes
+            # "1.0"/"nan" while the other hashes "1" — equal keys land in
+            # different buckets and silently never meet.
+            parts = [
+                pc.fill_null(pc.cast(out.column(k), pa.string()), "\x00") for k in keys
+            ]
             kcat = (
-                kp[keys[0]].astype(str)
-                if len(keys) == 1
-                else kp.astype(str).agg("\x1f".join, axis=1)
+                parts[0]
+                if len(parts) == 1
+                else pc.binary_join_element_wise(*parts, "\x1f")
             )
             bucket = fast_hash_column(kcat, num_buckets, seed="join")
             return out.append_column("__bucket", pa.array(bucket, pa.int64()))
@@ -427,12 +434,22 @@ def salted_join(
     (key, salt) — a pathological hot key now spreads over num_salts
     buckets instead of one. Result set is identical to the unsalted join
     (each left row still meets each of its right matches exactly once).
-    Supports inner/left (right/outer would duplicate unmatched right
-    rows across salts)."""
+
+    Right/outer: the replicate-right trick would emit each unmatched right
+    row once per salt, so those modes decompose instead —
+    ``right = salted inner ∪ unmatched-right`` and
+    ``outer = salted left ∪ unmatched-right`` — where unmatched-right is
+    a broadcast anti filter against the distinct left key set (join
+    membership, not SQL NOT IN: a NULL right key is always unmatched)
+    with the left columns null-filled to the join's output schema."""
     import numpy as np
 
+    if join_type in ("right", "outer"):
+        return _salted_with_unmatched_right(
+            left, right, key, join_type, num_salts, num_buckets
+        )
     if join_type not in ("inner", "left"):
-        raise ValueError("salted_join supports inner/left only")
+        raise ValueError(f"salted_join: unknown join_type {join_type!r}")
 
     def _salt_left(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -450,3 +467,62 @@ def salted_join(
     r = right.map_batches(_replicate_right, batch_format="pyarrow")
     j = shuffle_join(l, r, key=[key, "__salt"], join_type=join_type, num_buckets=num_buckets)
     return j.map_batches(lambda t: t.drop_columns(["__salt"]), batch_format="pyarrow")
+
+
+def _salted_with_unmatched_right(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    join_type: str,
+    num_salts: int,
+    num_buckets: int,
+    suffixes: tuple[str, str] = ("", "_r"),
+) -> rd.Dataset:
+    """right/outer leg of :func:`salted_join`: the salted core join
+    (inner for right, left for outer) unioned with the right rows that
+    match no left key, shaped to the core's output schema (left columns
+    null, key carried from the right — SQL COALESCE semantics)."""
+    core_type = "inner" if join_type == "right" else "left"
+    left, lschema = _keyed_arrow(left, [key])
+    right, rschema = _keyed_arrow(right, [key])
+    core = salted_join(left, right, key, core_type, num_salts, num_buckets)
+
+    # Distinct left keys, broadcast. JOIN-unmatched means "no equal left
+    # key", so nulls in the key set are irrelevant (unlike NOT IN) and a
+    # null right key is always unmatched.
+    lkeys = distributed_keyset(left, key)
+    key_set = pc.unique(lkeys.column(key)).drop_null()
+    ref = ray.put(key_set)
+
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    out_fields = [lschema.field(n) for n in lcols] + [
+        pa.field(c + suffixes[1] if c in lcols else c, rschema.field(c).type)
+        for c in rcols
+        if c != key
+    ]
+
+    def _unmatched_shaped(t: pa.Table) -> pa.Table:
+        ks = _cached_get(ref)
+        m = pc.fill_null(pc.is_in(t.column(key), value_set=ks), False)
+        t = t.filter(pc.invert(m))
+        n = t.num_rows
+        cols = []
+        for f in out_fields:
+            base = f.name.removesuffix(suffixes[1]) if suffixes[1] else f.name
+            if f.name == key:
+                cols.append(t.column(key).cast(f.type))
+            elif f.name in lcols:
+                cols.append(pa.nulls(n, f.type))
+            else:
+                src = f.name if f.name in t.column_names else base
+                cols.append(t.column(src).cast(f.type))
+        return pa.table(cols, schema=pa.schema(out_fields))
+
+    unmatched = right.map_batches(_unmatched_shaped, batch_format="pyarrow")
+    conform = pa.schema(out_fields)
+
+    def _conform(t: pa.Table) -> pa.Table:
+        cols = [t.column(f.name).cast(f.type) for f in conform]
+        return pa.table(cols, schema=conform)
+
+    return core.map_batches(_conform, batch_format="pyarrow").union(unmatched)

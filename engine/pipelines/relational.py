@@ -715,6 +715,40 @@ def q_join_salted(sf_dir):
 
 
 @register_query(
+    "q_join_salted_outer",
+    oracle="""WITH e AS (SELECT event_id, user_id FROM events WHERE user_id <= 500),
+                   a AS (SELECT o_custkey AS user_id, CAST(COUNT(*) AS BIGINT) AS n_ord
+                         FROM orders WHERE o_totalprice > 150000 GROUP BY 1)
+              SELECT e.event_id, COALESCE(e.user_id, a.user_id) AS user_id, a.n_ord
+              FROM e FULL JOIN a ON e.user_id = a.user_id""",
+)
+def q_join_salted_outer(sf_dir):
+    """Salted FULL OUTER join: the salted left core plus the
+    unmatched-right union leg (users with qualifying orders but no
+    events appear with a null event_id; users with events but no
+    qualifying orders appear with a null n_ord)."""
+    import pyarrow.dataset as pads
+
+    from engine.ops.join import salted_join
+
+    ev = read_table(
+        sf_dir, "events", columns=["event_id", "user_id"],
+        filter_expr=pads.field("user_id") <= 500,
+    )
+    agg = grouped_agg(
+        read_table(
+            sf_dir, "orders", columns=["o_custkey", "o_totalprice"],
+            filter_expr=pads.field("o_totalprice") > 150000.0,
+        ),
+        ["o_custkey"],
+        {"n_ord": ("count", None)},
+    )
+    agg = rename_ds(agg, {"o_custkey": "user_id"})
+    out = salted_join(ev, agg, key="user_id", join_type="outer", num_salts=8)
+    return select(out, ["event_id", "user_id", "n_ord"])
+
+
+@register_query(
     "q_tpch_q3",
     oracle="""SELECT l_orderkey,
                      CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)

@@ -47,3 +47,20 @@ def test_summary_resume_and_idempotence(ray_session, sf_dir):
     again = replay(log, lake, CFG)                # full re-replay = no-op
     assert again["epochs_run"] == []
     assert read_summary(lake).equals(final)
+
+
+def test_summary_distributed_fold_matches_driver(ray_session, sf_dir):
+    """Bucketed Ray fold (summary ∪ deltas) at P=16 must produce the same
+    committed summary as the driver fold and equal a full recompute at
+    every epoch."""
+    work = tempfile.mkdtemp(prefix="cdc_sumd_")
+    log = _mini_log(sf_dir, work)
+    cfg_d = ReplayConfig(num_partitions=16, num_salts=2, summary_fold="distributed")
+    cfg_v = ReplayConfig(num_partitions=16, num_salts=2, summary_fold="driver")
+    lake_d, lake_v = f"{work}/lake_d", f"{work}/lake_v"
+    replay(log, lake_d, cfg_d)
+    replay(log, lake_v, cfg_v)
+    for epoch in (0, 1, 2):
+        dist = read_summary(lake_d, epoch)
+        assert dist.equals(read_summary(lake_v, epoch)), f"epoch {epoch}: fold modes differ"
+        assert dist.equals(recompute_summary(lake_d, epoch)), f"epoch {epoch}: != recompute"

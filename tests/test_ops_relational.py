@@ -423,3 +423,30 @@ def test_bottomk_sample_order_independent():
     assert ka == kb and len(ka) == 50
     c = bottomk_sample_rows(rd.from_pandas(df), "id", 50, seed="other")
     assert {r["id"] for r in c} != ka  # seed-dependent for int ids
+
+
+def test_salted_join_right_outer_match_pandas():
+    """Salted right/outer joins must equal the plain pandas merge,
+    including unmatched-right rows (carried once, not once per salt) and
+    null-key right rows (always unmatched)."""
+    from engine.ops.join import salted_join
+
+    l = pd.DataFrame({"k": [1, 1, 2, 3], "lv": [10, 11, 20, 30]})
+    r = pd.DataFrame({"k": [1, 2, 2, 9, None], "rv": [100, 200, 201, 900, 999]})
+    for how in ("right", "outer"):
+        got = (
+            salted_join(rd.from_pandas(l), rd.from_pandas(r), "k", how, num_salts=4)
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+        ref = (
+            l.merge(r, on="k", how=how)
+            .sort_values(["k", "lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(ref), how
+        for col in ("k", "lv", "rv"):
+            ga = got[col].astype("float64").to_numpy()
+            rf = ref[col].astype("float64").to_numpy()
+            assert ((ga == rf) | (np.isnan(ga) & np.isnan(rf))).all(), (how, col)
