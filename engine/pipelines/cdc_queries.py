@@ -55,6 +55,37 @@ def q_cdc_summary(sf_dir):
     return rd.from_arrow(read_summary(f"{work}/lake"))
 
 
+@register_query("q_cdc_lsm_delta")
+def q_cdc_lsm_delta(sf_dir):
+    """Delta-file LSM path end-to-end, self-checking: replay the same
+    changelog in delta write mode (aggressive compaction + distributed
+    summary fold), assert the state hash equals the rewrite-mode lake,
+    vacuum the delta lake (retention 1) and assert the hash again —
+    then return the merged-on-read state. A rows-only driver check, but
+    any divergence raises instead of returning rows."""
+    from engine.cdc.vacuum import vacuum
+    from engine.cdc.verify import state_hash
+
+    work = _replayed_lake(sf_dir)
+    lake_d = f"{work}/lake_delta"
+    replay(
+        f"{work}/log", lake_d,
+        ReplayConfig(
+            num_partitions=16, num_salts=2, write_mode="delta", compact_files=2,
+            summary_fold="distributed",
+        ),
+    )
+    h_rw, h_d = state_hash(f"{work}/lake"), state_hash(lake_d)
+    if h_rw != h_d:
+        raise AssertionError(f"delta-mode state diverged: {h_rw} != {h_d}")
+    vacuum(lake_d, retain_last=1)
+    if state_hash(lake_d) != h_d:
+        raise AssertionError("vacuum changed the committed state")
+    return read_lake(lake_d).select_columns(
+        ["repo", "path", "content_sha256", "seq", "size_bytes"]
+    )
+
+
 @register_query("q_cdc_lineage")
 def q_cdc_lineage(sf_dir):
     """Per-partition lineage records (event-range, epoch, row counts)."""
