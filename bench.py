@@ -47,7 +47,13 @@ SYNTH = dict(
     max_content_chars=400,
     evolve_at_epoch=3,
 )
-REPLAY = dict(num_partitions=64, num_salts=4)
+REPLAY = dict(
+    num_partitions=64,
+    num_salts=4,
+    # LSM write policy (engine/cdc/replay.py::ReplayConfig): "rewrite"
+    # (default, huge-epoch regime) or "delta" (small-epoch regime).
+    write_mode=os.environ.get("GRAFT_WRITE_MODE", "rewrite"),
+)
 
 
 def _ray_init(num_cpus: int):

@@ -136,6 +136,46 @@ def broadcast_join(
     return ds.map_batches(_join, batch_format="pyarrow")
 
 
+def auto_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str | list[str],
+    join_type: str = "inner",
+    broadcast_threshold_rows: int = 200_000,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Size-based strategy pick between :func:`broadcast_join` and
+    :func:`shuffle_join` (the engine has no optimizer — this helper stops
+    a caller from broadcasting a fact table by mistake). The right side
+    is materialized once (Ray would materialize it for either strategy's
+    shuffle/broadcast anyway); if its row count is at or under the
+    threshold AND the join type allows it (broadcast handles inner/left —
+    right/outer need unmatched-right tracking, which the shuffle path
+    owns), the blocks are pulled into one Arrow table and broadcast;
+    otherwise the bucketed shuffle join runs. The driver pull is gated by
+    the count, never attempted blind."""
+    import ray as _ray
+
+    keys = [key] if isinstance(key, str) else list(key)
+    right = right.materialize()
+    if right.count() <= broadcast_threshold_rows and join_type in ("inner", "left"):
+        left, lschema = _keyed_arrow(left, keys)
+        small = pa.concat_tables(
+            t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+            for t in _ray.get(right.to_arrow_refs())
+        )
+        # Same output names as the shuffle path: overlapping non-key
+        # right columns get the "_r" suffix.
+        small = small.rename_columns(
+            [
+                c + "_r" if (c in lschema.names and c not in keys) else c
+                for c in small.column_names
+            ]
+        )
+        return broadcast_join(left, small, keys=keys, join_type=join_type)
+    return shuffle_join(left, right, key, join_type, num_buckets=num_buckets)
+
+
 def distributed_keyset(ds: rd.Dataset, key: str) -> pa.Table:
     """Build a semi/anti-join key set from a LARGE Dataset: distributed
     distinct first, then a driver pull bounded by the distinct key

@@ -450,3 +450,33 @@ def test_salted_join_right_outer_match_pandas():
             ga = got[col].astype("float64").to_numpy()
             rf = ref[col].astype("float64").to_numpy()
             assert ((ga == rf) | (np.isnan(ga) & np.isnan(rf))).all(), (how, col)
+
+
+def test_auto_join_strategy_pick_same_result():
+    """auto_join must produce identical rows whether the size gate picks
+    broadcast (small right) or shuffle (threshold forced to 0), with
+    shuffle_join's column naming either way."""
+    from engine.ops.join import auto_join
+
+    l = pd.DataFrame({"k": [1, 1, 2, 4], "v": [10, 11, 20, 40]})
+    r = pd.DataFrame({"k": [1, 2, 3], "v": [100, 200, 300]})
+
+    def _norm(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["k", "v", "v_r"])
+            .reset_index(drop=True)
+            .astype("int64")
+        )
+
+    small = _norm(auto_join(rd.from_pandas(l), rd.from_pandas(r), "k", "inner"))
+    big = _norm(
+        auto_join(
+            rd.from_pandas(l), rd.from_pandas(r), "k", "inner",
+            broadcast_threshold_rows=0,
+        )
+    )
+    assert list(small.columns) == list(big.columns) == ["k", "v", "v_r"]
+    assert small.equals(big)
+    ref = l.merge(r, on="k", how="inner", suffixes=("", "_r"))
+    assert len(small) == len(ref) == 3
