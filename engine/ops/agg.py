@@ -239,6 +239,96 @@ def rollup(
     return out
 
 
+def grouping_sets(
+    ds: rd.Dataset,
+    keys: list[str],
+    sets: list[list[str]],
+    specs: dict[str, tuple[str, str]],
+) -> rd.Dataset:
+    """GROUP BY GROUPING SETS(sets) for re-aggregatable fns: like
+    :func:`rollup`, ONE full pass builds the finest aggregate over all of
+    ``keys``; every requested set re-aggregates that small result with
+    the absent key columns typed-null (SQL semantics). Each set must be a
+    subset of ``keys``."""
+    import pyarrow as pa
+
+    unknown = {fn for fn, _ in specs.values()} - set(_REAGG)
+    if unknown:
+        raise ValueError(f"grouping_sets cannot re-aggregate {sorted(unknown)!r}")
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s!r} not a subset of {keys!r}")
+
+    base = grouped_agg(ds, keys, specs).materialize()
+    key_types: dict[str, pa.DataType] = {k: pa.string() for k in keys}
+    for b in base.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        if b.num_rows:
+            key_types = {k: b.schema.field(k).type for k in keys}
+            break
+    sub_specs = {name: (_REAGG[fn], name) for name, (fn, _) in specs.items()}
+    levels = []
+    for s in sets:
+        if set(s) == set(keys):
+            lvl = base
+        elif s:
+            lvl = grouped_agg(base, list(s), sub_specs)
+        else:
+            lvl = rd.from_arrow(global_agg(base, sub_specs))
+
+        def _shape(t: pa.Table, present=tuple(s)) -> pa.Table:
+            for kcol in keys:
+                if kcol not in present:
+                    t = t.append_column(kcol, pa.nulls(t.num_rows, type=key_types[kcol]))
+            return t.select(keys + [n for n in specs])
+
+        levels.append(lvl.map_batches(_shape, batch_format="pyarrow"))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
+def cube(
+    ds: rd.Dataset, keys: list[str], specs: dict[str, tuple[str, str]]
+) -> rd.Dataset:
+    """GROUP BY CUBE(keys): grouping sets over every subset of the keys
+    (2^k levels re-aggregated from one finest-level pass)."""
+    from itertools import combinations
+
+    sets = [
+        list(c) for r in range(len(keys), -1, -1) for c in combinations(keys, r)
+    ]
+    return grouping_sets(ds, keys, sets, specs)
+
+
+def grouped_quantile(
+    ds: rd.Dataset,
+    keys: list[str],
+    col: str,
+    q: float = 0.5,
+    out: str = "q",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Exact per-group quantile (linear interpolation — DuckDB's
+    median/quantile_cont) via the bucketed exchange. Exact quantiles are
+    not decomposable, so the group's VALUES must co-locate: the shuffle
+    moves (keys, col) rows — prune to those two columns — into O(64)
+    buckets, one vectorized pandas quantile per bucket."""
+    from engine.ops.bucket import bucketed_map_groups
+
+    def _q(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(keys, sort=False, dropna=False)[col]
+            .quantile(q, interpolation="linear")
+            .round(6)
+            .reset_index(name=out)
+        )
+
+    return bucketed_map_groups(
+        ds.select_columns(keys + [col]), keys, _q, num_buckets=num_buckets, seed="gq"
+    )
+
+
 def string_agg_by_group(
     ds: rd.Dataset,
     keys: list[str],

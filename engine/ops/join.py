@@ -68,7 +68,17 @@ def _ensure_arrow(ds: rd.Dataset) -> tuple[rd.Dataset, pa.Schema]:
     if isinstance(base, pa.Schema):
         return ds, base
     ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
-    return ds, ds.schema().base_schema
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return ds, base
+    # schema() returns None for an empty post-map dataset (e.g. a
+    # pushed-down filter that eliminated every row group) — surface a
+    # diagnosable error instead of AttributeError downstream.
+    raise ValueError(
+        "cannot infer an Arrow schema: dataset produced no rows "
+        "(empty filtered read?) and no schema metadata survived"
+    )
 
 
 def _schema_from_blocks(ds: rd.Dataset) -> tuple[rd.Dataset, pa.Schema | None]:

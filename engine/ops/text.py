@@ -214,6 +214,57 @@ def word_counts(ds: rd.Dataset, text_col: str = "text", num_buckets: int = 64) -
     )
 
 
+# PII patterns (RE2 syntax — identical engine in Arrow and DuckDB, so the
+# SQL oracle's regexp_replace(g) chain is bit-mirrorable). Order matters:
+# emails before phone-ish digit runs (an email's digits must not be
+# half-redacted first).
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    (r"\+?\d[\d -]{7,}\d", "[PHONE]"),
+)
+
+
+def redact_pii(ds: rd.Dataset, text_col: str = "text", out_col: str | None = None) -> rd.Dataset:
+    """Scrub email / IPv4 / phone-shaped substrings from a text column
+    (training-data hygiene pass). Pure Arrow ``replace_substring_regex``
+    chain — vectorized, zero-copy in, and exactly mirrored by a DuckDB
+    regexp_replace chain (both are RE2)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_col = out_col or text_col
+
+    def _redact(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        for pat, repl in PII_PATTERNS:
+            col = pc.replace_substring_regex(col, pat, repl)
+        if out_col in t.column_names:
+            t = t.drop_columns([out_col])
+        return t.append_column(out_col, col)
+
+    return ds.map_batches(_redact, batch_format="pyarrow")
+
+
+def normalize_text(ds: rd.Dataset, text_col: str = "text", out_col: str = "text_norm") -> rd.Dataset:
+    """Canonical text normalization for dedup/token pipelines: lowercase,
+    strip sentence punctuation, collapse whitespace runs, trim. Arrow
+    kernels end-to-end; SQL-mirrorable (lower + regexp_replace chain)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _norm(t: pa.Table) -> pa.Table:
+        col = pc.utf8_lower(t.column(text_col))
+        col = pc.replace_substring_regex(col, PUNCT_RE, "")
+        col = pc.replace_substring_regex(col, r"\s+", " ")
+        col = pc.utf8_trim_whitespace(col)
+        if out_col in t.column_names:
+            t = t.drop_columns([out_col])
+        return t.append_column(out_col, col)
+
+    return ds.map_batches(_norm, batch_format="pyarrow")
+
+
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 

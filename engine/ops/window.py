@@ -176,6 +176,13 @@ def analytic(
                 out[name] = g[spec[1]].shift(-(spec[2] if len(spec) > 2 else 1))
             elif fn == "cumsum":
                 out[name] = g[spec[1]].cumsum()
+            elif fn == "first_value":
+                out[name] = g[spec[1]].transform("first")
+            elif fn == "last_value":
+                # Whole-partition last (SQL LAST_VALUE with ROWS BETWEEN
+                # UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING — the default
+                # current-row frame would just echo the column).
+                out[name] = g[spec[1]].transform("last")
             elif fn == "rolling_sum":
                 r = g[spec[1]].rolling(spec[2], min_periods=1).sum()
                 out[name] = r.reset_index(

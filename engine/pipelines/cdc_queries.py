@@ -86,6 +86,26 @@ def q_cdc_lsm_delta(sf_dir):
     )
 
 
+@register_query("q_cdc_time_travel")
+def q_cdc_time_travel(sf_dir):
+    """Manifest-pinned time travel, self-checking: the lake state read AT
+    each committed epoch (resolved only through that epoch's manifest)
+    must hash-equal the sequential oracle replayed up to the same epoch;
+    returns the epoch-0 snapshot. Any divergence raises."""
+    from engine.cdc.oracle import oracle_state_hash
+    from engine.cdc.verify import state_hash
+
+    work = _replayed_lake(sf_dir)
+    for k in (0, 1, 2):
+        eh = state_hash(f"{work}/lake", k)
+        oh = oracle_state_hash(f"{work}/log", upto_epoch=k)
+        if eh != oh:
+            raise AssertionError(f"time travel to epoch {k} diverged: {eh} != {oh}")
+    return read_lake(f"{work}/lake", epoch=0).select_columns(
+        ["repo", "path", "content_sha256", "seq"]
+    )
+
+
 @register_query("q_cdc_lineage")
 def q_cdc_lineage(sf_dir):
     """Per-partition lineage records (event-range, epoch, row counts)."""

@@ -426,3 +426,64 @@ def q_embedding_sum_by_lang(sf_dir):
         select(q, ["vec_id", "pos", "sum_q"]), docs, key="vec_id", join_type="inner"
     )
     return grouped_agg(select(joined, ["lang", "pos", "sum_q"]), ["lang", "pos"], {"sum_q": ("sum", "sum_q")})
+
+
+@register_query(
+    "q_redact_pii",
+    oracle=r"""WITH t AS (
+                 SELECT doc_id,
+                        text || ' contact user' || doc_id || '@example.com at 10.0.' ||
+                        (doc_id % 256) || '.7 or +1 555 010 ' || (1000 + doc_id % 9000) AS raw
+                 FROM documents)
+               SELECT doc_id,
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                          '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+                        '\+?\d[\d -]{7,}\d', '[PHONE]', 'g') AS redacted
+               FROM t""",
+)
+def q_redact_pii(sf_dir):
+    """PII scrubbing over the corpus: deterministic synthetic PII
+    (email/IP/phone derived from doc_id) is appended so the redaction has
+    real matches, then the Arrow RE2 replace chain runs — mirrored
+    pattern-for-pattern by the DuckDB oracle (same regex engine)."""
+    from engine.ops.map import with_columns
+    from engine.ops.text import redact_pii
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _attach(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id")
+        dnp = did.to_numpy() if not isinstance(did, pa.ChunkedArray) else did.combine_chunks().to_numpy()
+        parts = [
+            t.column("text"),
+            pa.array([" contact user"] * t.num_rows, pa.string()),
+            pc.cast(did, pa.string()),
+            pa.array(["@example.com at 10.0."] * t.num_rows, pa.string()),
+            pc.cast(pa.array(dnp % 256), pa.string()),
+            pa.array([".7 or +1 555 010 "] * t.num_rows, pa.string()),
+            pc.cast(pa.array(1000 + dnp % 9000), pa.string()),
+        ]
+        return t.append_column("raw", pc.binary_join_element_wise(*parts, ""))
+
+    ds = ds.map_batches(_attach, batch_format="pyarrow")
+    out = redact_pii(ds, "raw", out_col="redacted")
+    return select(out, ["doc_id", "redacted"])
+
+
+@register_query(
+    "q_normalize_text",
+    oracle=r"""SELECT doc_id,
+                      trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'),
+                                          '\s+', ' ', 'g')) AS text_norm
+               FROM documents""",
+)
+def q_normalize_text(sf_dir):
+    """Canonical normalization pass (lowercase, strip punctuation,
+    collapse whitespace, trim) — the usual pre-dedup/pre-tokenize step,
+    Arrow kernels end-to-end, SQL-mirrored."""
+    from engine.ops.text import normalize_text
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return select(normalize_text(ds), ["doc_id", "text_norm"])

@@ -1135,3 +1135,196 @@ def q_join_left(sf_dir):
         return df
 
     return out.map_batches(_fill, batch_format="pandas")
+
+
+@register_query(
+    "q_window_first_last",
+    oracle="""SELECT event_id, user_id,
+                     FIRST_VALUE(event_id) OVER w AS first_ev,
+                     LAST_VALUE(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ev
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def q_window_first_last(sf_dir):
+    """FIRST_VALUE / LAST_VALUE per user ordered by (ts, event_id) —
+    whole-partition frame for last (the SQL default frame would echo the
+    row); event_id tiebreak makes ties deterministic."""
+    from engine.ops.window import analytic
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = analytic(
+        ds, ["user_id"], ["ts", "event_id"],
+        {"first_ev": ("first_value", "event_id"), "last_ev": ("last_value", "event_id")},
+    )
+    return select(out, ["event_id", "user_id", "first_ev", "last_ev"])
+
+
+@register_query(
+    "q_cube",
+    oracle="""SELECT COALESCE(l_returnflag, '∅') AS l_returnflag,
+                     COALESCE(l_linestatus, '∅') AS l_linestatus,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def q_cube(sf_dir):
+    """GROUP BY CUBE: 2^k aggregation levels from ONE raw-data pass (the
+    finest level re-aggregated per subset); null level keys coalesced to
+    a sentinel for the hash compare."""
+    from engine.ops.agg import cube
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    ds = with_columns(ds, {"sum_qty": lambda t: pc.cast(t.column("l_quantity"), pa.int64())})
+    out = cube(ds, ["l_returnflag", "l_linestatus"],
+               {"sum_qty": ("sum", "sum_qty"), "n": ("count", None)})
+
+    def _coalesce(t: pa.Table) -> pa.Table:
+        for c in ("l_returnflag", "l_linestatus"):
+            i = t.column_names.index(c)
+            t = t.set_column(i, c, pc.fill_null(t.column(c), "∅"))
+        return t
+
+    return out.map_batches(_coalesce, batch_format="pyarrow")
+
+
+@register_query(
+    "q_grouping_sets",
+    oracle="""SELECT COALESCE(o_orderpriority, '∅') AS o_orderpriority,
+                     COALESCE(o_orderstatus, '∅') AS o_orderstatus,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+              FROM orders
+              GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())""",
+)
+def q_grouping_sets(sf_dir):
+    """GROUP BY GROUPING SETS — arbitrary subsets re-aggregated from the
+    finest pass (the general form of rollup/cube)."""
+    from engine.ops.agg import grouping_sets
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    ds = with_columns(ds, {"cents": _cents("o_totalprice")})
+    out = grouping_sets(
+        ds, ["o_orderpriority", "o_orderstatus"],
+        [["o_orderpriority", "o_orderstatus"], ["o_orderstatus"], []],
+        {"n": ("count", None), "cents": ("sum", "cents")},
+    )
+
+    def _coalesce(t: pa.Table) -> pa.Table:
+        for c in ("o_orderpriority", "o_orderstatus"):
+            i = t.column_names.index(c)
+            t = t.set_column(i, c, pc.fill_null(t.column(c), "∅"))
+        return t
+
+    return out.map_batches(_coalesce, batch_format="pyarrow")
+
+
+@register_query(
+    "q_grouped_median",
+    oracle="""SELECT l_returnflag, round(median(l_extendedprice), 6) AS med
+              FROM lineitem GROUP BY l_returnflag""",
+)
+def q_grouped_median(sf_dir):
+    """Exact per-group median (quantile_cont interpolation) — values
+    co-located through the bucketed exchange, one vectorized pandas
+    quantile per bucket."""
+    from engine.ops.agg import grouped_quantile
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    return grouped_quantile(ds, ["l_returnflag"], "l_extendedprice", q=0.5, out="med")
+
+
+@register_query(
+    "q_tpch_q5",
+    oracle="""SELECT n_name,
+                     CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+              FROM customer, orders, lineitem, supplier, nation, region
+              WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+                AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+                AND r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01'
+              GROUP BY n_name""",
+)
+def q_tpch_q5(sf_dir):
+    """TPC-H Q5 shape: local-supplier revenue by nation. Dims (nation ⋈
+    region, supplier, customer keys) broadcast; the only large exchange
+    is the lineitem ⋈ orders shuffle join on the order key; the
+    c_nationkey = s_nationkey equality filters per batch after the join;
+    integer-cents group-sum via the partial combiner."""
+    import pyarrow.dataset as pads
+    import ray
+
+    from engine.ops.join import _cached_get
+
+    dims = table(sf_dir, "nation").join(
+        table(sf_dir, "region"), keys=["n_regionkey"], right_keys=["r_regionkey"]
+    )
+    dims = dims.filter(pc.equal(dims.column("r_name"), "ASIA"))
+    nation_name = dict(
+        zip(dims.column("n_nationkey").to_pylist(), dims.column("n_name").to_pylist())
+    )
+    supp = table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    supp_nation = dict(
+        zip(supp.column("s_suppkey").to_pylist(), supp.column("s_nationkey").to_pylist())
+    )
+    cust = table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust_nation = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist())
+    )
+    ref = ray.put((nation_name, supp_nation, cust_nation))
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter_expr=(pads.field("o_orderdate") >= pa.scalar(np.datetime64("1996-01-01", "us")))
+        & (pads.field("o_orderdate") < pa.scalar(np.datetime64("1997-01-01", "us"))),
+    )
+
+    def _cust_nation(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        _, _, cn = _cached_get(ref)
+        nk = pd.Series(t.column("o_custkey").to_pylist()).map(cn)
+        return t.append_column("c_nationkey", pa.array(nk, pa.int64()))
+
+    orders = orders.map_batches(_cust_nation, batch_format="pyarrow")
+    orders = select(orders, ["o_orderkey", "c_nationkey"])
+    orders = rename_ds(orders, {"o_orderkey": "l_orderkey"})
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    joined = shuffle_join(li, orders, key="l_orderkey", join_type="inner")
+
+    def _local_supplier(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        nn, sn, _ = _cached_get(ref)
+        s_nat = pd.Series(t.column("l_suppkey").to_pylist()).map(sn)
+        t = t.append_column("s_nationkey", pa.array(s_nat, pa.int64()))
+        keep = pc.and_(
+            pc.equal(t.column("s_nationkey"), t.column("c_nationkey")),
+            pc.is_in(t.column("s_nationkey"), value_set=pa.array(list(nn), pa.int64())),
+        )
+        t = t.filter(pc.fill_null(keep, False))
+        name = pd.Series(t.column("s_nationkey").to_pylist()).map(nn)
+        t = t.append_column("n_name", pa.array(name, pa.string()))
+        rev = pc.cast(
+            _round_away(
+                pc.multiply(
+                    pc.multiply(
+                        pc.cast(t.column("l_extendedprice"), pa.float64()),
+                        pc.subtract(1.0, pc.cast(t.column("l_discount"), pa.float64())),
+                    ),
+                    100.0,
+                )
+            ),
+            pa.int64(),
+        )
+        return t.append_column("revenue_cents", rev).select(["n_name", "revenue_cents"])
+
+    out = joined.map_batches(_local_supplier, batch_format="pyarrow")
+    return partial_grouped_sum(out, ["n_name"], ["revenue_cents"])

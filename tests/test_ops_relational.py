@@ -480,3 +480,63 @@ def test_auto_join_strategy_pick_same_result():
     assert small.equals(big)
     ref = l.merge(r, on="k", how="inner", suffixes=("", "_r"))
     assert len(small) == len(ref) == 3
+
+
+def test_cube_and_grouping_sets_match_duckdb():
+    from engine.ops.agg import cube, grouping_sets
+
+    df = pd.DataFrame(
+        {"a": ["x", "x", "y"], "b": ["p", "q", "p"], "v": [1, 2, 4]}
+    )
+
+    def _norm(d):
+        d = d.fillna("∅")
+        return set(map(tuple, d[["a", "b", "s", "n"]].values))
+
+    got = _pdf(cube(rd.from_pandas(df), ["a", "b"], {"s": ("sum", "v"), "n": ("count", None)}))
+    ref = duckdb.sql(
+        "SELECT a, b, CAST(SUM(v) AS BIGINT) s, CAST(COUNT(*) AS BIGINT) n "
+        "FROM df GROUP BY CUBE(a, b)"
+    ).df()
+    assert _norm(got) == _norm(ref)
+
+    got2 = _pdf(
+        grouping_sets(
+            rd.from_pandas(df), ["a", "b"], [["a"], []], {"s": ("sum", "v"), "n": ("count", None)}
+        )
+    )
+    ref2 = duckdb.sql(
+        "SELECT a, CAST(NULL AS VARCHAR) AS b, CAST(SUM(v) AS BIGINT) s, "
+        "CAST(COUNT(*) AS BIGINT) n FROM df GROUP BY GROUPING SETS ((a), ())"
+    ).df()
+    assert _norm(got2) == _norm(ref2)
+
+
+def test_grouped_quantile_matches_duckdb():
+    from engine.ops.agg import grouped_quantile
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({"k": rng.choice(["a", "b", "c"], 500), "v": rng.rand(500) * 100})
+    got = _pdf(grouped_quantile(rd.from_pandas(df), ["k"], "v", q=0.9, out="p90"))
+    ref = duckdb.sql(
+        "SELECT k, round(quantile_cont(v, 0.9), 6) AS p90 FROM df GROUP BY k"
+    ).df()
+    m = got.merge(ref, on="k", suffixes=("", "_ref"))
+    assert len(m) == 3 and np.allclose(m["p90"], m["p90_ref"])
+
+
+def test_redact_and_normalize_edges():
+    from engine.ops.text import normalize_text, redact_pii
+
+    df = pd.DataFrame(
+        {"text": ["mail a.b-c@x.co.uk now", "ip 10.0.0.1 ok", "call +44 20 7946 0958", "clean", None]}
+    )
+    out = redact_pii(rd.from_pandas(df), "text").to_pandas()["text"].tolist()
+    assert out[0] == "mail [EMAIL] now"
+    assert out[1] == "ip [IP] ok"
+    assert out[2] == "call [PHONE]"
+    assert out[3] == "clean" and out[4] is None
+
+    df2 = pd.DataFrame({"text": ["  Hello,   WORLD!  ", None]})
+    norm = normalize_text(rd.from_pandas(df2)).to_pandas()["text_norm"].tolist()
+    assert norm == ["hello world", None]
