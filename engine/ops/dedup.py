@@ -372,3 +372,115 @@ def ngram_jaccard_pairs(
     at jaccard=threshold is 1-(1-t^4)^16)."""
     cand = minhash_candidate_pairs(ds, text_col, id_col, num_perm, bands, k, dedup_pairs=False)
     return verify_pairs_jaccard(cand, docs, text_col, id_col, threshold, k)
+
+
+def connected_components(
+    pairs: rd.Dataset,
+    a_col: str = "a",
+    b_col: str = "b",
+    node_col: str = "node",
+    comp_col: str = "component",
+    max_iters: int = 50,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Connected components over a near-dup pair graph (the clustering
+    step of corpus dedup: every doc in a component is a near-duplicate
+    of the others via some chain). Distributed min-label message passing
+    with pointer jumping, TWO bucketed exchanges per round and no joins:
+
+    - state rows share one (k, x, role) schema: adjacency (k=node,
+      x=neighbor), labels (k=node, x=label), jump requests (k=label,
+      x=requesting node);
+    - exchange 1 co-locates adjacency + requests with the labels of
+      their key and emits min-label messages: each edge proposes
+      label(node) to its neighbor, each request learns label(label(v))
+      (the pointer-jumping/doubling trick);
+    - exchange 2 folds messages ∪ labels by min per node and emits the
+      next round's label + request rows;
+    - labels only ever decrease, so an unchanged global label sum (one
+      tiny aggregate per round) ⇔ convergence; with doubling, rounds =
+      O(log diameter) — chain-shaped clusters converge fast too.
+
+    Returns (node, component) with component = MIN node id in the
+    component — deterministic, order- and parallelism-independent.
+    Isolated nodes (no edges) are not in the input and so not in the
+    output; callers union them as their own component if needed.
+    """
+    from engine.ops.bucket import bucketed_map_groups
+
+    ADJ, LBL, REQ, MSG = 0, 1, 2, 3
+
+    def _arr(col) -> pa.Array:
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+    def _adj(t: pa.Table) -> pa.Table:
+        a, b = _arr(t.column(a_col)), _arr(t.column(b_col))
+        k = pa.concat_arrays([a, b])
+        x = pa.concat_arrays([b, a])
+        return pa.table(
+            {"k": k, "x": x, "role": pa.array(np.full(len(k), ADJ, np.int64))}
+        )
+
+    adj = pairs.map_batches(_adj, batch_format="pyarrow").materialize()
+
+    def _seed(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = df["k"].drop_duplicates()
+        return pd.DataFrame({"k": nodes, "x": nodes, "role": LBL})
+
+    state = bucketed_map_groups(adj, ["k"], _seed, num_buckets=num_buckets, seed="cc").materialize()
+
+    def _msgs(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["role"] == LBL].set_index("k")["x"]
+        out = [df[df["role"] == LBL]]
+        e = df[df["role"] == ADJ]
+        if len(e):
+            out.append(pd.DataFrame({"k": e["x"].to_numpy(),
+                                     "x": e["k"].map(lab).to_numpy(),
+                                     "role": MSG}))
+        rq = df[df["role"] == REQ]
+        if len(rq):
+            out.append(pd.DataFrame({"k": rq["x"].to_numpy(),
+                                     "x": rq["k"].map(lab).to_numpy(),
+                                     "role": MSG}))
+        return pd.concat(out, ignore_index=True)
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            df[df["role"].isin([LBL, MSG])]
+            .groupby("k", sort=False, as_index=False)["x"]
+            .min()
+        )
+        lbl = m.assign(role=LBL)
+        req = pd.DataFrame({"k": m["x"].to_numpy(), "x": m["k"].to_numpy(), "role": REQ})
+        return pd.concat([lbl, req], ignore_index=True)
+
+    def _label_sum(ds: rd.Dataset) -> int:
+        import pyarrow.compute as pc
+
+        total = 0
+        for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            live = b.filter(pc.equal(b.column("role"), LBL))
+            if live.num_rows:
+                total += pc.sum(live.column("x")).as_py()
+        return total
+
+    prev_sum = _label_sum(state)
+    for _ in range(max_iters):
+        msgs = bucketed_map_groups(
+            adj.union(state), ["k"], _msgs, num_buckets=num_buckets, seed="cc"
+        )
+        state = bucketed_map_groups(
+            msgs, ["k"], _fold, num_buckets=num_buckets, seed="cc"
+        ).materialize()
+        new_sum = _label_sum(state)
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    def _out(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        live = t.filter(pc.equal(t.column("role"), LBL))
+        return pa.table({node_col: live.column("k"), comp_col: live.column("x")})
+
+    return state.map_batches(_out, batch_format="pyarrow")

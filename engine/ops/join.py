@@ -104,7 +104,12 @@ def _keyed_arrow(ds: rd.Dataset, keys: list[str]) -> tuple[rd.Dataset, pa.Schema
     corruption. Unconditional block-derived schemas would fix it but
     force materializing large map-only inputs."""
     ds, schema = _ensure_arrow(ds)
-    if any(k not in schema.names for k in keys):
+    if any(k not in schema.names for k in keys) or any(
+        pa.types.is_null(f.type) for f in schema
+    ):
+        # Keys missing, or a field degraded to the null type (an EMPTY
+        # pandas block — e.g. an empty hash bucket — sampled as the
+        # schema): re-derive from the first non-empty real block.
         ds, real = _schema_from_blocks(ds)
         if real is not None:
             schema = real
@@ -329,8 +334,13 @@ def shuffle_join(
         return j
 
     def _join_bucket_arrow(t: pa.Table) -> pa.Table:
-        l = t.filter(pc.equal(t.column("__side"), 0)).select(lcols)
-        r = t.filter(pc.equal(t.column("__side"), 1)).select(rcols)
+        # Repair types BEFORE Acero, not just after: the sort exchange can
+        # normalize a block to pandas, which turns an all-null column
+        # (e.g. the absent side's typed nulls in a single-side block) into
+        # Arrow's `null` type and null-bearing ints into float64 — Acero
+        # rejects null-typed non-key fields outright.
+        l = _fix_types_arrow(t.filter(pc.equal(t.column("__side"), 0)).select(lcols))
+        r = _fix_types_arrow(t.filter(pc.equal(t.column("__side"), 1)).select(rcols))
         j = l.join(
             r, keys=keys, join_type=acero_type, right_suffix=suffixes[1]
         )

@@ -176,3 +176,39 @@ def test_cosine_ivf_pairs_recall(sf_dir):
     # recall: multi-probe IVF captures at least 80% of the true pairs
     recall = len(set(got_pairs) & set(truth)) / len(truth)
     assert recall >= 0.8, f"recall {recall:.2f} over {len(truth)} true pairs"
+
+
+def test_connected_components_vs_union_find():
+    """Distributed min-label + pointer-jumping CC vs a sequential
+    union-find on a random graph including a long chain (exercises the
+    O(log d) doubling path)."""
+    from engine.ops.dedup import connected_components
+
+    rng = np.random.RandomState(5)
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, 120, (80, 2)) if a != b]
+    edges += [(i, i + 1) for i in range(200, 260)]  # 61-node chain
+    df = pd.DataFrame(edges, columns=["a", "b"])
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    for a, b in edges:
+        union(a, b)
+    truth = {n: find(n) for n in parent}
+    # canonicalize to min member per component
+    comp_min = {}
+    for n, r in truth.items():
+        comp_min.setdefault(find(r), []).append(n)
+    truth = {n: min(m) for r, m in comp_min.items() for n in m}
+
+    got = connected_components(rd.from_pandas(df)).to_pandas()
+    got_map = dict(zip(got["node"].astype(int), got["component"].astype(int)))
+    assert got_map == truth
