@@ -382,10 +382,18 @@ def connected_components(
     comp_col: str = "component",
     max_iters: int = 50,
     num_buckets: int = 64,
+    local_threshold: int = 500_000,
 ) -> rd.Dataset:
     """Connected components over a near-dup pair graph (the clustering
     step of corpus dedup: every doc in a component is a near-duplicate
-    of the others via some chain). Distributed min-label message passing
+    of the others via some chain).
+
+    Size-gated like auto_join: a pair graph at or under
+    ``local_threshold`` edges (gated by a count on the materialized
+    pairs, never pulled blind — near-dup pair sets are typically orders
+    of magnitude smaller than the corpus) is solved with a single
+    bounded pull + union-find, skipping the per-round exchange overhead.
+    Larger graphs take the distributed min-label message-passing loop
     with pointer jumping, TWO bucketed exchanges per round and no joins:
 
     - state rows share one (k, x, role) schema: adjacency (k=node,
@@ -419,6 +427,32 @@ def connected_components(
         x = pa.concat_arrays([b, a])
         return pa.table(
             {"k": k, "x": x, "role": pa.array(np.full(len(k), ADJ, np.int64))}
+        )
+
+    pairs = pairs.materialize()
+    if pairs.count() <= local_threshold:
+        rows = pairs.select_columns([a_col, b_col]).take_all()
+        parent: dict = {}
+
+        def _find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            ra, rb = _find(r[a_col]), _find(r[b_col])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        out = {n: _find(n) for n in parent}
+        return rd.from_arrow(
+            pa.table(
+                {
+                    node_col: pa.array(list(out.keys()), pa.int64()),
+                    comp_col: pa.array(list(out.values()), pa.int64()),
+                }
+            )
         )
 
     adj = pairs.map_batches(_adj, batch_format="pyarrow").materialize()

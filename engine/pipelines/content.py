@@ -487,3 +487,41 @@ def q_normalize_text(sf_dir):
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return select(normalize_text(ds), ["doc_id", "text_norm"])
+
+
+@register_query(
+    "q_dedup_clusters",
+    oracle="""WITH RECURSIVE e AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM documents a JOIN documents b
+                  ON b.doc_id = a.doc_id + 1 AND b.lang = a.lang
+              ),
+              ed AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+              reach(node, lbl) AS (
+                SELECT a, a FROM ed
+                UNION
+                SELECT ed.b, reach.lbl FROM reach JOIN ed ON ed.a = reach.node
+              )
+              SELECT node, MIN(lbl) AS component FROM reach GROUP BY node""",
+)
+def q_dedup_clusters(sf_dir):
+    """Near-dup cluster formation: connected components over a pair
+    graph (the step after pair generation that turns pairwise matches
+    into dedup groups). The edge set here is deterministic and
+    SQL-mirrorable — consecutive doc_ids sharing a language — so the
+    distributed min-label/pointer-jumping CC is value-hash checked
+    against DuckDB's recursive-CTE transitive closure. Chain-shaped
+    components exercise the O(log diameter) doubling path."""
+    from engine.ops.dedup import connected_components
+    from engine.ops.join import shuffle_join
+    from engine.ops.map import rename, with_column
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    left = with_column(
+        rename(docs, {"doc_id": "a"}), "k", lambda t: pc.add(t.column("a"), 1)
+    )
+    right = with_column(
+        rename(docs, {"doc_id": "b"}), "k", lambda t: t.column("b")
+    )
+    pairs = select(shuffle_join(left, right, ["k", "lang"]), ["a", "b"])
+    return connected_components(pairs)

@@ -209,6 +209,11 @@ def test_connected_components_vs_union_find():
         comp_min.setdefault(find(r), []).append(n)
     truth = {n: min(m) for r, m in comp_min.items() for n in m}
 
-    got = connected_components(rd.from_pandas(df)).to_pandas()
-    got_map = dict(zip(got["node"].astype(int), got["component"].astype(int)))
-    assert got_map == truth
+    # distributed message-passing path (threshold 0 forces it) and the
+    # size-gated local union-find path must both match the reference
+    for thresh in (0, 500_000):
+        got = connected_components(
+            rd.from_pandas(df), local_threshold=thresh
+        ).to_pandas()
+        got_map = dict(zip(got["node"].astype(int), got["component"].astype(int)))
+        assert got_map == truth, f"local_threshold={thresh}"
