@@ -525,3 +525,110 @@ def q_dedup_clusters(sf_dir):
     )
     pairs = select(shuffle_join(left, right, ["k", "lang"]), ["a", "b"])
     return connected_components(pairs)
+
+
+@register_query(
+    "q_tfidf",
+    oracle="""WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS word
+                           FROM documents),
+              tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+                     FROM tok WHERE length(word) > 0 GROUP BY doc_id, word),
+              df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+              n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+              s AS (SELECT tf.doc_id, tf.word,
+                           ROUND(tf.tf * ln(n.n / df.df), 6) AS score
+                    FROM tf JOIN df USING (word) CROSS JOIN n)
+              SELECT doc_id, word, score FROM (
+                SELECT doc_id, word, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, word) AS rk
+                FROM s) WHERE rk <= 3""",
+)
+def q_tfidf(sf_dir):
+    """Top-3 TF-IDF terms per document. tf is complete within the batch
+    (a document is one row), so the only shuffles are the bucketed df
+    count over (word, partial) pairs and the word-keyed tf⋈df join —
+    text never crosses an exchange. Scores are rounded half-away (6dp)
+    in BOTH engines and ties broken on the word, so the selected row set
+    is bit-deterministic."""
+    from engine.ops.agg import grouped_agg, topk_per_group
+    from engine.ops.join import shuffle_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = float(docs.count())
+
+    def _tf(df) -> "pd.DataFrame":
+        words = df.set_index("doc_id")["text"].fillna("").str.split(" ").explode()
+        words = words[words.str.len() > 0]
+        return (
+            words.rename("word").reset_index()
+            .groupby(["doc_id", "word"], as_index=False).size()
+            .rename(columns={"size": "tf"})
+        )
+
+    tf = docs.map_batches(_tf, batch_format="pandas")
+    df_counts = grouped_agg(tf, ["word"], {"df": ("count", None)})
+    joined = shuffle_join(tf, df_counts, "word")
+
+    def _score(t: pa.Table) -> pa.Table:
+        idf = pc.ln(pc.divide(n_docs, pc.cast(t.column("df"), pa.float64())))
+        raw = pc.multiply(pc.cast(t.column("tf"), pa.float64()), idf)
+        score = pc.round(raw, ndigits=6, round_mode="half_towards_infinity")
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "word": t.column("word"), "score": score}
+        )
+
+    scored = joined.map_batches(_score, batch_format="pyarrow")
+    return topk_per_group(
+        scored, ["doc_id"], "score", 3, descending=True, tiebreak=["word"]
+    )
+
+
+@register_query(
+    "q_sample_stratified",
+    oracle="""SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                         PARTITION BY lang
+                         ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+                FROM documents) WHERE rk <= 5""",
+)
+def q_sample_stratified(sf_dir):
+    """Deterministic stratified sample: 5 docs per language, selected by
+    a Knuth multiplicative hash of doc_id — pure int64 arithmetic, so
+    the SAME rows are picked by Ray and SQL regardless of order or
+    parallelism (a seeded RNG would not be mirrorable). Bottom-k per
+    stratum via the bucketed top-k combiner; nothing materializes."""
+    from engine.ops.agg import topk_per_group
+    from engine.ops.map import with_column
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    ds = with_column(
+        docs, "__h",
+        lambda t: pa.array(
+            (t.column("doc_id").to_numpy(zero_copy_only=False) * 2654435761)
+            % 4294967296,
+            pa.int64(),
+        ),
+    )
+    out = topk_per_group(
+        ds, ["lang"], "__h", 5, descending=False, tiebreak=["doc_id"]
+    )
+    return select(out, ["doc_id", "lang"])
+
+
+@register_query("q_dedup_minhash_clusters")  # LSH pairs — rows-only check
+def q_dedup_minhash_clusters(sf_dir):
+    """End-to-end near-dup cluster formation: MinHash+LSH candidates →
+    exact-Jaccard verify (≥0.5) → connected components → (node,
+    component) cluster assignment with component = min doc_id. This is
+    the full corpus-dedup chain a training-data pipeline runs: keeping
+    one representative per component (the min) removes every transitive
+    near-duplicate."""
+    from engine.ops.dedup import connected_components
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = minhash_candidate_pairs(ds, "text", "doc_id", dedup_pairs=False)
+    pairs = verify_pairs_jaccard(cand, docs, "text", "doc_id", threshold=0.5)
+    return connected_components(pairs)

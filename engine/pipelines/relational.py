@@ -1328,3 +1328,45 @@ def q_tpch_q5(sf_dir):
 
     out = joined.map_batches(_local_supplier, batch_format="pyarrow")
     return partial_grouped_sum(out, ["n_name"], ["revenue_cents"])
+
+
+@register_query(
+    "q_tpch_q6",
+    oracle="""SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+                AND l_discount BETWEEN 0.05 AND 0.07
+                AND l_quantity < 24""",
+)
+def q_tpch_q6(sf_dir):
+    """TPC-H Q6 (forecast revenue change): every predicate pushed to the
+    parquet scan (row-group stats prune whole groups), then per-row
+    integer-cents discount revenue summed in one tree-reduce pass —
+    the minimal scan-dominated aggregate, no shuffle at all."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_extendedprice", "l_discount"],
+        filter_expr=(
+            (pads.field("l_shipdate") >= datetime.datetime(1996, 1, 1))
+            & (pads.field("l_shipdate") < datetime.datetime(1997, 1, 1))
+            & (pads.field("l_discount") >= 0.05)
+            & (pads.field("l_discount") <= 0.07)
+            & (pads.field("l_quantity") < 24)
+        ),
+    )
+
+    def _rev(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            _round_away(pc.multiply(pc.multiply(t.column("l_extendedprice"), t.column("l_discount")), 100.0)),
+            pa.int64(),
+        )
+        return pa.table({"c": cents})
+
+    return global_agg(ds.map_batches(_rev, batch_format="pyarrow"),
+                      {"revenue_cents": ("sum", "c"), "n": ("count", None)})
