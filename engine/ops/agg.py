@@ -355,3 +355,43 @@ def string_agg_by_group(
 
     need = list(dict.fromkeys(keys + [col] + ob))
     return bucketed_map_groups(ds.select_columns(need), keys, _agg, seed="sagg")
+
+
+def profile_table(ds: rd.Dataset, cols: list[str], name_col: str = "col_name") -> pa.Table:
+    """Data-quality profile: one row per column with total rows, null
+    count, and exact distinct count (the standard ETL ingest-validation
+    report). Row/null totals come from ONE streaming pass of per-batch
+    partials (len(cols) tiny rows per batch, folded by a bucketed sum);
+    each distinct count is its own column-pruned pass through the
+    bucketed distinct — the exchange moves only that column's already
+    deduped values. Returns a len(cols)-row Arrow table (driver-small by
+    construction)."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                name_col: pa.array(cols, pa.string()),
+                "n": pa.array([t.num_rows] * len(cols), pa.int64()),
+                "n_null": pa.array(
+                    [t.column(c).null_count for c in cols], pa.int64()
+                ),
+            }
+        )
+
+    part = ds.select_columns(cols).map_batches(_partial, batch_format="pyarrow")
+    folded = {
+        r[name_col]: r
+        for r in grouped_agg(
+            part, [name_col], {"n": ("sum", "n"), "n_null": ("sum", "n_null")}
+        ).take_all()
+    }
+    nd = {c: distinct(ds, [c]).count() for c in cols}
+    order = sorted(cols)
+    return pa.table(
+        {
+            name_col: pa.array(order, pa.string()),
+            "n": pa.array([folded[c]["n"] for c in order], pa.int64()),
+            "n_null": pa.array([folded[c]["n_null"] for c in order], pa.int64()),
+            "n_distinct": pa.array([nd[c] for c in order], pa.int64()),
+        }
+    )

@@ -17,6 +17,7 @@ the sides' sizes):
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -586,3 +587,59 @@ def _salted_with_unmatched_right(
         return pa.table(cols, schema=conform)
 
     return core.map_batches(_conform, batch_format="pyarrow").union(unmatched)
+
+
+def bloom_filter_keys(
+    ds: rd.Dataset, col: str, num_bits: int = 1 << 20, num_hashes: int = 4
+) -> ray.ObjectRef:
+    """Build a Bloom filter over an integer key column, distributed:
+    each batch sets its keys' bits in a local bitmap (one num_bits/8-byte
+    row per batch), the driver ORs the tiny partials, and the final
+    bitmap is put in the object store ONCE for zero-copy reads by every
+    prune task. The fold ships bitmaps, never keys — at 1M bits that is
+    128 KB per batch regardless of key count."""
+
+    nbytes = num_bits // 8
+
+    def _idx(keys: np.ndarray, i: int) -> np.ndarray:
+        h1 = keys * np.uint64(0x9E3779B97F4A7C15)
+        h2 = keys * np.uint64(0xC2B2AE3D27D4EB4F) | np.uint64(1)
+        return ((h1 + np.uint64(i) * h2) % np.uint64(num_bits)).astype(np.int64)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(nbytes, np.uint8)
+        keys = t.column(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        for i in range(num_hashes):
+            idx = _idx(keys, i)
+            np.bitwise_or.at(bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    folded = np.zeros(nbytes, np.uint8)
+    for b in (
+        ds.select_columns([col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .iter_batches(batch_size=64, batch_format="pyarrow")
+    ):
+        for buf in b.column("bits").to_pylist():
+            folded |= np.frombuffer(buf, np.uint8)
+    bloom = (folded, num_bits, num_hashes)
+    return ray.put(bloom)
+
+def bloom_prune(ds: rd.Dataset, col: str, bloom_ref: ray.ObjectRef) -> rd.Dataset:
+    """Drop rows whose key is definitely NOT in the Bloom filter (no
+    false negatives; survivors may contain false positives — follow with
+    an exact join/semi-join). This is the classic pre-shuffle reduction:
+    the only broadcast is the bitmap."""
+
+    def _keep(t: pa.Table) -> pa.Table:
+        bits, num_bits, num_hashes = _cached_get(bloom_ref)
+        keys = t.column(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        ok = np.ones(len(keys), bool)
+        h1 = keys * np.uint64(0x9E3779B97F4A7C15)
+        h2 = keys * np.uint64(0xC2B2AE3D27D4EB4F) | np.uint64(1)
+        for i in range(num_hashes):
+            idx = ((h1 + np.uint64(i) * h2) % np.uint64(num_bits)).astype(np.int64)
+            ok &= ((bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1).astype(bool)
+        return t.filter(pa.array(ok))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")

@@ -1370,3 +1370,211 @@ def q_tpch_q6(sf_dir):
 
     return global_agg(ds.map_batches(_rev, batch_format="pyarrow"),
                       {"revenue_cents": ("sum", "c"), "n": ("count", None)})
+
+
+@register_query(
+    "q_profile",
+    oracle="""SELECT 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,
+                     CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderkey', CAST(COUNT(*) AS BIGINT),
+                     CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT),
+                     CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+                     CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+                     CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders""",
+)
+def q_profile(sf_dir):
+    """Ingest-validation data profile: rows / nulls / exact distincts per
+    column. One streaming pass for rows+nulls (len(cols) partial rows per
+    batch), one column-pruned bucketed-distinct pass per column."""
+    from engine.ops.agg import profile_table
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderpriority"]
+    )
+    return profile_table(ds, ["o_orderkey", "o_custkey", "o_orderpriority"])
+
+
+@register_query(
+    "q_outlier_zscore",
+    oracle="""WITH p AS (SELECT o_orderkey, o_orderpriority,
+                                CAST(ROUND(o_totalprice) AS BIGINT) AS q FROM orders),
+              a AS (SELECT o_orderpriority, CAST(SUM(q) AS BIGINT) AS s,
+                           CAST(SUM(q*q) AS BIGINT) AS qq,
+                           CAST(COUNT(*) AS BIGINT) AS n
+                    FROM p GROUP BY o_orderpriority),
+              st AS (SELECT o_orderpriority,
+                            round(CAST(s AS DOUBLE) / n, 6) AS mean_q,
+                            round(sqrt((CAST(qq AS DOUBLE)
+                                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                                       / (n - 1)), 6) AS std_q
+                     FROM a)
+              SELECT p.o_orderkey, p.o_orderpriority, p.q
+              FROM p JOIN st USING (o_orderpriority)
+              WHERE abs(p.q - st.mean_q) > 1.5 * st.std_q""",
+)
+def q_outlier_zscore(sf_dir):
+    """Per-group z-score outlier detection (aggregate-then-join-back):
+    decomposed mean/std over integer-quantized values, the tiny per-group
+    stats broadcast back over the fact rows, |x-mean| > 1.5*std filter
+    (the synthetic prices are near-uniform, so 2-sigma would select
+    nothing — uniform data never exceeds ~1.73 sigma).
+    Stats are rounded half-away to 6dp in BOTH engines before comparing,
+    so the boundary predicate evaluates on identical doubles."""
+    from engine.ops.agg import grouped_agg
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    ds = with_columns(
+        ds, {"q": lambda t: pc.cast(_round_away(t.column("o_totalprice")), pa.int64())}
+    ).select_columns(["o_orderkey", "o_orderpriority", "q"])
+    stats = grouped_agg(
+        ds, ["o_orderpriority"], {"mean_q": ("mean", "q"), "std_q": ("std", "q")}
+    )
+
+    def _r6(df):
+        df = df.copy()
+        for c in ("mean_q", "std_q"):
+            v = df[c].to_numpy()
+            df[c] = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+        return df
+
+    small = pa.concat_tables(
+        [pa.Table.from_pandas(_r6(b)) for b in stats.iter_batches(batch_format="pandas")]
+    )
+    joined = broadcast_join(ds, small, ["o_orderpriority"])
+
+    def _flag(t: pa.Table) -> pa.Table:
+        q = pc.cast(t.column("q"), pa.float64())
+        dev = pc.abs(pc.subtract(q, t.column("mean_q")))
+        keep = pc.greater(dev, pc.multiply(t.column("std_q"), 1.5))
+        return t.filter(pc.fill_null(keep, False)).select(
+            ["o_orderkey", "o_orderpriority", "q"]
+        )
+
+    return joined.map_batches(_flag, batch_format="pyarrow")
+
+
+@register_query(
+    "q_table_diff",
+    oracle="""WITH old AS (SELECT o_orderkey,
+                                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+                           FROM orders WHERE o_orderkey % 3 != 0),
+              new AS (SELECT o_orderkey,
+                             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             + CASE WHEN o_orderkey % 5 = 0 THEN 1000 ELSE 0 END AS c
+                      FROM orders WHERE o_orderkey % 4 != 0)
+              SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                     CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                          WHEN n.o_orderkey IS NULL THEN 'removed'
+                          ELSE 'changed' END AS status
+              FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+              WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR o.c != n.c""",
+)
+def q_table_diff(sf_dir):
+    """Snapshot diff (the reconciliation step of any CDC backfill):
+    FULL OUTER join of two table versions on the key, rows classified
+    added / removed / changed by comparing integer-cent value hashes.
+    Both versions derive deterministically from the same base table."""
+    base = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def _ver(bump: bool):
+        mod = 4 if bump else 3
+
+        def fn(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey")
+            t = t.filter(
+                pc.not_equal(pc.subtract(k, pc.multiply(pc.divide(k, mod), mod)), 0)
+            )
+            k = t.column("o_orderkey")
+            c = pc.cast(_round_away(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64())
+            if bump:
+                five = pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, 5), 5)), 0)
+                c = pc.add(c, pc.if_else(five, 1000, 0))
+            name = "c_new" if bump else "c"
+            return pa.table({"o_orderkey": k, name: c})
+
+        return base.map_batches(fn, batch_format="pyarrow")
+
+    old, new = _ver(False), _ver(True)
+    j = shuffle_join(old, new, "o_orderkey", join_type="outer")
+
+    def _classify(t: pa.Table) -> pa.Table:
+        c, cn = t.column("c"), t.column("c_new")
+        status = pc.if_else(
+            pc.is_null(c), "added", pc.if_else(pc.is_null(cn), "removed", "changed")
+        )
+        keep = pc.or_(
+            pc.or_(pc.is_null(c), pc.is_null(cn)),
+            pc.fill_null(pc.not_equal(c, cn), False),
+        )
+        return pa.table(
+            {"o_orderkey": t.column("o_orderkey"), "status": status}
+        ).filter(keep)
+
+    return j.map_batches(_classify, batch_format="pyarrow")
+
+
+@register_query(
+    "q_tpch_q18",
+    oracle="""WITH big AS (SELECT l_orderkey,
+                                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+                           FROM lineitem GROUP BY l_orderkey
+                           HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
+              SELECT o.o_orderkey, o.o_custkey, c.c_name, b.sum_qty
+              FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey""",
+)
+def q_tpch_q18(sf_dir):
+    """TPC-H Q18 (large-volume customers): bucketed combiner sum over
+    lineitem → HAVING filter (the group list shrinks before any join) →
+    size-gated joins back to orders and customer. The wide table is
+    aggregated before anything is joined — no fact-to-fact shuffle."""
+    from engine.ops.join import auto_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    li = with_columns(li, {"q": lambda t: pc.cast(t.column("l_quantity"), pa.int64())})
+    big = grouped_agg(li, ["l_orderkey"], {"sum_qty": ("sum", "q")})
+    big = filter_expr(big, lambda t: pc.greater(t.column("sum_qty"), 150))
+    big = rename_ds(big, {"l_orderkey": "o_orderkey"})
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    j = auto_join(orders, big, "o_orderkey")
+
+    cust = rename_ds(
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        {"c_custkey": "o_custkey"},
+    )
+    out = auto_join(j, cust, "o_custkey")
+    return select(out, ["o_orderkey", "o_custkey", "c_name", "sum_qty"])
+
+
+@register_query(
+    "q_join_bloom",
+    oracle="""SELECT o_orderkey, o_custkey FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                  WHERE c_acctbal > 9000)""",
+)
+def q_join_bloom(sf_dir):
+    """Bloom-pruned semi join: a 1M-bit Bloom filter of the qualifying
+    customer keys is built distributed (bitmap partials OR-folded, keys
+    never leave their tasks), broadcast once, and drops non-matching
+    orders BEFORE the exact semi join — the classic pre-shuffle
+    reduction. The exact key-set pass removes Bloom false positives, so
+    the result is identical to the plain semi join."""
+    import pyarrow.dataset as pads
+
+    from engine.ops.join import bloom_filter_keys, bloom_prune, distributed_keyset
+
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey"],
+        filter_expr=pads.field("c_acctbal") > 9000,
+    )
+    bloom = bloom_filter_keys(cust, "c_custkey")
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    pruned = bloom_prune(orders, "o_custkey", bloom)
+    keys = distributed_keyset(rename_ds(cust, {"c_custkey": "o_custkey"}), "o_custkey")
+    return semi_join(pruned, keys, "o_custkey")

@@ -540,3 +540,21 @@ def test_redact_and_normalize_edges():
     df2 = pd.DataFrame({"text": ["  Hello,   WORLD!  ", None]})
     norm = normalize_text(rd.from_pandas(df2)).to_pandas()["text_norm"].tolist()
     assert norm == ["hello world", None]
+
+
+def test_bloom_filter_prune_no_false_negatives():
+    """Every true key survives the prune (Bloom filters never false-
+    negative); false positives are rare at 1M bits / 1k keys; the exact
+    semi join after the prune restores exactness."""
+    from engine.ops.join import bloom_filter_keys, bloom_prune, distributed_keyset, semi_join
+
+    keys = rd.from_pandas(pd.DataFrame({"k": np.arange(0, 2000, 2)}))
+    probe = rd.from_pandas(pd.DataFrame({"k": np.arange(2000)}))
+    bloom = bloom_filter_keys(keys, "k")
+    surv = bloom_prune(probe, "k", bloom).to_pandas()["k"].to_numpy()
+    assert set(np.arange(0, 2000, 2)) <= set(surv)          # no false negatives
+    assert len(surv) < 1100                                  # FP rate sane
+    exact = semi_join(
+        bloom_prune(probe, "k", bloom), distributed_keyset(keys, "k"), "k"
+    ).to_pandas()["k"].to_numpy()
+    assert sorted(exact) == list(range(0, 2000, 2))
