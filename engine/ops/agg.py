@@ -35,6 +35,12 @@ def global_agg(ds: rd.Dataset, specs: dict[str, tuple[str, str]]) -> pa.Table:
 
 
 _DECOMPOSABLE = {"sum", "min", "max", "count", "mean", "std"}
+# Two-column decomposable aggregates: col is a (x_col, y_col) tuple.
+# Partials carry (Σx, Σy, Σx², Σy², Σxy, n) — exact when both columns are
+# integer-quantized upstream — so the shuffle still moves one row per key
+# per batch. Finals use the textbook sum formulas; mirror the SAME
+# parenthesization in the oracle SQL for bit-identical doubles.
+_PAIR_FNS = {"corr", "covar", "regr_slope", "regr_intercept"}
 
 
 def grouped_agg(
@@ -53,18 +59,29 @@ def grouped_agg(
     float inputs inherit the usual summation-order caveat."""
     from engine.util.hashing import fast_hash_column
 
-    unknown = {fn for fn, _ in specs.values()} - _DECOMPOSABLE
+    unknown = {fn for fn, _ in specs.values()} - _DECOMPOSABLE - _PAIR_FNS
     if unknown:
         raise ValueError(f"unsupported aggregate fns {sorted(unknown)!r}")
 
-    need_cols = list(keys) + sorted(
-        {col for fn, col in specs.values() if fn != "count"}
-    )
+    flat_cols: set[str] = set()
+    for fn, col in specs.values():
+        if fn == "count":
+            continue
+        if fn in _PAIR_FNS:
+            flat_cols.update(col)
+        else:
+            flat_cols.add(col)
+    need_cols = list(keys) + sorted(flat_cols)
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         for name, (fn, col) in specs.items():
             if fn == "std":
                 df = df.assign(**{f"{name}__q": df[col].to_numpy() ** 2})
+            elif fn in _PAIR_FNS:
+                x, y = df[col[0]].to_numpy(), df[col[1]].to_numpy()
+                df = df.assign(
+                    **{f"{name}__xx": x * x, f"{name}__yy": y * y, f"{name}__xy": x * y}
+                )
         g = df.groupby(keys, sort=False, dropna=False)
         out = pd.DataFrame(index=g.size().index)
         for name, (fn, col) in specs.items():
@@ -79,6 +96,13 @@ def grouped_agg(
                 out[f"{name}__s"] = g[col].sum()
                 out[f"{name}__q"] = g[f"{name}__q"].sum()
                 out[f"{name}__n"] = g[col].count()
+            elif fn in _PAIR_FNS:
+                out[f"{name}__sx"] = g[col[0]].sum()
+                out[f"{name}__sy"] = g[col[1]].sum()
+                out[f"{name}__xx"] = g[f"{name}__xx"].sum()
+                out[f"{name}__yy"] = g[f"{name}__yy"].sum()
+                out[f"{name}__xy"] = g[f"{name}__xy"].sum()
+                out[f"{name}__n"] = g.size()
         out = out.reset_index()
         key = out[keys].astype(str).agg("\x1f".join, axis=1)
         out["__bucket"] = fast_hash_column(key, num_buckets, seed="gagg")
@@ -107,6 +131,30 @@ def grouped_agg(
                         np.sqrt((q - s * s / n) / (n - 1.0)),
                         np.nan,
                     )
+            elif fn in _PAIR_FNS:
+                sx = g[f"{name}__sx"].sum().astype("float64").to_numpy()
+                sy = g[f"{name}__sy"].sum().astype("float64").to_numpy()
+                xx = g[f"{name}__xx"].sum().astype("float64").to_numpy()
+                yy = g[f"{name}__yy"].sum().astype("float64").to_numpy()
+                xy = g[f"{name}__xy"].sum().astype("float64").to_numpy()
+                n = g[f"{name}__n"].sum().astype("float64").to_numpy()
+                # Mirror THIS parenthesization in the oracle SQL so both
+                # sides round identical doubles. n==1 / zero-variance
+                # groups mask to NaN (SQL x/0 -> NULL — same result).
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sxy = xy - sx * sy / n
+                    vx = xx - sx * sx / n
+                    vy = yy - sy * sy / n
+                    if fn == "covar":
+                        out[name] = np.where(n > 1.0, sxy / (n - 1.0), np.nan)
+                    elif fn == "corr":
+                        d = np.sqrt(vx * vy)
+                        out[name] = np.where(d > 0.0, sxy / d, np.nan)
+                    elif fn == "regr_slope":
+                        out[name] = np.where(vx > 0.0, sxy / vx, np.nan)
+                    else:  # regr_intercept
+                        slope = np.where(vx > 0.0, sxy / vx, np.nan)
+                        out[name] = sy / n - slope * (sx / n)
         return out.reset_index()
 
     return (

@@ -1578,3 +1578,125 @@ def q_join_bloom(sf_dir):
     pruned = bloom_prune(orders, "o_custkey", bloom)
     keys = distributed_keyset(rename_ds(cust, {"c_custkey": "o_custkey"}), "o_custkey")
     return semi_join(pruned, keys, "o_custkey")
+
+
+@register_query(
+    "q_corr_regr",
+    oracle="""WITH p AS (SELECT l_returnflag,
+                                CAST(l_quantity AS BIGINT) AS x,
+                                CAST(ROUND(l_discount * 100) AS BIGINT) AS y
+                         FROM lineitem),
+              a AS (SELECT l_returnflag,
+                           CAST(SUM(x) AS DOUBLE) AS sx,
+                           CAST(SUM(y) AS DOUBLE) AS sy,
+                           CAST(SUM(x * x) AS DOUBLE) AS xx,
+                           CAST(SUM(y * y) AS DOUBLE) AS yy,
+                           CAST(SUM(x * y) AS DOUBLE) AS xy,
+                           CAST(COUNT(*) AS DOUBLE) AS n
+                    FROM p GROUP BY l_returnflag)
+              SELECT l_returnflag,
+                     round((xy - sx * sy / n) / (n - 1.0), 6) AS covar_qd,
+                     round((xy - sx * sy / n)
+                           / sqrt((xx - sx * sx / n) * (yy - sy * sy / n)), 6)
+                       AS corr_qd,
+                     round((xy - sx * sy / n) / (xx - sx * sx / n), 6)
+                       AS slope_qd,
+                     round(sy / n - ((xy - sx * sy / n) / (xx - sx * sx / n))
+                                    * (sx / n), 6) AS icpt_qd
+              FROM a""",
+)
+def q_corr_regr(sf_dir):
+    """Two-column decomposable aggregates (COVAR_SAMP / CORR / REGR_SLOPE
+    / REGR_INTERCEPT of discount-cents on quantity) through the bucketed
+    combiner: partials carry (Σx, Σy, Σx², Σy², Σxy, n) per key — the
+    shuffle moves one 7-ints row per key per batch, never events. Both
+    columns are integer-quantized per row so partial sums are exact and
+    order-independent; the oracle SQL mirrors the identical float64
+    final-formula parenthesization, so round(6) hashes bit-equal."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_discount"])
+    ds = with_columns(
+        ds,
+        {
+            "x": lambda t: pc.cast(t.column("l_quantity"), pa.int64()),
+            "y": lambda t: pc.cast(
+                _round_away(pc.multiply(t.column("l_discount"), 100.0)), pa.int64()
+            ),
+        },
+    )
+    out = grouped_agg(
+        ds,
+        ["l_returnflag"],
+        {
+            "covar_qd": ("covar", ("x", "y")),
+            "corr_qd": ("corr", ("x", "y")),
+            "slope_qd": ("regr_slope", ("x", "y")),
+            "icpt_qd": ("regr_intercept", ("x", "y")),
+        },
+    )
+
+    def _round6(df):
+        for c in ("covar_qd", "corr_qd", "slope_qd", "icpt_qd"):
+            df[c] = df[c].round(6)
+        return df
+
+    return out.map_batches(_round6, batch_format="pandas")
+
+
+@register_query(
+    "q_tpch_q14",
+    oracle="""WITH j AS (SELECT CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                                     AS BIGINT) AS rev_cents,
+                                p_type
+                         FROM lineitem JOIN part ON l_partkey = p_partkey
+                         WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+                           AND l_shipdate < TIMESTAMP '1996-10-01')
+              SELECT round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                               THEN rev_cents ELSE 0 END) AS DOUBLE)
+                           / CAST(SUM(rev_cents) AS DOUBLE), 6) AS promo_pct
+              FROM j""",
+)
+def q_tpch_q14(sf_dir):
+    """TPC-H Q14 (promotion effect): month predicate pushed to the scan,
+    the small part side (p_partkey, p_type only) broadcast once — the
+    fact table never shuffles — then per-row integer-cents revenue and
+    one global tree-reduce pass. The final ratio divides two exact
+    integer sums cast to double, mirrored exactly in the oracle."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter_expr=(
+            (pads.field("l_shipdate") >= datetime.datetime(1996, 9, 1))
+            & (pads.field("l_shipdate") < datetime.datetime(1996, 10, 1))
+        ),
+    )
+    part = table(sf_dir, "part", columns=["p_partkey", "p_type"])
+    j = broadcast_join(li, part, keys=["l_partkey"], right_keys=["p_partkey"])
+
+    def _cents_promo(t: pa.Table) -> pa.Table:
+        rev = pc.cast(
+            _round_away(
+                pc.multiply(
+                    pc.multiply(
+                        t.column("l_extendedprice"),
+                        pc.subtract(1.0, t.column("l_discount")),
+                    ),
+                    100.0,
+                )
+            ),
+            pa.int64(),
+        )
+        promo = pc.if_else(
+            pc.equal(t.column("p_type"), "PROMO"), rev, pa.scalar(0, pa.int64())
+        )
+        return pa.table({"rev_cents": rev, "promo_cents": promo})
+
+    sums = global_agg(
+        j.map_batches(_cents_promo, batch_format="pyarrow"),
+        {"p": ("sum", "promo_cents"), "r": ("sum", "rev_cents")},
+    )
+    pct = round(100.0 * float(sums.column("p")[0].as_py()) / float(sums.column("r")[0].as_py()), 6)
+    return pa.table({"promo_pct": [pct]})

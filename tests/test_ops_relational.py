@@ -558,3 +558,60 @@ def test_bloom_filter_prune_no_false_negatives():
         bloom_prune(probe, "k", bloom), distributed_keyset(keys, "k"), "k"
     ).to_pandas()["k"].to_numpy()
     assert sorted(exact) == list(range(0, 2000, 2))
+
+
+def test_pair_aggregates_match_duckdb():
+    # corr/covar/regr through the bucketed combiner vs DuckDB's native
+    # aggregates (int inputs -> both computations exact to ~1e-9).
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 400),
+            "x": rng.randint(0, 50, 400),
+        }
+    )
+    df["y"] = 3 * df["x"] + rng.randint(0, 10, 400)
+    ds = rd.from_pandas(df)
+    out = (
+        _pdf(
+            grouped_agg(
+                ds,
+                ["k"],
+                {
+                    "cv": ("covar", ("x", "y")),
+                    "cr": ("corr", ("x", "y")),
+                    "sl": ("regr_slope", ("x", "y")),
+                    "ic": ("regr_intercept", ("x", "y")),
+                },
+            )
+        )
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.query_df(
+        df, "t",
+        """SELECT k, COVAR_SAMP(y, x) AS cv, CORR(y, x) AS cr,
+                  REGR_SLOPE(y, x) AS sl, REGR_INTERCEPT(y, x) AS ic
+           FROM t GROUP BY k ORDER BY k""",
+    ).df()
+    for c in ("cv", "cr", "sl", "ic"):
+        np.testing.assert_allclose(out[c], exp[c], rtol=1e-9)
+
+
+def test_pair_aggregates_degenerate_groups():
+    # n==1 group -> covar NULL; zero-variance x -> corr/slope NULL
+    # (mirrors SQL x/0 -> NULL).
+    df = pd.DataFrame({"k": ["a", "b", "b"], "x": [1, 2, 2], "y": [5, 7, 9]})
+    out = (
+        _pdf(
+            grouped_agg(
+                rd.from_pandas(df),
+                ["k"],
+                {"cv": ("covar", ("x", "y")), "sl": ("regr_slope", ("x", "y"))},
+            )
+        )
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert np.isnan(out.loc[0, "cv"]) and np.isnan(out.loc[0, "sl"])
+    assert np.isnan(out.loc[1, "sl"])  # x constant within group b
