@@ -57,7 +57,7 @@ def grouped_agg(
     sf0.1). mean/std are decomposed into (sum, sumsq, count) partials —
     exact when the column is integer (quantize money per-row upstream);
     float inputs inherit the usual summation-order caveat."""
-    from engine.util.hashing import fast_hash_column
+    from engine.util.hashing import composite_key_str, fast_hash_column
 
     unknown = {fn for fn, _ in specs.values()} - _DECOMPOSABLE - _PAIR_FNS
     if unknown:
@@ -104,7 +104,7 @@ def grouped_agg(
                 out[f"{name}__xy"] = g[f"{name}__xy"].sum()
                 out[f"{name}__n"] = g.size()
         out = out.reset_index()
-        key = out[keys].astype(str).agg("\x1f".join, axis=1)
+        key = composite_key_str(out, keys)
         out["__bucket"] = fast_hash_column(key, num_buckets, seed="gagg")
         return out
 
@@ -190,11 +190,11 @@ def distinct(ds: rd.Dataset, cols: list[str], num_buckets: int = 32) -> rd.Datas
     """SELECT DISTINCT cols — per-batch dedup combiner, hash-bucket
     shuffle of the unique rows, vectorized dedup per bucket (one group
     per bucket, not per value)."""
-    from engine.util.hashing import fast_hash_column
+    from engine.util.hashing import composite_key_str, fast_hash_column
 
     def _pre(df: pd.DataFrame) -> pd.DataFrame:
         df = df[cols].drop_duplicates()
-        key = df[cols].astype(str).agg("\x1f".join, axis=1)
+        key = composite_key_str(df, cols)
         out = df.copy()
         out["__bucket"] = fast_hash_column(key, num_buckets, seed="distinct")
         return out

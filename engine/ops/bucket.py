@@ -21,7 +21,7 @@ from typing import Callable
 import pandas as pd
 import ray.data as rd
 
-from engine.util.hashing import fast_hash_column
+from engine.util.hashing import composite_key_str, fast_hash_column
 
 BUCKET_COL = "__bucket"
 
@@ -40,9 +40,7 @@ def bucketed_map_groups(
     """
 
     def _route(df: pd.DataFrame) -> pd.DataFrame:
-        key = df[keys[0]].astype(str) if len(keys) == 1 else df[keys].astype(str).agg(
-            "\x1f".join, axis=1
-        )
+        key = composite_key_str(df, keys)
         df = df.copy()
         df[BUCKET_COL] = fast_hash_column(key, num_buckets, seed=seed)
         return df

@@ -23,7 +23,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from engine.util.hashing import actor_pool_size
+from engine.util.hashing import actor_pool_size, composite_key_str
 
 _B = np.uint64(1_000_003)  # polynomial base
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -48,7 +48,7 @@ def exact_dedup(
 
     def _pre(df: pd.DataFrame) -> pd.DataFrame:
         df = _pick(df)
-        key = df[keys].astype(str).agg("\x1f".join, axis=1)
+        key = composite_key_str(df, keys)
         out = df.copy()
         out["__bucket"] = fast_hash_column(key, num_buckets, seed="dedup")
         return out

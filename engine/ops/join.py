@@ -175,11 +175,17 @@ def auto_join(
     keys = [key] if isinstance(key, str) else list(key)
     right = right.materialize()
     if right.count() <= broadcast_threshold_rows and join_type in ("inner", "left"):
-        left, lschema = _keyed_arrow(left, keys)
-        small = pa.concat_tables(
+        blocks = [
             t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
             for t in _ray.get(right.to_arrow_refs())
-        )
+        ]
+        # Zero-row blocks carry an empty schema (Ray quirk) — drop them
+        # before concat or the schemas "differ".
+        nonempty = [t for t in blocks if t.num_rows > 0]
+        if not nonempty:
+            return shuffle_join(left, right, key, join_type, num_buckets=num_buckets)
+        left, lschema = _keyed_arrow(left, keys)
+        small = pa.concat_tables(nonempty)
         # Same output names as the shuffle path: overlapping non-key
         # right columns get the "_r" suffix.
         small = small.rename_columns(

@@ -11,7 +11,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from engine.util.hashing import fast_hash_column
+from engine.util.hashing import composite_key_str, fast_hash_column
 
 
 def union_all(a: rd.Dataset, b: rd.Dataset) -> rd.Dataset:
@@ -22,7 +22,7 @@ def _tagged(a: rd.Dataset, b: rd.Dataset, cols: list[str], num_buckets: int) -> 
     def _prep(side: int):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             df = df[cols].drop_duplicates()  # combiner: dedup before the shuffle
-            key = df[cols].astype(str).agg("\x1f".join, axis=1)
+            key = composite_key_str(df, cols)
             out = df.copy()
             out["__side"] = side
             out["__bucket"] = fast_hash_column(key, num_buckets, seed="setop")

@@ -126,10 +126,10 @@ def analytic(
     groupby transform. Partitioning assumption: one partition key's rows
     fit one worker group (same as any SQL engine's hash window exchange).
     """
-    from engine.util.hashing import fast_hash_column
+    from engine.util.hashing import composite_key_str, fast_hash_column
 
     def _route(df: pd.DataFrame) -> pd.DataFrame:
-        key = df[partition_by].astype(str).agg("\x1f".join, axis=1)
+        key = composite_key_str(df, partition_by)
         df = df.copy()
         df["__bucket"] = fast_hash_column(key, num_buckets, seed="analytic")
         return df

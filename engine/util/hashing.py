@@ -56,6 +56,17 @@ def stable_hash_column(values, num_buckets: int) -> np.ndarray:
     return out
 
 
+def composite_key_str(df, cols: list[str]):
+    """Vectorized \\x1f-joined composite key string (same per-column
+    ``astype(str)`` rendering as ``df[cols].astype(str).agg(join, axis=1)``
+    but ~50x faster — the axis=1 agg is a per-row Python loop that
+    measured 60ms per 1.5k-row batch in the q_join_composite profile)."""
+    key = df[cols[0]].astype(str)
+    for c in cols[1:]:
+        key = key + "\x1f" + df[c].astype(str)
+    return key
+
+
 def fast_hash_column(values, num_buckets: int, seed: str = "salt") -> np.ndarray:
     """Vectorized stable string bucket hash (pandas hash_array — stable
     for a fixed pandas version and hash_key, which is all we need inside

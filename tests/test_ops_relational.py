@@ -615,3 +615,24 @@ def test_pair_aggregates_degenerate_groups():
     )
     assert np.isnan(out.loc[0, "cv"]) and np.isnan(out.loc[0, "sl"])
     assert np.isnan(out.loc[1, "sl"])  # x constant within group b
+
+
+def test_shuffle_join_composite_key_matches_pandas():
+    # Direct coverage of the composite-key bucketed exchange (the
+    # registered composite query routes through auto_join's broadcast
+    # gate, so the shuffle path needs its own test).
+    rng = np.random.RandomState(3)
+    l = pd.DataFrame(
+        {
+            "a": rng.randint(0, 6, 300),
+            "b": rng.choice(["x", "y", "z"], 300),
+            "v": np.arange(300),
+        }
+    )
+    r = l.groupby(["a", "b"], as_index=False).agg(n=("v", "size"))
+    out = _pdf(
+        shuffle_join(rd.from_pandas(l), rd.from_pandas(r), key=["a", "b"])
+    ).sort_values(["a", "b", "v"]).reset_index(drop=True)
+    ref = l.merge(r, on=["a", "b"]).sort_values(["a", "b", "v"]).reset_index(drop=True)
+    assert len(out) == len(ref)
+    pd.testing.assert_frame_equal(out[["a", "b", "v", "n"]], ref[["a", "b", "v", "n"]])
