@@ -197,3 +197,55 @@ def analytic(
         .groupby("__bucket")
         .map_groups(_windows, batch_format="pandas")
     )
+
+
+def scd2_history(
+    ds: rd.Dataset,
+    key: list[str],
+    order_by: list[str],
+    state_cols: list[str],
+    valid_from_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Slowly-changing-dimension type-2 history from a change stream.
+
+    Per entity ``key``: order the changes by ``order_by``, drop rows
+    where every ``state_cols`` value equals the previous row's (no
+    attribute change → no new version), then assign validity intervals
+    [``valid_from``, ``valid_to``) where valid_to is the NEXT version's
+    valid_from (open-ended / NULL for the current version, flagged 1 in
+    ``current_flag``).
+
+    Shuffle moves each change row once (hash(key) % num_buckets — the
+    same O(buckets)-groups pattern as every exchange in this repo);
+    inside a bucket the change-detection and interval assignment are
+    vectorized pandas over key-contiguous sorted rows. Partitioning
+    assumption: one entity's history fits one worker (standard for any
+    SQL window engine).
+    """
+    from engine.ops.bucket import bucketed_map_groups
+
+    def _scd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(key + order_by, kind="mergesort")
+        g = df.groupby(key, sort=False)
+        # First row per key always opens a version; later rows only when
+        # some state column differs from its predecessor (null-safe:
+        # null -> null is NOT a change).
+        changed = ~df.duplicated(subset=key).to_numpy()
+        for c in state_cols:
+            prev = g[c].shift()
+            # Null-safe inequality that stays plain-bool for nullable
+            # dtypes: equal iff both null or values compare equal.
+            eq = (df[c].isna() & prev.isna()) | (df[c] == prev).fillna(False)
+            changed |= ~eq.astype(bool).to_numpy()
+        out = df.loc[changed].copy()
+        out[valid_from] = out[valid_from_col]
+        gv = out.groupby(key, sort=False)
+        out[valid_to] = gv[valid_from].shift(-1)
+        out[current_flag] = out[valid_to].isna().astype("int64")
+        return out
+
+    return bucketed_map_groups(ds, key, _scd, num_buckets=num_buckets, seed="scd2")

@@ -1705,3 +1705,197 @@ def q_tpch_q14(sf_dir):
     )
     pct = round(100.0 * float(sums.column("p")[0].as_py()) / float(sums.column("r")[0].as_py()), 6)
     return pa.table({"promo_pct": [pct]})
+
+
+@register_query(
+    "q_scd2",
+    oracle="""WITH o AS (
+                SELECT user_id, event_id, ts, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events),
+              ch AS (
+                SELECT user_id, event_id, ts AS valid_from, event_type
+                FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+              SELECT user_id, event_id, valid_from,
+                     lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+                     event_type,
+                     CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS BIGINT) AS is_current
+              FROM ch""",
+)
+def q_scd2(sf_dir):
+    """SCD type-2 dimension history from a change stream: per user_id the
+    event sequence is compacted to state-change versions with
+    [valid_from, valid_to) intervals and an is_current flag — the
+    standard CDC->warehouse dimension build. One bucketed exchange; the
+    interval assignment is vectorized pandas per hash bucket."""
+    from engine.ops.window import scd2_history
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    out = scd2_history(
+        ds, key=["user_id"], order_by=["ts", "event_id"],
+        state_cols=["event_type"], valid_from_col="ts",
+    )
+    return select(out, ["user_id", "event_id", "valid_from", "valid_to", "event_type", "is_current"])
+
+
+@register_query(
+    "q_tpch_q4",
+    oracle="""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1996-07-01'
+                AND EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+              GROUP BY o_orderpriority""",
+)
+def q_tpch_q4(sf_dir):
+    """TPC-H Q4 shape (order-priority checking), adapted to the testdata
+    columns (EXISTS predicate = a returned line item). The EXISTS is a
+    fully distributed semi join: bucketed distinct over the filtered
+    lineitem keys (no broadcast — the fact-side key set is unbounded at
+    scale), then a shuffle join against the date-windowed orders."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey"],
+        filter_expr=pads.field("l_returnflag") == "R",
+    )
+    keys = rename_ds(distinct(li, ["l_orderkey"]), {"l_orderkey": "o_orderkey"})
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"],
+        filter_expr=(
+            (pads.field("o_orderdate") >= datetime.datetime(1996, 1, 1))
+            & (pads.field("o_orderdate") < datetime.datetime(1996, 7, 1))
+        ),
+    )
+    j = shuffle_join(orders, keys, key="o_orderkey", join_type="inner")
+    return grouped_agg(
+        select(j, ["o_orderpriority"]), ["o_orderpriority"], {"order_count": ("count", None)}
+    )
+
+
+@register_query(
+    "q_tpch_q10",
+    oracle="""SELECT c_custkey, c_name, c_acctbal, n_name, revenue_cents FROM (
+                SELECT c_custkey, c_name, c_acctbal, n_name,
+                       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                         AS revenue_cents
+                FROM customer, orders, lineitem, nation
+                WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+                  AND o_orderdate >= TIMESTAMP '1995-10-01'
+                  AND o_orderdate < TIMESTAMP '1996-01-01'
+                  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+                GROUP BY c_custkey, c_name, c_acctbal, n_name)
+              ORDER BY revenue_cents DESC, c_custkey LIMIT 20""",
+)
+def q_tpch_q10(sf_dir):
+    """TPC-H Q10 (returned-item reporting): pruned/filtered fact reads,
+    integer-cents per-row revenue, combiner group-sum per customer key
+    BEFORE the customer join (the join input is one row per customer,
+    not per line item), dimension nation broadcast, top-20 with key
+    tiebreak."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter_expr=pads.field("l_returnflag") == "R",
+    )
+    li = with_columns(
+        li,
+        {
+            "revenue_cents": lambda t: pc.cast(
+                _round_away(
+                    pc.multiply(
+                        pc.multiply(t.column("l_extendedprice"), pc.subtract(1.0, t.column("l_discount"))),
+                        100.0,
+                    )
+                ),
+                pa.int64(),
+            )
+        },
+    )
+    li = select(li, ["l_orderkey", "revenue_cents"])
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+        filter_expr=(
+            (pads.field("o_orderdate") >= datetime.datetime(1995, 10, 1))
+            & (pads.field("o_orderdate") < datetime.datetime(1996, 1, 1))
+        ),
+    )
+    orders = rename_ds(orders, {"o_orderkey": "l_orderkey"})
+    j = shuffle_join(li, orders, key="l_orderkey", join_type="inner")
+    per_cust = partial_grouped_sum(
+        select(j, ["o_custkey", "revenue_cents"]), ["o_custkey"], ["revenue_cents"]
+    )
+    cust = rename_ds(
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"]),
+        {"c_custkey": "o_custkey"},
+    )
+    j2 = shuffle_join(per_cust, cust, key="o_custkey", join_type="inner")
+    nat = table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    j3 = broadcast_join(j2, nat, keys=["c_nationkey"], right_keys=["n_nationkey"])
+    out = rename_ds(
+        select(j3, ["o_custkey", "c_name", "c_acctbal", "n_name", "revenue_cents"]),
+        {"o_custkey": "c_custkey"},
+    )
+    return out.sort(["revenue_cents", "c_custkey"], descending=[True, False]).limit(20)
+
+
+@register_query(
+    "q_tpch_q12",
+    oracle="""SELECT l_linestatus,
+                     CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                     CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+              FROM orders, lineitem
+              WHERE o_orderkey = l_orderkey
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY l_linestatus""",
+)
+def q_tpch_q12(sf_dir):
+    """TPC-H Q12 shape (shipping-mode priority split; l_linestatus stands
+    in for the testdata's missing l_shipmode): windowed fact read, one
+    shuffle join, per-row 0/1 projection, combiner group-sum."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linestatus"],
+        filter_expr=(
+            (pads.field("l_shipdate") >= datetime.datetime(1996, 1, 1))
+            & (pads.field("l_shipdate") < datetime.datetime(1997, 1, 1))
+        ),
+    )
+    orders = rename_ds(
+        read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]),
+        {"o_orderkey": "l_orderkey"},
+    )
+    j = shuffle_join(li, orders, key="l_orderkey", join_type="inner")
+
+    def _hl(t: pa.Table) -> pa.Table:
+        hi = pc.cast(
+            pc.is_in(t.column("o_orderpriority"), value_set=pa.array(["1-URGENT", "2-HIGH"])),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_linestatus": t.column("l_linestatus"),
+                "high_line_count": hi,
+                "low_line_count": pc.subtract(pa.scalar(1, pa.int64()), hi),
+            }
+        )
+
+    return partial_grouped_sum(
+        j.map_batches(_hl, batch_format="pyarrow"),
+        ["l_linestatus"], ["high_line_count", "low_line_count"],
+    )

@@ -636,3 +636,55 @@ def test_shuffle_join_composite_key_matches_pandas():
     ref = l.merge(r, on=["a", "b"]).sort_values(["a", "b", "v"]).reset_index(drop=True)
     assert len(out) == len(ref)
     pd.testing.assert_frame_equal(out[["a", "b", "v", "n"]], ref[["a", "b", "v", "n"]])
+
+
+def test_scd2_history_matches_duckdb():
+    """SCD2 compaction vs a DuckDB window-function oracle, including
+    null states, single-version keys, and same-timestamp tiebreaks."""
+    from engine.ops.window import scd2_history
+
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "eid": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 25, n).astype(np.int64),
+            "t": rng.integers(0, 40, n).astype(np.int64),
+            "state": pd.array(
+                [None if x == 0 else f"s{x}" for x in rng.integers(0, 4, n)],
+                dtype="string",
+            ),
+        }
+    )
+    got = (
+        scd2_history(
+            rd.from_pandas(df), key=["k"], order_by=["t", "eid"],
+            state_cols=["state"], valid_from_col="t", num_buckets=8,
+        )
+        .to_pandas()[["k", "eid", "valid_from", "valid_to", "state", "is_current"]]
+        .sort_values(["k", "eid"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """WITH o AS (
+             SELECT k, eid, t, state,
+                    lag(state) OVER (PARTITION BY k ORDER BY t, eid) AS prev,
+                    row_number() OVER (PARTITION BY k ORDER BY t, eid) AS rn
+             FROM df),
+           ch AS (SELECT k, eid, t AS valid_from, state
+                  FROM o WHERE rn = 1 OR prev IS DISTINCT FROM state)
+           SELECT k, eid, valid_from,
+                  lead(valid_from) OVER (PARTITION BY k ORDER BY valid_from, eid) AS valid_to,
+                  state,
+                  CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY k ORDER BY valid_from, eid) IS NULL
+                       THEN 1 ELSE 0 END AS BIGINT) AS is_current
+           FROM ch ORDER BY k, eid"""
+    ).df().reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got.astype({"valid_to": "float64", "state": "object"}).where(got.notna(), np.nan),
+        want.astype({"valid_to": "float64", "state": "object"}).where(want.notna(), np.nan),
+        check_dtype=False,
+    )
+    # exactly one current version per key
+    assert got.groupby("k")["is_current"].sum().eq(1).all()
