@@ -151,6 +151,11 @@ def run_relational_queries() -> dict:
         "q_window_frames",
         "q_histogram",
         "q_rollup",
+        # round-3 operators
+        "q_scd2",
+        "q_tpch_q10",
+        "q_tfidf",
+        "q_dedup_clusters",
     ]
     import ray.data as rd
 

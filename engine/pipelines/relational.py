@@ -1802,6 +1802,8 @@ def q_tpch_q10(sf_dir):
 
     import pyarrow.dataset as pads
 
+    from engine.ops.join import auto_join
+
     li = read_table(
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
@@ -1830,7 +1832,10 @@ def q_tpch_q10(sf_dir):
         ),
     )
     orders = rename_ds(orders, {"o_orderkey": "l_orderkey"})
-    j = shuffle_join(li, orders, key="l_orderkey", join_type="inner")
+    # The 3-month order window is a small fraction of the orders table —
+    # let the size gate pick broadcast (measured: the blind shuffle pair
+    # cost 2 x 10-14 s exchanges at sf0.1; auto_join drops both).
+    j = auto_join(li, orders, key="l_orderkey", join_type="inner")
     per_cust = partial_grouped_sum(
         select(j, ["o_custkey", "revenue_cents"]), ["o_custkey"], ["revenue_cents"]
     )
@@ -1838,7 +1843,7 @@ def q_tpch_q10(sf_dir):
         read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"]),
         {"c_custkey": "o_custkey"},
     )
-    j2 = shuffle_join(per_cust, cust, key="o_custkey", join_type="inner")
+    j2 = auto_join(per_cust, cust, key="o_custkey", join_type="inner")
     nat = table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     j3 = broadcast_join(j2, nat, keys=["c_nationkey"], right_keys=["n_nationkey"])
     out = rename_ds(
