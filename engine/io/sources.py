@@ -41,3 +41,12 @@ def table(sf_dir: str, name: str, columns: list[str] | None = None) -> pa.Table:
     import pyarrow.parquet as pq
 
     return pq.read_table(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def table_num_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet FOOTER metadata — no data pages are
+    read (the right way to get COUNT(*) of an unfiltered table; a
+    Dataset pass just to count is a wasted scan)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows

@@ -23,6 +23,11 @@ from engine.ops.multimodal import attach_fake_payload, decode_payloads, payload_
 from engine.ops.text import fingerprint, lang_id, quality_score, text_stats
 from engine.registry import register_query
 
+# q_tfidf vocabulary-broadcast gate (rows in the (word, df) map); the
+# fallback is the fully distributed two-exchange path. Tests force the
+# fallback by patching this to 0.
+TFIDF_BCAST_VOCAB_MAX = 2_000_000
+
 
 @register_query(
     "q_dedup_exact",
@@ -551,11 +556,15 @@ def q_tfidf(sf_dir):
     text never crosses an exchange. Scores are rounded half-away (6dp)
     in BOTH engines and ties broken on the word, so the selected row set
     is bit-deterministic."""
+    import ray
+
     from engine.ops.agg import grouped_agg, topk_per_group
     from engine.ops.join import shuffle_join
 
+    from engine.io.sources import table_num_rows
+
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    n_docs = float(docs.count())
+    n_docs = float(table_num_rows(sf_dir, "documents"))  # footer metadata, no scan
 
     def _tf(df) -> "pd.DataFrame":
         words = df.set_index("doc_id")["text"].fillna("").str.split(" ").explode()
@@ -567,7 +576,46 @@ def q_tfidf(sf_dir):
         )
 
     tf = docs.map_batches(_tf, batch_format="pandas")
-    df_counts = grouped_agg(tf, ["word"], {"df": ("count", None)})
+    df_counts = grouped_agg(tf, ["word"], {"df": ("count", None)}).materialize()
+
+    # Size gate (same philosophy as auto_join): natural-language
+    # vocabularies grow sublinearly (Heaps' law), so the (word, df) map
+    # usually fits a broadcast — then score + per-doc top-3 fuse into ONE
+    # pass over the doc batches where each document's rows are local by
+    # construction, and NO fact-sized exchange runs at all (the shuffle
+    # path moves every (doc_id, word, tf) row twice: word-keyed join +
+    # doc-keyed top-k). Giant/synthetic vocabularies fall back to the
+    # fully distributed two-exchange path.
+    if df_counts.count() <= TFIDF_BCAST_VOCAB_MAX:
+        dft = pa.concat_tables(
+            [t for t in ray.get(df_counts.to_arrow_refs()) if t.num_rows > 0]
+        )
+        ref = ray.put(
+            dict(zip(dft.column("word").to_pylist(), dft.column("df").to_pylist()))
+        )
+
+        def _fused(df: "pd.DataFrame") -> "pd.DataFrame":
+            from engine.ops.join import _cached_get
+
+            dfmap = _cached_get(ref)
+            t = _tf(df)
+            idf = np.log(n_docs / t["word"].map(dfmap).to_numpy(dtype=np.float64))
+            raw = t["tf"].to_numpy(dtype=np.float64) * idf
+            # Same Arrow rounding kernel as the shuffle path (bit parity
+            # with the oracle), then top-3 per doc with the word
+            # tiebreak — groups are batch-local by construction.
+            t["score"] = pc.round(
+                pa.array(raw), ndigits=6, round_mode="half_towards_infinity"
+            ).to_numpy()
+            t = t.sort_values(
+                ["doc_id", "score", "word"], ascending=[True, False, True],
+                kind="mergesort",
+            )
+            t = t.groupby("doc_id", sort=False).head(3)
+            return t[["doc_id", "word", "score"]]
+
+        return docs.map_batches(_fused, batch_format="pandas")
+
     joined = shuffle_join(tf, df_counts, "word")
 
     def _score(t: pa.Table) -> pa.Table:

@@ -217,3 +217,26 @@ def test_connected_components_vs_union_find():
         ).to_pandas()
         got_map = dict(zip(got["node"].astype(int), got["component"].astype(int)))
         assert got_map == truth, f"local_threshold={thresh}"
+
+
+def test_tfidf_fused_and_distributed_paths_agree(monkeypatch):
+    """The vocabulary-broadcast fused path and the two-exchange fallback
+    must produce the identical top-3 row set."""
+    import engine.pipelines.content as content
+    from engine.registry import QUERIES, load_catalog
+
+    load_catalog()
+    sf = "/root/testdata/sf0.001"
+
+    def _run():
+        return (
+            QUERIES["q_tfidf"](sf)
+            .to_pandas()
+            .sort_values(["doc_id", "word"])
+            .reset_index(drop=True)
+        )
+
+    fused = _run()
+    monkeypatch.setattr(content, "TFIDF_BCAST_VOCAB_MAX", 0)
+    fallback = _run()
+    pd.testing.assert_frame_equal(fused, fallback, check_dtype=False)
