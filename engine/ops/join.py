@@ -137,6 +137,14 @@ def broadcast_join(
 ) -> rd.Dataset:
     """Join a Dataset against an in-memory dimension table, shuffle-free.
     ``small`` is put in the object store ONCE; tasks read it zero-copy."""
+    # Normalize this engine's join-type names to Acero's (a bare "left"
+    # through the auto_join broadcast gate raised "Unsupported join type").
+    join_type = {
+        "left": "left outer",
+        "right": "right outer",
+        "outer": "full outer",
+        "full": "full outer",
+    }.get(join_type, join_type)
     ref = ray.put(small)
 
     def _join(t: pa.Table) -> pa.Table:

@@ -1904,3 +1904,103 @@ def q_tpch_q12(sf_dir):
         j.map_batches(_hl, batch_format="pyarrow"),
         ["l_linestatus"], ["high_line_count", "low_line_count"],
     )
+
+
+@register_query(
+    "q_date_spine",
+    oracle="""WITH spine AS (
+                SELECT (TIMESTAMP '1995-01-01' + INTERVAL (CAST(range AS INT)) MONTH) AS month_start
+                FROM range(0, 80)),
+              cnt AS (SELECT date_trunc('month', o_orderdate) AS month_start,
+                             CAST(COUNT(*) AS BIGINT) AS n_orders
+                      FROM orders GROUP BY 1)
+              SELECT s.month_start, COALESCE(c.n_orders, 0) AS n_orders
+              FROM spine s LEFT JOIN cnt c USING (month_start)""",
+)
+def q_date_spine(sf_dir):
+    """Calendar-spine densification (the ETL staple behind every
+    gap-free time series): a GENERATED month spine (ray.data.range — a
+    source with no backing file) left-joined against per-month order
+    counts, missing months zero-filled."""
+    import ray.data as rd
+
+    from engine.ops.join import auto_join
+
+    def _months(t: pa.Table) -> pa.Table:
+        i = t.column("id").to_numpy()
+        vals = (np.datetime64("1995-01", "M") + i).astype("datetime64[us]")
+        return pa.table({"month_start": pa.array(vals, pa.timestamp("us"))})
+
+    spine = rd.range(80).map_batches(_months, batch_format="pyarrow")
+
+    def _trunc(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"month_start": pc.floor_temporal(t.column("o_orderdate"), unit="month")}
+        )
+
+    cnt = grouped_agg(
+        read_table(sf_dir, "orders", columns=["o_orderdate"]).map_batches(
+            _trunc, batch_format="pyarrow"
+        ),
+        ["month_start"],
+        {"n_orders": ("count", None)},
+    )
+    j = auto_join(spine, cnt, key="month_start", join_type="left")
+
+    def _fill(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "month_start": t.column("month_start"),
+                "n_orders": pc.coalesce(t.column("n_orders"), pa.scalar(0, pa.int64())),
+            }
+        )
+
+    return j.map_batches(_fill, batch_format="pyarrow")
+
+
+@register_query(
+    "q_funnel",
+    oracle="""WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+                         WHERE event_type = 'view' GROUP BY user_id),
+              c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+                    FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+                    WHERE e.event_type = 'click' GROUP BY e.user_id),
+              p AS (SELECT e.user_id FROM events e
+                    JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+                    WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+              SELECT * FROM (
+                SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+                UNION ALL SELECT 'view_click', CAST(COUNT(*) AS BIGINT) FROM c
+                UNION ALL SELECT 'view_click_purchase', CAST(COUNT(*) AS BIGINT) FROM p)""",
+)
+def q_funnel(sf_dir):
+    """Event-funnel analysis (view -> click-after-view ->
+    purchase-after-click): each user's events are co-located by the
+    bucketed exchange, the per-bucket stage counts are vectorized pandas
+    (min-timestamp chaining, no per-user loops), and a tiny 3-row
+    grouped sum folds the bucket partials."""
+    import pandas as pd
+
+    from engine.ops.bucket import bucketed_map_groups
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def _fun(df: pd.DataFrame) -> pd.DataFrame:
+        v = df.loc[df["event_type"] == "view"].groupby("user_id")["ts"].min()
+        d2 = df.loc[df["event_type"] == "click"].merge(
+            v.rename("t_view"), left_on="user_id", right_index=True
+        )
+        c = d2.loc[d2["ts"] > d2["t_view"]].groupby("user_id")["ts"].min()
+        d3 = df.loc[df["event_type"] == "purchase"].merge(
+            c.rename("t_click"), left_on="user_id", right_index=True
+        )
+        n_p = int(d3.loc[d3["ts"] > d3["t_click"], "user_id"].nunique())
+        return pd.DataFrame(
+            {
+                "stage": ["view", "view_click", "view_click_purchase"],
+                "n_users": np.array([len(v), len(c), n_p], dtype=np.int64),
+            }
+        )
+
+    partials = bucketed_map_groups(ds, ["user_id"], _fun, seed="funnel")
+    return grouped_agg(partials, ["stage"], {"n_users": ("sum", "n_users")})

@@ -688,3 +688,32 @@ def test_scd2_history_matches_duckdb():
     )
     # exactly one current version per key
     assert got.groupby("k")["is_current"].sum().eq(1).all()
+
+
+def test_auto_join_left_broadcast_matches_shuffle():
+    """Regression: the broadcast gate with join_type='left' must map to
+    Acero's 'left outer' (a bare 'left' raised Unsupported join type)."""
+    from engine.ops.join import auto_join
+
+    l = pd.DataFrame({"k": [1, 1, 2, 4], "v": [10, 11, 20, 40]})
+    r = pd.DataFrame({"k": [1, 2, 3], "v": [100, 200, 300]})
+
+    def _norm(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+            .astype("float64")
+        )
+
+    small = _norm(auto_join(rd.from_pandas(l), rd.from_pandas(r), "k", "left"))
+    big = _norm(
+        auto_join(
+            rd.from_pandas(l), rd.from_pandas(r), "k", "left",
+            broadcast_threshold_rows=0,
+        )
+    )
+    ref = l.merge(r, on="k", how="left", suffixes=("", "_r")).sort_values(["k", "v"]).reset_index(drop=True).astype("float64")
+    assert len(small) == len(big) == len(ref) == 4
+    pd.testing.assert_frame_equal(small[["k", "v", "v_r"]], ref[["k", "v", "v_r"]])
+    pd.testing.assert_frame_equal(big[["k", "v", "v_r"]], ref[["k", "v", "v_r"]])
