@@ -18,13 +18,62 @@ class SchemaEvolutionError(ValueError):
     pass
 
 
+_INT_ORDER = {pa.int8(): 8, pa.int16(): 16, pa.int32(): 32, pa.int64(): 64}
+_UINT_ORDER = {pa.uint8(): 8, pa.uint16(): 16, pa.uint32(): 32, pa.uint64(): 64}
+
+
+def unify_types(a: pa.DataType, b: pa.DataType) -> pa.DataType | None:
+    """LOSSLESS unification of two column types, or None if impossible.
+
+    Symmetric (an epoch may also arrive NARROWER than the running schema
+    — the target then simply stays wide and conform_table up-casts).
+    Allowed widenings: signed/unsigned int → wider int (unsigned unifies
+    into the next-larger signed; uint64 has no lossless signed home),
+    float32 → float64, int of ≤32 bits → float64 (53-bit mantissa;
+    int64 → float64 is LOSSY and rejected), string → large_string.
+    """
+    if a == b:
+        return a
+    for x, y in ((a, b), (b, a)):
+        if x == pa.string() and y == pa.large_string():
+            return pa.large_string()
+        if x == pa.float32() and y == pa.float64():
+            return pa.float64()
+    ints = all(t in _INT_ORDER or t in _UINT_ORDER for t in (a, b))
+    if ints:
+        def signed_home(t):
+            if t in _INT_ORDER:
+                return _INT_ORDER[t]
+            if _UINT_ORDER[t] >= 64:
+                return None  # uint64 exceeds int64
+            return _UINT_ORDER[t] * 2  # uint8→int16, …, uint32→int64
+        if (a in _UINT_ORDER) == (b in _UINT_ORDER):  # same signedness
+            order = _UINT_ORDER if a in _UINT_ORDER else _INT_ORDER
+            bits = max(order[a], order[b])
+            return {v: k for k, v in order.items()}[bits]
+        ha, hb = signed_home(a), signed_home(b)
+        if ha is None or hb is None:
+            return None
+        bits = max(ha, hb)
+        return {v: k for k, v in _INT_ORDER.items()}[bits]
+    for x, y in ((a, b), (b, a)):
+        if x in _INT_ORDER and _INT_ORDER[x] <= 32 and y == pa.float64():
+            return pa.float64()
+        if x in _UINT_ORDER and _UINT_ORDER[x] <= 32 and y == pa.float64():
+            return pa.float64()
+    return None
+
+
 def negotiate(prev: pa.Schema | None, new: pa.Schema) -> pa.Schema:
     """Unify a running event schema with an epoch's observed schema.
 
-    Additive only: the result keeps ``prev``'s columns in order and
-    appends columns that are new in ``new``. A column present in both
-    with differing types is a conflict (int64 widening etc. is not
-    needed by the corpus and is rejected for determinism).
+    Additive + lossless-widening evolution: the result keeps ``prev``'s
+    columns in order (types widened where the epoch's type and the
+    running type losslessly unify — see :func:`unify_types`) and appends
+    columns that are new in ``new``. Lossy or structural changes are
+    rejected; both the distributed replay and the single-process oracle
+    route through THIS function, so the negotiated chain — hence the
+    final state hash — is identical by construction.
     """
     for required in META_COLS + KEY_COLS:
         if required not in new.names:
@@ -37,9 +86,13 @@ def negotiate(prev: pa.Schema | None, new: pa.Schema) -> pa.Schema:
         if f.name in names:
             old = prev.field(f.name)
             if old.type != f.type:
-                raise SchemaEvolutionError(
-                    f"non-additive change for column {f.name!r}: {old.type} -> {f.type}"
-                )
+                unified = unify_types(old.type, f.type)
+                if unified is None:
+                    raise SchemaEvolutionError(
+                        f"non-additive change for column {f.name!r}: {old.type} -> {f.type}"
+                    )
+                idx = prev.get_field_index(f.name)
+                fields[idx] = pa.field(f.name, unified)
         else:
             fields.append(f)
     return pa.schema(fields)

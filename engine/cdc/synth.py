@@ -46,6 +46,9 @@ class SynthConfig:
     # Epoch index from which the additive column `size_bytes` appears
     # (None → never). Exercises M11 schema negotiation.
     evolve_at_epoch: int | None = None
+    # Epoch index from which `size_bytes` widens int32 → int64 (requires
+    # evolve_at_epoch < widen_at_epoch). Exercises lossless type widening.
+    widen_at_epoch: int | None = None
     # Permute event order within each epoch before writing (seq values
     # unchanged) — exercises W4 arrival-order invariance.
     shuffle_within_epochs: bool = False
@@ -146,7 +149,11 @@ def synth_changelog(sf_dir: str, out_dir: str, cfg: SynthConfig | None = None, *
         cols = _events_for_range(cfg, lo, hi, texts, langs)
         n = hi - lo
         if cfg.evolve_at_epoch is not None and k >= cfg.evolve_at_epoch:
-            cols["size_bytes"] = np.array([len(c) for c in cols["content"]], dtype=np.int64)
+            wide = cfg.widen_at_epoch is None or k >= cfg.widen_at_epoch
+            cols["size_bytes"] = np.array(
+                [len(c) for c in cols["content"]],
+                dtype=np.int64 if wide else np.int32,
+            )
         order = np.arange(n)
         if cfg.shuffle_within_epochs:
             rng = np.random.default_rng(cfg.seed * 1_000_003 + k)

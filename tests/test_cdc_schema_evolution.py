@@ -50,3 +50,59 @@ def test_schema_stable_when_no_evolution(tmp_path, sf_dir):
         "content_sha256",
         "seq",
     ]
+
+
+def test_unify_types_rules():
+    import pyarrow as pa
+    import pytest
+
+    from engine.cdc.schema import unify_types
+
+    cases = [
+        (pa.int32(), pa.int64(), pa.int64()),
+        (pa.int64(), pa.int32(), pa.int64()),  # narrower arrival: stay wide
+        (pa.int8(), pa.int16(), pa.int16()),
+        (pa.uint8(), pa.uint32(), pa.uint32()),
+        (pa.uint32(), pa.int32(), pa.int64()),  # mixed signedness widens
+        (pa.uint8(), pa.int8(), pa.int16()),
+        (pa.float32(), pa.float64(), pa.float64()),
+        (pa.int32(), pa.float64(), pa.float64()),
+        (pa.uint16(), pa.float64(), pa.float64()),
+        (pa.string(), pa.large_string(), pa.large_string()),
+        (pa.int64(), pa.int64(), pa.int64()),
+    ]
+    for a, b, want in cases:
+        assert unify_types(a, b) == want, (a, b)
+    # Lossy or structural: rejected.
+    for a, b in [
+        (pa.int64(), pa.float64()),   # 53-bit mantissa loses int64
+        (pa.uint64(), pa.int64()),
+        (pa.string(), pa.int64()),
+        (pa.timestamp("us"), pa.timestamp("ms")),
+    ]:
+        assert unify_types(a, b) is None, (a, b)
+
+
+def test_widening_mid_stream_matches_oracle(tmp_path, sf_dir):
+    """size_bytes arrives int32 in epoch 1, widens to int64 in epoch 2:
+    the distributed replay and the single-process oracle negotiate the
+    SAME chain, the final column is int64, and rows written before the
+    widening carry their (up-cast) values."""
+    import pyarrow as pa
+
+    log = synth_changelog(
+        sf_dir,
+        f"{tmp_path}/log_widen",
+        SynthConfig(
+            seed=43, n_events=1800, n_epochs=3, n_keys=500,
+            evolve_at_epoch=1, widen_at_epoch=2,
+        ),
+    )
+    lake = f"{tmp_path}/lake_widen"
+    replay(log, lake, ReplayConfig(num_partitions=8, num_salts=2))
+    assert state_hash(lake) == oracle_state_hash(log)
+    t = lake_table(lake)
+    assert t.schema.field("size_bytes").type == pa.int64()
+    rows = t.to_pylist()
+    mid = [r for r in rows if 600 <= r["seq"] < 1200 and r["size_bytes"] is not None]
+    assert mid and all(r["size_bytes"] == len(r["content"]) for r in mid)
