@@ -2004,3 +2004,48 @@ def q_funnel(sf_dir):
 
     partials = bucketed_map_groups(ds, ["user_id"], _fun, seed="funnel")
     return grouped_agg(partials, ["stage"], {"n_users": ("sum", "n_users")})
+
+
+@register_query(
+    "q_retention",
+    oracle="""WITH f AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort
+                         FROM events GROUP BY user_id),
+              act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+                      FROM events),
+              r AS (SELECT f.cohort,
+                           CAST(date_diff('day', f.cohort, a.week) // 7 AS BIGINT) AS weeks_since
+                    FROM f JOIN act a USING (user_id))
+              SELECT cohort, weeks_since, CAST(COUNT(*) AS BIGINT) AS n_users
+              FROM r GROUP BY cohort, weeks_since""",
+)
+def q_retention(sf_dir):
+    """Cohort retention matrix (weekly): cohort = Monday-start week of a
+    user's first event; n_users = distinct users of that cohort active
+    weeks_since weeks later. Users are co-located by the bucketed
+    exchange, so first-week/active-week/distinct are vectorized pandas
+    per bucket; a tiny grouped sum folds the bucket partials."""
+    import pandas as pd
+
+    from engine.ops.bucket import bucketed_map_groups
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _ret(df: pd.DataFrame) -> pd.DataFrame:
+        # Monday-start weeks, matching DuckDB's ISO date_trunc('week').
+        d = df.assign(week=df["ts"].dt.to_period("W-SUN").dt.start_time)
+        cohort = d.groupby("user_id")["week"].min().rename("cohort")
+        act = d[["user_id", "week"]].drop_duplicates()
+        r = act.merge(cohort, left_on="user_id", right_index=True)
+        r["weeks_since"] = ((r["week"] - r["cohort"]).dt.days // 7).astype("int64")
+        out = (
+            r.groupby(["cohort", "weeks_since"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        out["n_users"] = out["n_users"].astype("int64")
+        return out[["cohort", "weeks_since", "n_users"]]
+
+    partials = bucketed_map_groups(ds, ["user_id"], _ret, seed="retention")
+    return grouped_agg(
+        partials, ["cohort", "weeks_since"], {"n_users": ("sum", "n_users")}
+    )
