@@ -2049,3 +2049,70 @@ def q_retention(sf_dir):
     return grouped_agg(
         partials, ["cohort", "weeks_since"], {"n_users": ("sum", "n_users")}
     )
+
+
+@register_query(
+    "q_window_late",
+    oracle="""WITH p AS (
+                SELECT ts,
+                       make_timestamp(CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000)
+                         AS window_start,
+                       max(ts) OVER (ORDER BY (event_id * 2654435761) % 4294967296, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+                FROM events)
+              SELECT window_start,
+                     CAST(SUM(CASE WHEN wm IS NOT NULL
+                                    AND wm >= window_start + INTERVAL 7 HOUR
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                     CAST(SUM(CASE WHEN wm IS NULL
+                                    OR wm < window_start + INTERVAL 7 HOUR
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime
+              FROM p GROUP BY window_start""",
+)
+def q_window_late(sf_dir):
+    """Event-time watermark / late-data split: each event carries the
+    watermark at its ARRIVAL (exclusive running max of event time over
+    arrival order — a deterministic Knuth-hash permutation of event_id,
+    since the testdata is event-time-sorted); an event is LATE when its
+    1-hour window plus 6 hours allowed lateness already closed under
+    that watermark. The running max is the distributed two-phase
+    prefix scan (engine.ops.order.prefix_scan_max); per-window
+    late/on-time counts fold through the bucketed combiner."""
+    import pandas as pd
+
+    from engine.ops.order import SAMPLE_MOD, SAMPLE_MULT, prefix_scan_max
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def _arrival(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        arr = ((eid * np.uint64(SAMPLE_MULT)) % np.uint64(SAMPLE_MOD)).astype(np.int64)
+        return t.append_column("arrival", pa.array(arr, pa.int64()))
+
+    ds = ds.map_batches(_arrival, batch_format="pyarrow")
+    ds = prefix_scan_max(ds, ["arrival", "event_id"], "ts", out="wm")
+
+    HOUR_US = 3_600_000_000
+
+    def _classify(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["ts"].astype("int64")
+        win = (ts_us // HOUR_US) * HOUR_US
+        close = win + 7 * HOUR_US  # window size 1h + lateness 6h
+        # NaT's int64 sentinel is INT64_MIN (< close), so notna() is the
+        # only guard needed.
+        late = df["wm"].notna().to_numpy() & (
+            df["wm"].to_numpy().astype("int64") >= close.to_numpy()
+        )
+        return pd.DataFrame(
+            {
+                "window_start": win.astype("datetime64[us]"),
+                "n_late": late.astype(np.int64),
+                "n_ontime": (~late).astype(np.int64),
+            }
+        )
+
+    rows = ds.map_batches(_classify, batch_format="pandas")
+    return grouped_agg(
+        rows, ["window_start"],
+        {"n_late": ("sum", "n_late"), "n_ontime": ("sum", "n_ontime")},
+    )

@@ -717,3 +717,35 @@ def test_auto_join_left_broadcast_matches_shuffle():
     assert len(small) == len(big) == len(ref) == 4
     pd.testing.assert_frame_equal(small[["k", "v", "v_r"]], ref[["k", "v", "v_r"]])
     pd.testing.assert_frame_equal(big[["k", "v", "v_r"]], ref[["k", "v", "v_r"]])
+
+
+def test_prefix_scan_max_matches_duckdb():
+    """Distributed exclusive running max vs the SQL window, over unordered
+    input with composite-order ties on the range column."""
+    from engine.ops.order import prefix_scan_max
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "a": rng.integers(0, 300, n).astype(np.int64),  # range col, many ties
+            "b": rng.permutation(n).astype(np.int64),       # tiebreak -> total order
+            "v": rng.integers(-1000, 1000, n).astype(np.int64),
+        }
+    )
+    got = (
+        prefix_scan_max(rd.from_pandas(df.sample(frac=1.0, random_state=3)),
+                        ["a", "b"], "v", out="rm", num_ranges=16)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """SELECT a, b, v, max(v) OVER (ORDER BY a, b
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+           FROM df ORDER BY a, b"""
+    ).df().reset_index(drop=True)
+    assert np.isnan(got["rm"].iloc[0]) and pd.isna(want["rm"].iloc[0])
+    pd.testing.assert_series_equal(
+        got["rm"].astype("float64"), want["rm"].astype("float64"), check_names=False
+    )
