@@ -152,3 +152,63 @@ def prefix_scan_max(
     # One Ray group per range id: ranges are few (≤num_ranges) by
     # construction, so grouping on the raw rid is the bucketed pattern.
     return routed.groupby("__rid").map_groups(_scan, batch_format="pandas")
+
+
+def prefix_scan_sum(
+    ds: rd.Dataset,
+    order_cols: list[str],
+    value_col: str,
+    out: str = "running_sum",
+    num_ranges: int = 64,
+) -> rd.Dataset:
+    """Distributed INCLUSIVE running sum (SQL ``SUM(v) OVER (ORDER BY …
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)`` under a total
+    order). Same two-phase shape as :func:`prefix_scan_max`: range
+    partials → ≤ ``num_ranges``-value driver fold → per-range cumsum +
+    carry. Use INTEGER value columns for oracle-exact results (float
+    addition order differs between engines). The leading order column
+    must be integer-valued (convert timestamps upstream)."""
+    import pandas as pd
+    import ray
+
+    from engine.ops.agg import global_agg, grouped_agg
+
+    first = order_cols[0]
+    mm = global_agg(
+        ds.select_columns([first]), {"lo": ("min", first), "hi": ("max", first)}
+    )
+    lo, hi = int(mm.column("lo")[0].as_py()), int(mm.column("hi")[0].as_py())
+    width = max(1, (hi - lo) // num_ranges + 1)
+
+    def _rid(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__rid"] = ((df[first].astype("int64") - lo) // width).astype("int64")
+        return df
+
+    routed = ds.map_batches(_rid, batch_format="pandas").materialize()
+    sums = (
+        grouped_agg(
+            routed.select_columns(["__rid", value_col]),
+            ["__rid"],
+            {"__s": ("sum", value_col)},
+        )
+        .to_pandas()
+        .sort_values("__rid")
+    )
+    run = np.cumsum(sums["__s"].to_numpy().astype("int64"))
+    carry = {
+        int(r): int(run[i - 1]) if i > 0 else 0
+        for i, r in enumerate(sums["__rid"].to_numpy())
+    }
+    ref = ray.put(carry)
+
+    def _scan(df: pd.DataFrame) -> pd.DataFrame:
+        from engine.ops.join import _cached_get
+
+        carries = _cached_get(ref)
+        df = df.sort_values(order_cols, kind="mergesort").copy()
+        c = carries.get(int(df["__rid"].iloc[0]), 0) if len(df) else 0
+        df[out] = np.cumsum(df[value_col].to_numpy().astype("int64")) + c
+        return df.drop(columns="__rid")
+
+    return routed.groupby("__rid").map_groups(_scan, batch_format="pandas")

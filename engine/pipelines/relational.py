@@ -2116,3 +2116,31 @@ def q_window_late(sf_dir):
         rows, ["window_start"],
         {"n_late": ("sum", "n_late"), "n_ontime": ("sum", "n_ontime")},
     )
+
+
+@register_query(
+    "q_running_total",
+    oracle="""SELECT o_orderkey,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                          OVER (ORDER BY o_orderdate, o_orderkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS run_cents
+              FROM orders""",
+)
+def q_running_total(sf_dir):
+    """GLOBAL running revenue in order-date order (not partitioned — the
+    analytic cumsum covers per-partition frames; this is the total-order
+    scan): integer-cents values through the distributed two-phase prefix
+    sum, so the result is order-exact against the SQL window."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+    ds = with_columns(
+        ds,
+        {
+            "cents": _cents("o_totalprice"),
+            "date_us": lambda t: pc.cast(t.column("o_orderdate"), pa.int64()),
+        },
+    )
+    from engine.ops.order import prefix_scan_sum
+
+    out = prefix_scan_sum(ds, ["date_us", "o_orderkey"], "cents", out="run_cents")
+    return select(out, ["o_orderkey", "run_cents"])
