@@ -657,3 +657,32 @@ def bloom_prune(ds: rd.Dataset, col: str, bloom_ref: ray.ObjectRef) -> rd.Datase
         return t.filter(pa.array(ok))
 
     return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def cross_join(ds: rd.Dataset, small: pa.Table, suffix: str = "_r") -> rd.Dataset:
+    """Cartesian product against a SMALL broadcast side (dimension
+    enumeration, parameter grids). The small table ships through the
+    object store once; each batch repeats itself len(small) times with
+    Arrow take/tile index math — no shuffle. Output size is
+    |ds| x |small| by definition: the caller owns keeping ``small``
+    small (this is not a fact-x-fact operator)."""
+    ref = ray.put(small)
+
+    def _cross(t: pa.Table) -> pa.Table:
+        dim = _cached_get(ref)
+        n, m = t.num_rows, dim.num_rows
+        if n == 0 or m == 0:
+            cols = {c: t.column(c).slice(0, 0) for c in t.column_names}
+            for c in dim.column_names:
+                name = c + suffix if c in t.column_names else c
+                cols[name] = dim.column(c).slice(0, 0)
+            return pa.table(cols)
+        left = t.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), m)))
+        right = dim.take(pa.array(np.tile(np.arange(m, dtype=np.int64), n)))
+        cols = {c: left.column(c) for c in left.column_names}
+        for c in right.column_names:
+            name = c + suffix if c in cols else c
+            cols[name] = right.column(c)
+        return pa.table(cols)
+
+    return ds.map_batches(_cross, batch_format="pyarrow")

@@ -2144,3 +2144,43 @@ def q_running_total(sf_dir):
 
     out = prefix_scan_sum(ds, ["date_us", "o_orderkey"], "cents", out="run_cents")
     return select(out, ["o_orderkey", "run_cents"])
+
+
+@register_query(
+    "q_grouped_mode",
+    oracle="""WITH c AS (SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS n
+                         FROM lineitem GROUP BY 1, 2)
+              SELECT l_returnflag, l_quantity AS mode_qty, n FROM (
+                SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                             ORDER BY n DESC, l_quantity) AS rk
+                FROM c) WHERE rk = 1""",
+)
+def q_grouped_mode(sf_dir):
+    """Per-group MODE with a deterministic tiebreak (smallest value wins):
+    bucketed (group, value) count combiner, then the top-1 per group —
+    two small exchanges, values never leave their buckets uncounted."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    counts = grouped_agg(ds, ["l_returnflag", "l_quantity"], {"n": ("count", None)})
+    top = topk_per_group(
+        counts, ["l_returnflag"], "n", 1, descending=True, tiebreak=["l_quantity"]
+    )
+    return rename_ds(top, {"l_quantity": "mode_qty"})
+
+
+@register_query(
+    "q_cross_join",
+    oracle="""SELECT r.r_name, n.n_name, CAST(n.n_nationkey AS BIGINT) AS n_nationkey
+              FROM region r CROSS JOIN nation n""",
+)
+def q_cross_join(sf_dir):
+    """Cartesian product against a broadcast dimension (parameter-grid /
+    enumeration shape): the small side ships once, each batch tiles
+    itself with Arrow take index math — no shuffle."""
+    from engine.ops.join import cross_join
+
+    nat = table(sf_dir, "nation", columns=["n_name", "n_nationkey"])
+    reg = read_table(sf_dir, "region", columns=["r_name"])
+    out = cross_join(reg, nat)
+    return with_columns(
+        out, {"n_nationkey": lambda t: pc.cast(t.column("n_nationkey"), pa.int64())}
+    )
