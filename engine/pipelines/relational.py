@@ -2184,3 +2184,42 @@ def q_cross_join(sf_dir):
     return with_columns(
         out, {"n_nationkey": lambda t: pc.cast(t.column("n_nationkey"), pa.int64())}
     )
+
+
+@register_query(
+    "q_grouped_mad",
+    oracle="""WITH m AS (SELECT l_returnflag, median(l_extendedprice) AS med
+                         FROM lineitem GROUP BY 1)
+              SELECT l.l_returnflag,
+                     round(median(abs(l.l_extendedprice - m.med)), 6) AS mad
+              FROM lineitem l JOIN m USING (l_returnflag) GROUP BY 1""",
+)
+def q_grouped_mad(sf_dir):
+    """Median absolute deviation per group (the robust spread statistic):
+    grouped exact median → broadcast the tiny per-group medians back over
+    the fact table → grouped median of |x - med|. The classic
+    aggregate → join-back → re-aggregate composite; the fact table
+    streams twice, never materializes."""
+    from engine.ops.agg import grouped_quantile
+    from engine.ops.join import auto_join
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    med = grouped_quantile(ds, ["l_returnflag"], "l_extendedprice", 0.5, out="med")
+    j = auto_join(ds, med, key="l_returnflag", join_type="inner")
+    dev = with_columns(
+        j,
+        {
+            "adev": lambda t: pc.abs(
+                pc.subtract(t.column("l_extendedprice"), t.column("med"))
+            )
+        },
+    )
+    mad = grouped_quantile(
+        select(dev, ["l_returnflag", "adev"]), ["l_returnflag"], "adev", 0.5, out="mad_raw"
+    )
+    return with_columns(
+        select(
+            rename_ds(mad, {"mad_raw": "mad"}), ["l_returnflag", "mad"]
+        ),
+        {"mad": lambda t: pc.round(t.column("mad"), ndigits=6, round_mode="half_towards_infinity")},
+    )
