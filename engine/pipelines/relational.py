@@ -1254,49 +1254,40 @@ def q_grouped_median(sf_dir):
               GROUP BY n_name""",
 )
 def q_tpch_q5(sf_dir):
-    """TPC-H Q5 shape: local-supplier revenue by nation. Dims (nation ⋈
-    region, supplier, customer keys) broadcast; the only large exchange
-    is the lineitem ⋈ orders shuffle join on the order key; the
-    c_nationkey = s_nationkey equality filters per batch after the join;
-    integer-cents group-sum via the partial combiner."""
+    """TPC-H Q5 shape: local-supplier revenue by nation. Only the tiny
+    nation ⋈ region dim is driver-side; customer and supplier are
+    DATASETS — semi-filtered to ASIA nations by a broadcast key set,
+    then joined through auto_join's size gate (broadcast at test sizes,
+    bucketed shuffle at scale — never a driver-side dict of a scaling
+    table). The one unconditional large exchange is lineitem ⋈ orders
+    on the order key; integer-cents group-sum via the partial
+    combiner."""
     import pyarrow.dataset as pads
-    import ray
 
-    from engine.ops.join import _cached_get
+    from engine.ops.join import auto_join
 
     dims = table(sf_dir, "nation").join(
         table(sf_dir, "region"), keys=["n_regionkey"], right_keys=["r_regionkey"]
     )
-    dims = dims.filter(pc.equal(dims.column("r_name"), "ASIA"))
-    nation_name = dict(
-        zip(dims.column("n_nationkey").to_pylist(), dims.column("n_name").to_pylist())
+    dims = dims.filter(pc.equal(dims.column("r_name"), "ASIA")).select(
+        ["n_nationkey", "n_name"]
     )
-    supp = table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
-    supp_nation = dict(
-        zip(supp.column("s_suppkey").to_pylist(), supp.column("s_nationkey").to_pylist())
-    )
-    cust = table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    cust_nation = dict(
-        zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist())
-    )
-    ref = ray.put((nation_name, supp_nation, cust_nation))
+    asia = dims.select(["n_nationkey"])
 
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = semi_join(cust, asia.rename_columns(["c_nationkey"]), "c_nationkey")
     orders = read_table(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter_expr=(pads.field("o_orderdate") >= pa.scalar(np.datetime64("1996-01-01", "us")))
         & (pads.field("o_orderdate") < pa.scalar(np.datetime64("1997-01-01", "us"))),
     )
-
-    def _cust_nation(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        _, _, cn = _cached_get(ref)
-        nk = pd.Series(t.column("o_custkey").to_pylist()).map(cn)
-        return t.append_column("c_nationkey", pa.array(nk, pa.int64()))
-
-    orders = orders.map_batches(_cust_nation, batch_format="pyarrow")
-    orders = select(orders, ["o_orderkey", "c_nationkey"])
-    orders = rename_ds(orders, {"o_orderkey": "l_orderkey"})
+    orders = select(orders, ["o_orderkey", "o_custkey"])
+    orders = auto_join(
+        orders, rename_ds(cust, {"c_custkey": "o_custkey"}), key="o_custkey"
+    )
+    orders = rename_ds(
+        select(orders, ["o_orderkey", "c_nationkey"]), {"o_orderkey": "l_orderkey"}
+    )
 
     li = read_table(
         sf_dir, "lineitem",
@@ -1304,19 +1295,17 @@ def q_tpch_q5(sf_dir):
     )
     joined = shuffle_join(li, orders, key="l_orderkey", join_type="inner")
 
-    def _local_supplier(t: pa.Table) -> pa.Table:
-        import pandas as pd
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    supp = semi_join(supp, asia.rename_columns(["s_nationkey"]), "s_nationkey")
+    joined = auto_join(
+        joined, rename_ds(supp, {"s_suppkey": "l_suppkey"}), key="l_suppkey"
+    )
+    joined = filter_expr(
+        joined, lambda t: pc.equal(t.column("s_nationkey"), t.column("c_nationkey"))
+    )
+    joined = broadcast_join(joined, dims, keys=["s_nationkey"], right_keys=["n_nationkey"])
 
-        nn, sn, _ = _cached_get(ref)
-        s_nat = pd.Series(t.column("l_suppkey").to_pylist()).map(sn)
-        t = t.append_column("s_nationkey", pa.array(s_nat, pa.int64()))
-        keep = pc.and_(
-            pc.equal(t.column("s_nationkey"), t.column("c_nationkey")),
-            pc.is_in(t.column("s_nationkey"), value_set=pa.array(list(nn), pa.int64())),
-        )
-        t = t.filter(pc.fill_null(keep, False))
-        name = pd.Series(t.column("s_nationkey").to_pylist()).map(nn)
-        t = t.append_column("n_name", pa.array(name, pa.string()))
+    def _rev(t: pa.Table) -> pa.Table:
         rev = pc.cast(
             _round_away(
                 pc.multiply(
@@ -1331,7 +1320,7 @@ def q_tpch_q5(sf_dir):
         )
         return t.append_column("revenue_cents", rev).select(["n_name", "revenue_cents"])
 
-    out = joined.map_batches(_local_supplier, batch_format="pyarrow")
+    out = joined.map_batches(_rev, batch_format="pyarrow")
     return partial_grouped_sum(out, ["n_name"], ["revenue_cents"])
 
 
