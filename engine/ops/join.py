@@ -220,6 +220,101 @@ def distributed_keyset(ds: rd.Dataset, key: str) -> pa.Table:
     return pa.table({key: vals})
 
 
+def auto_semi_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_key: str,
+    right_key: str | None = None,
+    anti: bool = False,
+    broadcast_threshold_keys: int = 200_000,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Size-gated semi/anti join of ``left`` against ``right``'s key
+    column. A distributed distinct runs first; its COUNT picks the
+    strategy: at or under the threshold the key set is pulled to the
+    driver and broadcast (shuffle-free ``is_in`` mask via
+    :func:`semi_join`); above it the membership test runs as a bucketed
+    co-partitioned shuffle (the q_tpch_q4 form) and the key set never
+    touches the driver. Results are identical on both paths (SQL
+    IN / NOT IN three-valued NULL semantics), which the path-agreement
+    test asserts."""
+    right_key = right_key or left_key
+    from engine.ops.agg import distinct
+
+    dk = distinct(right.select_columns([right_key]), [right_key]).materialize()
+    auto_semi_join.last_strategy = None
+    if dk.count() <= broadcast_threshold_keys:
+        auto_semi_join.last_strategy = "broadcast"
+        rows = dk.take_all()
+        vals = [
+            None if (isinstance(v, float) and v != v) else v
+            for v in (r[right_key] for r in rows)
+        ]
+        return semi_join(left, pa.table({left_key: vals}), left_key, anti=anti)
+    auto_semi_join.last_strategy = "shuffle"
+    return _shuffled_semi(left, dk, left_key, right_key, anti, num_buckets)
+
+
+def _shuffled_semi(
+    left: rd.Dataset,
+    dk: rd.Dataset,
+    left_key: str,
+    right_key: str,
+    anti: bool,
+    num_buckets: int,
+) -> rd.Dataset:
+    """Distributed membership filter: the DISTINCT key set co-partitions
+    with the left side through the bucketed exchange. Semi = inner join
+    against the distinct keys (no duplication — keys are unique; a NULL
+    left key never matches, per SQL IN). Anti = left join against the
+    marked key set, keep unmatched valid-key rows; a NULL anywhere in
+    the key set makes NOT IN unsatisfiable, checked with one distributed
+    fold over the (already small-per-bucket) distinct set."""
+    left, lschema = _keyed_arrow(left, [left_key])
+    key_type = lschema.field(left_key).type
+
+    def _conform(t: pa.Table) -> pa.Table:
+        # distinct() runs through pandas, which degrades null-bearing int
+        # keys to float64/NaN — repair NaN back to typed null and restore
+        # the left key's type so the exchange hashes both sides equally.
+        col = t.column(right_key)
+        if pa.types.is_floating(col.type) and not pa.types.is_floating(key_type):
+            col = pc.if_else(pc.is_nan(col), pa.scalar(None, col.type), col)
+        return pa.table({left_key: pc.cast(col, key_type)})
+
+    keys_ds = dk.map_batches(_conform, batch_format="pyarrow")
+    if not anti:
+        # Drop null keys from the set up front: a NULL is never IN, and
+        # the pandas merge fallback would otherwise match NaN==NaN.
+        nonnull = keys_ds.map_batches(
+            lambda t: t.filter(pc.is_valid(t.column(left_key))),
+            batch_format="pyarrow",
+        )
+        return shuffle_join(left, nonnull, key=left_key, join_type="inner",
+                            num_buckets=num_buckets)
+
+    nulls = keys_ds.map_batches(
+        lambda t: pa.table(
+            {"__n": pa.array([t.column(left_key).null_count], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).sum("__n")
+    if nulls:
+        return left.limit(0)
+
+    marked = keys_ds.map_batches(
+        lambda t: t.append_column("__m", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow",
+    )
+    j = shuffle_join(left, marked, key=left_key, join_type="left", num_buckets=num_buckets)
+
+    def _unmatched(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_null(t.column("__m")), pc.is_valid(t.column(left_key)))
+        return t.filter(m).drop_columns(["__m"])
+
+    return j.map_batches(_unmatched, batch_format="pyarrow")
+
+
 def semi_join(ds: rd.Dataset, keys_table: pa.Table, key: str, anti: bool = False) -> rd.Dataset:
     """IN / NOT IN filter against a broadcast key set, with SQL
     three-valued NULL semantics: a NULL left key is never IN and never

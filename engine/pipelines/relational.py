@@ -640,20 +640,19 @@ def q_join_shuffle(sf_dir):
               WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)""",
 )
 def q_join_semi(sf_dir):
-    """Broadcast semi join with a DISTRIBUTED key-set build: the orders
-    scan stays in Ray (pushed-down price filter), distinct runs bucketed,
-    and only the distinct custkeys reach the driver."""
+    """Size-gated semi join: distributed distinct over the filtered
+    orders keys; the distinct COUNT picks driver-broadcast vs the fully
+    distributed bucketed membership shuffle (auto_semi_join)."""
     import pyarrow.dataset as pads
 
-    from engine.ops.join import distributed_keyset
+    from engine.ops.join import auto_semi_join
 
     orders = read_table(
         sf_dir, "orders", columns=["o_custkey", "o_totalprice"],
         filter_expr=pads.field("o_totalprice") > 150000.0,
     )
-    keys = distributed_keyset(orders, "o_custkey").rename_columns(["c_custkey"])
     ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
-    return semi_join(ds, keys, "c_custkey")
+    return auto_semi_join(ds, orders, "c_custkey", right_key="o_custkey")
 
 
 @register_query(
@@ -664,15 +663,14 @@ def q_join_semi(sf_dir):
 def q_join_anti(sf_dir):
     import pyarrow.dataset as pads
 
-    from engine.ops.join import distributed_keyset
+    from engine.ops.join import auto_semi_join
 
     orders = read_table(
         sf_dir, "orders", columns=["o_custkey", "o_totalprice"],
         filter_expr=pads.field("o_totalprice") > 400000.0,
     )
-    keys = distributed_keyset(orders, "o_custkey").rename_columns(["c_custkey"])
     ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
-    return semi_join(ds, keys, "c_custkey", anti=True)
+    return auto_semi_join(ds, orders, "c_custkey", right_key="o_custkey", anti=True)
 
 
 @register_query(
@@ -771,25 +769,26 @@ def q_join_salted_outer(sf_dir):
 )
 def q_tpch_q3(sf_dir):
     """TPC-H Q3 shape end-to-end: semi-join the customer segment into
-    orders (broadcast key set — no customer columns survive, so no data
-    join needed), shuffle-join lineitem x orders on the order key,
-    combiner group-sum on integer cents, sort+limit with tiebreaks."""
+    orders (size-gated: broadcast key set at test scale, distributed
+    bucketed membership at a 100x customer segment — no customer columns
+    survive, so no data join needed), shuffle-join lineitem x orders on
+    the order key, combiner group-sum on integer cents, sort+limit with
+    tiebreaks."""
     import pyarrow.dataset as pads
 
-    from engine.ops.join import distributed_keyset
+    from engine.ops.join import auto_semi_join
 
     cust_ds = read_table(
         sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
         filter_expr=pads.field("c_mktsegment") == "BUILDING",
     )
-    cust = distributed_keyset(cust_ds, "c_custkey").rename_columns(["o_custkey"])
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
     orders = filter_expr(
         orders,
         lambda t: pc.less(t.column("o_orderdate"), pa.scalar(np.datetime64("1995-03-15", "us"))),
     )
-    orders = semi_join(orders, cust, "o_custkey")
+    orders = auto_semi_join(orders, cust_ds, "o_custkey", right_key="c_custkey")
     orders = select(orders, ["o_orderkey", "o_orderdate"]).rename_columns(
         {"o_orderkey": "l_orderkey"}
     )
@@ -1570,8 +1569,9 @@ def q_join_bloom(sf_dir):
     bloom = bloom_filter_keys(cust, "c_custkey")
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     pruned = bloom_prune(orders, "o_custkey", bloom)
-    keys = distributed_keyset(rename_ds(cust, {"c_custkey": "o_custkey"}), "o_custkey")
-    return semi_join(pruned, keys, "o_custkey")
+    from engine.ops.join import auto_semi_join
+
+    return auto_semi_join(pruned, cust, "o_custkey", right_key="c_custkey")
 
 
 @register_query(

@@ -749,3 +749,50 @@ def test_prefix_scan_max_matches_duckdb():
     pd.testing.assert_series_equal(
         got["rm"].astype("float64"), want["rm"].astype("float64"), check_names=False
     )
+
+
+def test_auto_semi_join_paths_agree():
+    """auto_semi_join must return the same rows whether the key-count
+    gate picks the driver-broadcast is_in path or the distributed
+    bucketed membership shuffle — including SQL 3VL NULL semantics
+    (NULL left key is never IN / NOT IN; NULL in the key set empties
+    the anti side)."""
+    from engine.ops.join import auto_semi_join
+
+    l = pd.DataFrame({"k": pd.array([1, 2, 3, 4, None], dtype="Int64"),
+                      "v": [10, 20, 30, 40, 50]})
+    r = pd.DataFrame({"j": pd.array([2, 4, 4, 9], dtype="Int64")})
+    r_null = pd.DataFrame({"j": pd.array([2, None], dtype="Int64")})
+
+    def _norm(ds):
+        df = ds.to_pandas()
+        return (
+            df.astype({"k": "Int64", "v": "Int64"})
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+
+    for anti in (False, True):
+        bcast = _norm(auto_semi_join(
+            rd.from_pandas(l), rd.from_pandas(r), "k", right_key="j", anti=anti))
+        shuf = _norm(auto_semi_join(
+            rd.from_pandas(l), rd.from_pandas(r), "k", right_key="j", anti=anti,
+            broadcast_threshold_keys=0))
+        assert auto_semi_join.last_strategy == "shuffle"
+        pd.testing.assert_frame_equal(bcast, shuf)
+    # semi keeps exactly the matching keys, once each (distinct set)
+    sem = _norm(auto_semi_join(
+        rd.from_pandas(l), rd.from_pandas(r), "k", right_key="j",
+        broadcast_threshold_keys=0))
+    assert sem["k"].tolist() == [2, 4]
+    # anti drops matching AND null left keys
+    ant = _norm(auto_semi_join(
+        rd.from_pandas(l), rd.from_pandas(r), "k", right_key="j", anti=True,
+        broadcast_threshold_keys=0))
+    assert ant["k"].tolist() == [1, 3]
+    # NULL in the key set -> NOT IN unsatisfiable on BOTH paths
+    for thresh in (0, 10):
+        empty = auto_semi_join(
+            rd.from_pandas(l), rd.from_pandas(r_null), "k", right_key="j",
+            anti=True, broadcast_threshold_keys=thresh)
+        assert empty.count() == 0
