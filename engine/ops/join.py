@@ -160,6 +160,19 @@ def broadcast_join(
     return ds.map_batches(_join, batch_format="pyarrow")
 
 
+def _top_key_share(ds: rd.Dataset, key: str, sample_rows: int = 65_536) -> float:
+    """Estimated share of the hottest key in a BOUNDED prefix sample
+    (limit() early-stops the scan; the pull is capped at sample_rows of
+    one column). A heuristic only: it picks the join ROUTE, never the
+    result — both routes are result-identical, so a miss costs time,
+    not correctness."""
+    s = ds.select_columns([key]).limit(sample_rows).to_pandas()[key]
+    if len(s) == 0:
+        return 0.0
+    vc = s.value_counts(dropna=True)
+    return float(vc.iloc[0]) / float(len(s)) if len(vc) else 0.0
+
+
 def auto_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -167,6 +180,9 @@ def auto_join(
     join_type: str = "inner",
     broadcast_threshold_rows: int = 200_000,
     num_buckets: int = 64,
+    detect_skew: bool = True,
+    skew_share_threshold: float = 0.2,
+    skew_salts: int = 8,
 ) -> rd.Dataset:
     """Size-based strategy pick between :func:`broadcast_join` and
     :func:`shuffle_join` (the engine has no optimizer — this helper stops
@@ -177,7 +193,14 @@ def auto_join(
     right/outer need unmatched-right tracking, which the shuffle path
     owns), the blocks are pulled into one Arrow table and broadcast;
     otherwise the bucketed shuffle join runs. The driver pull is gated by
-    the count, never attempted blind."""
+    the count, never attempted blind.
+
+    Skew routing: on the shuffle path with a single-column key, a
+    bounded prefix sample of the left key estimates the hottest key's
+    share; at or above ``skew_share_threshold`` the join routes through
+    :func:`salted_join` (the hot key spreads over ``skew_salts``
+    sub-buckets instead of melting one worker). The chosen route is
+    recorded in ``auto_join.last_strategy`` for tests/diagnostics."""
     import ray as _ray
 
     keys = [key] if isinstance(key, str) else list(key)
@@ -191,6 +214,7 @@ def auto_join(
         # before concat or the schemas "differ".
         nonempty = [t for t in blocks if t.num_rows > 0]
         if not nonempty:
+            auto_join.last_strategy = "shuffle"
             return shuffle_join(left, right, key, join_type, num_buckets=num_buckets)
         left, lschema = _keyed_arrow(left, keys)
         small = pa.concat_tables(nonempty)
@@ -202,7 +226,17 @@ def auto_join(
                 for c in small.column_names
             ]
         )
+        auto_join.last_strategy = "broadcast"
         return broadcast_join(left, small, keys=keys, join_type=join_type)
+    if detect_skew and isinstance(key, str):
+        share = _top_key_share(left, key)
+        if share >= skew_share_threshold:
+            auto_join.last_strategy = "salted"
+            return salted_join(
+                left, right, key, join_type,
+                num_salts=skew_salts, num_buckets=num_buckets,
+            )
+    auto_join.last_strategy = "shuffle"
     return shuffle_join(left, right, key, join_type, num_buckets=num_buckets)
 
 

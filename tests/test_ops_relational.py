@@ -796,3 +796,38 @@ def test_auto_semi_join_paths_agree():
             rd.from_pandas(l), rd.from_pandas(r_null), "k", right_key="j",
             anti=True, broadcast_threshold_keys=thresh)
         assert empty.count() == 0
+
+
+def test_auto_join_skew_detection_routes_salted():
+    """One key holding 50% of the left rows must trip the skew probe:
+    auto_join picks the salted route, and the result is identical to the
+    plain bucketed shuffle join."""
+    from engine.ops.join import auto_join, shuffle_join
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    k = np.where(rng.random(n) < 0.5, 77, rng.integers(0, 500, n)).astype(np.int64)
+    l = pd.DataFrame({"k": k, "v": np.arange(n, dtype=np.int64)})
+    r = pd.DataFrame({"k": np.arange(500, dtype=np.int64),
+                      "w": np.arange(500, dtype=np.int64) * 10})
+
+    def _norm(ds):
+        return (
+            ds.to_pandas()
+            .astype("int64")
+            .sort_values(["k", "v", "w"])
+            .reset_index(drop=True)
+        )
+
+    salted = _norm(auto_join(
+        rd.from_pandas(l), rd.from_pandas(r), "k", "inner",
+        broadcast_threshold_rows=0))
+    assert auto_join.last_strategy == "salted"
+    plain = _norm(shuffle_join(rd.from_pandas(l), rd.from_pandas(r), "k", "inner"))
+    pd.testing.assert_frame_equal(salted, plain)
+    # uniform keys stay on the plain shuffle route
+    lu = pd.DataFrame({"k": rng.integers(0, 500, n).astype(np.int64),
+                       "v": np.arange(n, dtype=np.int64)})
+    auto_join(rd.from_pandas(lu), rd.from_pandas(r), "k", "inner",
+              broadcast_threshold_rows=0).count()
+    assert auto_join.last_strategy == "shuffle"
