@@ -606,9 +606,9 @@ def range_join(
     Executed as the bucketed equi-join on the by-key with the band
     filter applied per streamed block — co-partitioning comes from the
     key; the band bounds the retained pairs. Partitioning assumption:
-    one by-key's rows fit a worker (same as asof_join); a keyless or
-    hot-key range join needs time-bin co-partitioning (replicate right
-    rows to overlapping bins) — not implemented here."""
+    one by-key's rows fit a worker (same as asof_join); for a keyless or
+    hot-key range join use :func:`range_join_global` (time-bin
+    co-partitioning — replicates right rows to overlapping bins)."""
     rb = right_by or by
     r = right if rb == by else right.rename_columns({rb: by})
     j = shuffle_join(left, r, key=by, join_type="inner")
@@ -619,6 +619,64 @@ def range_join(
         )
         m = pc.and_(pc.less_equal(d, lower_us), pc.greater_equal(d, -upper_us))
         return t.filter(m)
+
+    return j.map_batches(_band, batch_format="pyarrow")
+
+
+def range_join_global(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    right_on: str,
+    lower_us: int,
+    upper_us: int = 0,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """KEYLESS banded range join (the time-bin co-partitioned variant
+    :func:`range_join` documents as its gap): rows match when
+    ``on - lower_us <= right_on <= on + upper_us`` with NO equi-key.
+
+    Co-partitioning comes from TIME BINS of width ``lower_us +
+    upper_us``: each left row lands in exactly one bin of its own
+    timestamp; each right row replicates to every bin whose left rows
+    could match it (at most 2 bins at this width — bounded replication,
+    not a broadcast). The equi-join on the bin id then meets each
+    candidate pair exactly once (the left row is in one bin only), so no
+    dedup pass is needed; the band filter prunes per streamed block.
+    Partitioning assumption: one bin's rows fit a worker — bins are
+    time-bounded, so this holds whenever event rate x band width fits,
+    independent of key skew. ``on`` and ``right_on`` must be distinct
+    column names (rename upstream otherwise)."""
+    if on == right_on:
+        raise ValueError("range_join_global: rename one side — on == right_on")
+    width = max(int(lower_us) + int(upper_us), 1)
+
+    def _bin_left(t: pa.Table) -> pa.Table:
+        ts = t.column(on).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return t.append_column("__bin", pa.array(ts // width, pa.int64()))
+
+    def _replicate_right(t: pa.Table) -> pa.Table:
+        s = t.column(right_on).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b0 = (s - upper_us) // width
+        b1 = (s + lower_us) // width
+        counts = (b1 - b0 + 1).astype(np.int64)
+        total = int(counts.sum())
+        idx = np.repeat(np.arange(len(s), dtype=np.int64), counts)
+        starts = np.cumsum(counts) - counts
+        offs = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        out = t.take(pa.array(idx))
+        return out.append_column("__bin", pa.array(b0[idx] + offs, pa.int64()))
+
+    l = left.map_batches(_bin_left, batch_format="pyarrow")
+    r = right.map_batches(_replicate_right, batch_format="pyarrow")
+    j = shuffle_join(l, r, key="__bin", join_type="inner", num_buckets=num_buckets)
+
+    def _band(t: pa.Table) -> pa.Table:
+        d = pc.subtract(
+            pc.cast(t.column(on), pa.int64()), pc.cast(t.column(right_on), pa.int64())
+        )
+        m = pc.and_(pc.less_equal(d, lower_us), pc.greater_equal(d, -upper_us))
+        return t.filter(m).drop_columns(["__bin"])
 
     return j.map_batches(_band, batch_format="pyarrow")
 

@@ -516,6 +516,39 @@ def q_join_range(sf_dir):
     return select(out, ["event_id", "user_id", "r_event_id"])
 
 
+@register_query(
+    "q_join_range_global",
+    oracle="""SELECT l.event_id AS l_event, r.event_id AS r_event
+              FROM events l JOIN events r
+              ON r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts
+              WHERE l.event_type = 'purchase' AND r.event_type = 'click'""",
+)
+def q_join_range_global(sf_dir):
+    """KEYLESS banded range join: every (purchase, click-in-the-prior-
+    hour) pair regardless of user. Time-bin co-partitioned
+    (range_join_global): right rows replicate to at most 2 one-hour
+    bins, the exchange joins on the bin id — no key, no broadcast, no
+    all-pairs."""
+    import pyarrow.dataset as pads
+
+    from engine.ops.join import range_join_global
+
+    l = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "event_type"],
+        filter_expr=pads.field("event_type") == "purchase",
+    )
+    l = rename_ds(select(l, ["event_id", "ts"]), {"event_id": "l_event"})
+    r = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "event_type"],
+        filter_expr=pads.field("event_type") == "click",
+    )
+    r = rename_ds(select(r, ["event_id", "ts"]), {"event_id": "r_event", "ts": "r_ts"})
+    out = range_join_global(
+        l, r, on="ts", right_on="r_ts", lower_us=3_600_000_000, upper_us=0
+    )
+    return select(out, ["l_event", "r_event"])
+
+
 # ---- sort / limit / sample / set ops --------------------------------------
 
 

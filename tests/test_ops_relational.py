@@ -831,3 +831,31 @@ def test_auto_join_skew_detection_routes_salted():
     auto_join(rd.from_pandas(lu), rd.from_pandas(r), "k", "inner",
               broadcast_threshold_rows=0).count()
     assert auto_join.last_strategy == "shuffle"
+
+
+def test_range_join_global_matches_bruteforce():
+    """Keyless time-bin range join == brute-force band filter, including
+    a two-sided band and negative timestamps (floor-div bin edges)."""
+    from engine.ops.join import range_join_global
+
+    rng = np.random.default_rng(11)
+    lt = rng.integers(-5000, 5000, 300).astype(np.int64)
+    rt = rng.integers(-5000, 5000, 400).astype(np.int64)
+    l = pd.DataFrame({"lid": np.arange(300, dtype=np.int64), "t": lt})
+    r = pd.DataFrame({"rid": np.arange(400, dtype=np.int64), "s": rt})
+    lower, upper = 150, 70  # s in [t - 150, t + 70]
+    got = (
+        range_join_global(rd.from_pandas(l), rd.from_pandas(r),
+                          on="t", right_on="s", lower_us=lower, upper_us=upper)
+        .to_pandas()[["lid", "rid"]]
+        .astype("int64")
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    want = (
+        l.merge(r, how="cross")
+        .query("s >= t - @lower and s <= t + @upper")[["lid", "rid"]]
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
