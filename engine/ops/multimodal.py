@@ -45,27 +45,36 @@ def attach_fake_payload(ds: rd.Dataset, text_col: str = "text", media_type: str 
 
 
 class DecodePayload:
-    """Actor-pool decode stage. Real codecs are NOT available in this
-    environment — with ``fake=True`` the stage emits a deterministic
-    pseudo-decode (dims/frames derived from the checksum); with
-    ``fake=False`` it raises NotImplementedError, marking exactly where
-    a PIL/ffmpeg call would slot in (same signature, same output
-    schema)."""
+    """Actor-pool decode stage. ``fake=True`` emits a deterministic
+    pseudo-decode (dims derived from the checksum) for payloads that are
+    not real images (the attach_fake_payload path). ``fake=False`` runs
+    a REAL byte-level decode through the pure-Python BMP/PNG codecs
+    (engine.ops.codec): header parse, scanline unfilter, pixel
+    recovery — width/height/channels/pixel_sum come from the decoded
+    array, not metadata. Codec dispatch is built once per actor."""
 
     def __init__(self, fake: bool = True):
         self.fake = fake
+        if not fake:
+            from engine.ops.codec import decode_image
+
+            self._decode = decode_image
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        if not self.fake:
-            raise NotImplementedError(
-                "binary media decode requires an image/audio codec library; "
-                "not present in this container (stub per build contract)"
-            )
-        crc = df["checksum"].to_numpy(dtype=np.int64)
         out = df.copy()
-        out["width"] = 64 + (crc % 192)
-        out["height"] = 64 + ((crc >> 8) % 192)
-        out["channels"] = 1 + (crc % 3)
+        if self.fake:
+            crc = df["checksum"].to_numpy(dtype=np.int64)
+            out["width"] = 64 + (crc % 192)
+            out["height"] = 64 + ((crc >> 8) % 192)
+            out["channels"] = 1 + (crc % 3)
+            return out
+        dims = [self._decode(p) for p in df["payload"]]
+        out["width"] = np.array([d.shape[1] for d in dims], np.int64)
+        out["height"] = np.array([d.shape[0] for d in dims], np.int64)
+        out["channels"] = np.array([d.shape[2] for d in dims], np.int64)
+        out["pixel_sum"] = np.array(
+            [int(d.sum(dtype=np.int64)) for d in dims], np.int64
+        )
         return out
 
 
@@ -79,6 +88,36 @@ def decode_payloads(ds: rd.Dataset, fake: bool = True, concurrency: int = 2, bat
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+def attach_image_payload(ds: rd.Dataset, id_col: str = "doc_id") -> rd.Dataset:
+    """Synthesize a REAL image payload per row, deterministically from the
+    id: pixel(y, x, c) = (id + 3y + 5x + 11c) % 256 at
+    width = 16 + (id % 2) * 8, height = 8 + (id % 3) * 2, encoded as a
+    true container — BMP for even ids, PNG (filter type id % 5) for odd.
+    The formula is SQL-mirrorable, so a real byte-level decode is
+    oracle-checkable end to end."""
+    from engine.ops.codec import encode_bmp, encode_png
+
+    def _attach(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for i in ids:
+            w, h = 16 + (int(i) % 2) * 8, 8 + (int(i) % 3) * 2
+            y, x, c = np.ogrid[0:h, 0:w, 0:3]
+            px = ((int(i) + 3 * y + 5 * x + 11 * c) % 256).astype(np.uint8)
+            payloads.append(
+                encode_bmp(px) if i % 2 == 0 else encode_png(px, filter_type=int(i) % 5)
+            )
+        t = t.append_column("payload", pa.array(payloads, pa.binary()))
+        t = t.append_column(
+            "media_type",
+            pa.array(["image/bmp" if i % 2 == 0 else "image/png" for i in ids]),
+        )
+        t = t.append_column("n_bytes", pa.array([len(p) for p in payloads], pa.int64()))
+        return t
+
+    return ds.map_batches(_attach, batch_format="pyarrow")
 
 
 def payload_features(ds: rd.Dataset, dim: int = 8) -> rd.Dataset:

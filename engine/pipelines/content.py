@@ -19,7 +19,12 @@ from engine.ops.dedup import (
 )
 from engine.ops.map import filter_expr, select
 from engine.ops.model import score_documents
-from engine.ops.multimodal import attach_fake_payload, decode_payloads, payload_features
+from engine.ops.multimodal import (
+    attach_fake_payload,
+    attach_image_payload,
+    decode_payloads,
+    payload_features,
+)
 from engine.ops.text import fingerprint, lang_id, quality_score, text_stats
 from engine.registry import register_query
 
@@ -306,6 +311,41 @@ def q_multimodal_decode(sf_dir):
         )
 
     return ds.map_batches(_meta, batch_format="pyarrow")
+
+
+@register_query(
+    "q_multimodal_real",
+    oracle="""WITH d AS (SELECT doc_id,
+                                16 + (doc_id % 2) * 8 AS width,
+                                8 + (doc_id % 3) * 2 AS height
+                         FROM documents)
+              SELECT d.doc_id,
+                     CAST(d.width AS BIGINT) AS width,
+                     CAST(d.height AS BIGINT) AS height,
+                     CAST(3 AS BIGINT) AS channels,
+                     CAST(SUM((d.doc_id + 3 * y.y + 5 * x.x + 11 * c.c) % 256) AS BIGINT)
+                       AS pixel_sum
+              FROM d, range(0, 24) x(x), range(0, 12) y(y), range(0, 3) c(c)
+              WHERE x.x < d.width AND y.y < d.height
+              GROUP BY d.doc_id, d.width, d.height""",
+)
+def q_multimodal_real(sf_dir):
+    """REAL codec round trip, oracle-checked: deterministic pixels are
+    encoded into true BMP/PNG containers (engine.ops.codec), and the
+    actor-pool decode stage recovers width/height/channels/pixel_sum by
+    actually parsing the bytes — header validation, BMP bottom-up rows,
+    PNG scanline unfiltering (all five filter types appear across the
+    corpus). The oracle recomputes the same quantities from the pixel
+    formula in SQL, so a single wrong byte anywhere in the parse fails
+    the value hash."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    ds = attach_image_payload(ds, "doc_id")
+    ds = decode_payloads(ds, fake=False)
+
+    def _out(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "width", "height", "channels", "pixel_sum"])
+
+    return ds.map_batches(_out, batch_format="pyarrow")
 
 
 @register_query(
