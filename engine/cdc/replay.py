@@ -104,11 +104,13 @@ def _shuffle_ctx(cfg: ReplayConfig):
     return restore
 
 
-def build_winners(log_dir: str, lake_dir: str, epoch: int, cfg: ReplayConfig, target_b64: str):
+def build_winners(log, lake_dir: str, epoch: int, cfg: ReplayConfig, target_b64: str):
     """The commit-independent half of an epoch: tail → prepare (validate/
     conform/partition/per-batch LWW) → (pid, salt) shuffle → sub-LWW.
-    Safe to run before earlier epochs have committed."""
-    ds = tailer.read_epoch(log_dir, epoch, parallelism_hint=2 * _cpus())
+    Safe to run before earlier epochs have committed. ``log`` is a path
+    or any changelog source (tailer.as_source)."""
+    src = tailer.as_source(log)
+    ds = src.read_epoch(epoch, parallelism_hint=2 * _cpus())
     ds = ds.map_batches(
         prepare_batch,
         fn_kwargs=dict(
@@ -188,7 +190,7 @@ def merge_and_commit(
 
 
 def run_epoch(
-    log_dir: str,
+    log,
     lake_dir: str,
     epoch: int,
     cfg: ReplayConfig,
@@ -196,11 +198,12 @@ def run_epoch(
 ) -> dict:
     """Run + commit one epoch serially; returns the committed manifest."""
     t0 = time.monotonic()
+    src = tailer.as_source(log)
     prev_schema = (
         sink.schema_from_b64(prev_manifest["schema_b64"]) if prev_manifest else None
     )
-    target = negotiate(prev_schema, tailer.epoch_schema(log_dir, epoch))  # M11
-    winners = build_winners(log_dir, lake_dir, epoch, cfg, sink.schema_to_b64(target))
+    target = negotiate(prev_schema, src.epoch_schema(epoch))  # M11
+    winners = build_winners(src, lake_dir, epoch, cfg, sink.schema_to_b64(target))
     return merge_and_commit(lake_dir, epoch, winners, target, cfg, prev_manifest, t0)
 
 
@@ -215,7 +218,7 @@ def _write_lineage(lake_dir: str, epoch: int, reports: list[dict]) -> None:
 
 
 def replay(
-    log_dir: str,
+    log_dir,
     lake_dir: str,
     cfg: ReplayConfig | None = None,
     max_epoch: int | None = None,
@@ -225,7 +228,10 @@ def replay(
     idle_timeout_s: float | None = None,
 ) -> dict:
     """Replay all (or up to ``max_epoch``) epochs, resuming after the last
-    committed one. Returns a summary dict.
+    committed one. Returns a summary dict. ``log_dir`` is a path (the
+    sealed-epoch-directory protocol) or any pluggable changelog source
+    exposing the tailer trio (tailer.as_source) — e.g.
+    ``tailer.MemorySource`` for an in-process producer queue.
 
     ``follow=True`` turns the bounded replay into a continuous tail (the
     north-star binlog/WAL tailer): after draining the epochs present, the
@@ -243,6 +249,7 @@ def replay(
     known upfront and epoch k+1's winners can be prefetched while epoch
     k merges (see module docstring)."""
     cfg = cfg or ReplayConfig()
+    src = tailer.as_source(log_dir)
     if follow:
         t0 = time.monotonic()
         ran_total: list[int] = []
@@ -251,7 +258,7 @@ def replay(
         last: dict = {}
         last_progress = time.monotonic()
         while not (stop is not None and stop.is_set()):
-            out = _replay_available(log_dir, lake_dir, cfg, max_epoch)
+            out = _replay_available(src, lake_dir, cfg, max_epoch)
             ran_total += out["epochs_run"]
             events_total += out["events_applied"]
             if skipped0 is None:
@@ -274,11 +281,11 @@ def replay(
             "wall_s": time.monotonic() - t0,
             "last_manifest": last or sink.read_manifest(lake_dir),
         }
-    return _replay_available(log_dir, lake_dir, cfg, max_epoch)
+    return _replay_available(src, lake_dir, cfg, max_epoch)
 
 
 def _replay_available(
-    log_dir: str,
+    src,
     lake_dir: str,
     cfg: ReplayConfig,
     max_epoch: int | None = None,
@@ -286,7 +293,7 @@ def _replay_available(
     """One bounded drain: replay every currently sealed, not-yet-committed
     epoch in order."""
     sink.init_lake(lake_dir)
-    epochs = tailer.available_epochs(log_dir)
+    epochs = src.available_epochs()
     if max_epoch is not None:
         epochs = [e for e in epochs if e <= max_epoch]
     manifest = sink.read_manifest(lake_dir)
@@ -310,12 +317,12 @@ def _replay_available(
         targets: dict[int, pa.Schema] = {}
         prev_schema = sink.schema_from_b64(manifest["schema_b64"]) if manifest else None
         for k in todo:
-            prev_schema = negotiate(prev_schema, tailer.epoch_schema(log_dir, k))
+            prev_schema = negotiate(prev_schema, src.epoch_schema(k))
             targets[k] = prev_schema
 
         def _prefetch(k: int):
             return build_winners(
-                log_dir, lake_dir, k, cfg, sink.schema_to_b64(targets[k])
+                src, lake_dir, k, cfg, sink.schema_to_b64(targets[k])
             ).materialize()
 
         with ThreadPoolExecutor(max_workers=1) as pool:
@@ -326,7 +333,7 @@ def _replay_available(
                     winners = pending[1].result()
                 else:
                     winners = build_winners(
-                        log_dir, lake_dir, k, cfg, sink.schema_to_b64(targets[k])
+                        src, lake_dir, k, cfg, sink.schema_to_b64(targets[k])
                     )
                 pending = None
                 if cfg.pipeline_epochs and i + 1 < len(todo):

@@ -52,3 +52,94 @@ def read_epoch(log_dir: str, epoch: int, parallelism_hint: int | None = None) ->
     # partitioning=None: the `epoch=<k>` path component is addressing, not
     # a hive-partition column — epoch identity comes from the tailer.
     return rd.read_parquet(files, partitioning=None, **kw)
+
+
+# ---- pluggable source protocol ---------------------------------------------
+#
+# replay() consumes any object with this trio — the dir-poll tailer is
+# just the default implementation. A socket/binlog connector implements
+# the same three methods (seal = the upstream transaction boundary).
+
+
+class DirectorySource:
+    """The sealed-epoch-directory protocol (default source): an epoch is
+    visible once its ``epoch=<k>`` directory exists — producers stage
+    elsewhere and ``os.rename`` it in (atomic on POSIX)."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def available_epochs(self) -> list[int]:
+        return available_epochs(self.log_dir)
+
+    def epoch_schema(self, epoch: int) -> pa.Schema:
+        return epoch_schema(self.log_dir, epoch)
+
+    def read_epoch(self, epoch: int, parallelism_hint: int | None = None) -> rd.Dataset:
+        return read_epoch(self.log_dir, epoch, parallelism_hint)
+
+    def __repr__(self) -> str:  # lineage/debug labels
+        return f"DirectorySource({self.log_dir!r})"
+
+
+class MemorySource:
+    """In-process iterator/queue source: a producer thread appends Arrow
+    tables to an epoch and seals it; the replay loop tails sealed epochs
+    exactly as it tails a directory log. Thread-safe (the follow loop
+    polls from another thread). This is the embedding/test source — a
+    real streaming connector (socket, binlog) follows the same shape:
+    buffer, seal on the upstream boundary, serve sealed epochs."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._open: dict[int, list[pa.Table]] = {}
+        self._sealed: dict[int, list[pa.Table]] = {}
+
+    def append(self, epoch: int, table: pa.Table) -> None:
+        with self._lock:
+            if epoch in self._sealed:
+                raise ValueError(f"epoch {epoch} already sealed")
+            self._open.setdefault(epoch, []).append(table)
+
+    def seal(self, epoch: int) -> None:
+        with self._lock:
+            tables = self._open.pop(epoch, None)
+            if tables is None:
+                raise ValueError(f"no open epoch {epoch}")
+            self._sealed[epoch] = tables
+
+    def available_epochs(self) -> list[int]:
+        with self._lock:
+            return sorted(self._sealed)
+
+    def epoch_schema(self, epoch: int) -> pa.Schema:
+        with self._lock:
+            tables = list(self._sealed[epoch])
+        schema = None
+        for t in tables:
+            schema = negotiate(schema, t.schema)
+        return schema
+
+    def read_epoch(self, epoch: int, parallelism_hint: int | None = None) -> rd.Dataset:
+        with self._lock:
+            tables = list(self._sealed[epoch])
+        ds = rd.from_arrow(tables)
+        if parallelism_hint and parallelism_hint > len(tables):
+            ds = ds.repartition(parallelism_hint)
+        return ds
+
+    def __repr__(self) -> str:
+        return f"MemorySource(sealed={len(self._sealed)})"
+
+
+def as_source(log: "str | DirectorySource | MemorySource"):
+    """Normalize replay()'s log argument: a path string becomes the
+    directory tailer; anything exposing the source trio passes through."""
+    if isinstance(log, str):
+        return DirectorySource(log)
+    for m in ("available_epochs", "epoch_schema", "read_epoch"):
+        if not callable(getattr(log, m, None)):
+            raise TypeError(f"changelog source missing {m}(): {log!r}")
+    return log

@@ -78,3 +78,53 @@ def test_follow_idle_timeout_exits_without_stop_event(tmp_path, sf_dir):
     assert out["epochs_run"] == [0, 1]
     assert time.time() - t0 < 60
     assert state_hash(lake) == oracle_state_hash(log)
+
+
+def test_follow_from_memory_source(tmp_path, sf_dir):
+    """replay(follow=True) driven by the NON-directory source: a producer
+    thread appends Arrow tables into a MemorySource and seals epochs
+    while the follower runs; the final lake state must converge to the
+    sequential oracle replay of the same changelog."""
+    import pyarrow.parquet as pq
+
+    from engine.cdc.tailer import MemorySource, epoch_files
+
+    log = synth_changelog(
+        sf_dir, f"{tmp_path}/log",
+        SynthConfig(seed=42, n_events=1600, n_epochs=4, n_keys=400),
+    )
+    src = MemorySource()
+    # Epoch 0 sealed before the follower starts; the rest stream in.
+    for f in epoch_files(log, 0):
+        src.append(0, pq.read_table(f))
+    src.seal(0)
+
+    lake = f"{tmp_path}/lake"
+    stop = threading.Event()
+    result = {}
+
+    def _follow():
+        result["out"] = replay(
+            src, lake,
+            ReplayConfig(num_partitions=4, num_salts=2, write_mode="delta"),
+            follow=True, poll_s=0.1, stop=stop,
+        )
+
+    t = threading.Thread(target=_follow)
+    t.start()
+    try:
+        for k in (1, 2, 3):
+            time.sleep(0.3)
+            for f in epoch_files(log, k):
+                src.append(k, pq.read_table(f))
+            src.seal(k)
+        deadline = time.time() + 120
+        while time.time() < deadline and sink.last_committed_epoch(lake) != 3:
+            time.sleep(0.2)
+        assert sink.last_committed_epoch(lake) == 3, "memory follower never caught up"
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not t.is_alive()
+    assert result["out"]["epochs_run"] == [0, 1, 2, 3]
+    assert state_hash(lake) == oracle_state_hash(log)
