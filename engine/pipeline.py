@@ -18,7 +18,7 @@ import ray.data as rd
 class Step:
     name: str
     fn: object  # callable or callable class
-    kind: str = "map_batches"  # map_batches | filter | groupby_map
+    kind: str = "map_batches"  # map_batches | filter | groupby_map | dataset
     kwargs: dict = field(default_factory=dict)
     keys: list | None = None  # for groupby_map
 
@@ -42,6 +42,13 @@ class Pipeline:
                 )
             elif s.kind == "groupby_map":
                 ds = ds.groupby(s.keys).map_groups(s.fn, **kw)
+            elif s.kind == "dataset":
+                # Dataset -> Dataset hook: the lowering target for wide
+                # operators (grouped aggregation, sort, distinct) that a
+                # per-batch step cannot express — the step calls this
+                # engine's scale-correct ops (bucketed combiners), never
+                # a per-key groupby.
+                ds = s.fn(ds)
             else:
                 raise ValueError(f"unknown step kind {s.kind!r}")
         return ds

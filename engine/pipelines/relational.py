@@ -2245,3 +2245,52 @@ def q_grouped_mad(sf_dir):
         ),
         {"mad": lambda t: pc.round(t.column("mad"), ndigits=6, round_mode="half_towards_infinity")},
     )
+
+
+# ---- declarative job spec (SURVEY.md §2.10) --------------------------------
+
+# Data, not code: this JSON-serializable dict is what a config-driven
+# deployment would ship; engine.spec.lower() validates and compiles it
+# onto the Pipeline/Step API, wide steps landing on the engine's
+# bucketed-combiner operators.
+SPEC_REVENUE_BY_FLAG = {
+    "source": {
+        "table": "lineitem",
+        "columns": ["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
+    },
+    "steps": [
+        {"op": "filter", "column": "l_quantity", "cmp": ">", "value": 10},
+        {
+            "op": "with_column",
+            "name": "revenue_cents",
+            "expr": {
+                "cents": {
+                    "mul": [
+                        {"col": "l_extendedprice"},
+                        {"sub": [{"lit": 1.0}, {"col": "l_discount"}]},
+                    ]
+                }
+            },
+        },
+        {"op": "select", "columns": ["l_returnflag", "revenue_cents"]},
+        {"op": "grouped_sum", "keys": ["l_returnflag"], "cols": ["revenue_cents"]},
+    ],
+}
+
+
+@register_query(
+    "q_spec_pipeline",
+    oracle="""SELECT l_returnflag,
+                     CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+              FROM lineitem WHERE l_quantity > 10
+              GROUP BY l_returnflag""",
+)
+def q_spec_pipeline(sf_dir):
+    """A query expressed entirely as a DECLARATIVE spec (no hand-written
+    pipeline code): engine.spec.run_spec lowers the dict above onto
+    Pipeline/Step and runs it — filter and projection are pure-Arrow
+    batch steps, the group-sum is the partial combiner."""
+    from engine.spec import run_spec
+
+    return run_spec(SPEC_REVENUE_BY_FLAG, sf_dir)

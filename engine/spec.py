@@ -1,0 +1,174 @@
+"""Declarative job specs (SURVEY.md §2.10): a JSON-serializable dict
+lowered onto the ``Pipeline``/``Step`` API.
+
+A spec is data, not code — it can live in a config file, be generated,
+diffed, and validated before anything executes::
+
+    {
+      "source": {"table": "lineitem", "columns": [...]},
+      "steps": [
+        {"op": "filter", "column": "l_quantity", "cmp": ">", "value": 10},
+        {"op": "with_column", "name": "revenue_cents",
+         "expr": {"cents": {"mul": [{"col": "l_extendedprice"},
+                                    {"sub": [{"lit": 1.0},
+                                             {"col": "l_discount"}]}]}}},
+        {"op": "select", "columns": ["l_returnflag", "revenue_cents"]},
+        {"op": "grouped_sum", "keys": ["l_returnflag"],
+         "cols": ["revenue_cents"]}
+      ]
+    }
+
+Narrow steps compile to pure-Arrow ``map_batches``/``filter`` Steps;
+wide steps (grouped_sum, distinct, sort) compile to ``dataset`` Steps
+that call this engine's scale-correct operators (bucketed combiners —
+never one Ray group per key). Expressions are a tiny tree language:
+``{"col": name} | {"lit": v} | {add|sub|mul|div: [l, r]} |
+{"cents": e}`` (integer cents with half-away-from-zero rounding — the
+engine's deterministic money convention).
+
+Everything is validated at lower() time with actionable errors; nothing
+executes until the Pipeline runs.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from engine.pipeline import Pipeline, Step
+
+_CMP = {
+    ">": pc.greater,
+    ">=": pc.greater_equal,
+    "<": pc.less,
+    "<=": pc.less_equal,
+    "==": pc.equal,
+    "!=": pc.not_equal,
+}
+_ARITH = {"add": pc.add, "sub": pc.subtract, "mul": pc.multiply, "div": pc.divide}
+
+
+def compile_expr(node) -> Callable[[pa.Table], object]:
+    """Expression tree -> Arrow-kernel closure (vectorized per batch)."""
+    if not isinstance(node, dict) or len(node) != 1:
+        raise ValueError(f"expr node must be a single-key dict, got {node!r}")
+    ((op, arg),) = node.items()
+    if op == "col":
+        if not isinstance(arg, str):
+            raise ValueError(f"'col' takes a column name, got {arg!r}")
+        return lambda t: t.column(arg)
+    if op == "lit":
+        if not isinstance(arg, (int, float, str, bool)):
+            raise ValueError(f"'lit' takes a scalar, got {arg!r}")
+        return lambda t: pa.scalar(arg)
+    if op == "cents":
+        inner = compile_expr(arg)
+        return lambda t: pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(inner(t), pa.float64()), 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+    if op in _ARITH:
+        if not (isinstance(arg, list) and len(arg) == 2):
+            raise ValueError(f"{op!r} takes [left, right], got {arg!r}")
+        left, right = compile_expr(arg[0]), compile_expr(arg[1])
+        fn = _ARITH[op]
+        return lambda t: fn(left(t), right(t))
+    raise ValueError(
+        f"unknown expr op {op!r} (expected col/lit/cents/{'/'.join(_ARITH)})"
+    )
+
+
+def _require(step: dict, *fields: str) -> None:
+    missing = [f for f in fields if f not in step]
+    if missing:
+        raise ValueError(f"step {step.get('op')!r} missing field(s) {missing}")
+
+
+def _lower_step(i: int, step: dict) -> Step:
+    if not isinstance(step, dict) or "op" not in step:
+        raise ValueError(f"step {i} must be a dict with an 'op' field, got {step!r}")
+    op = step["op"]
+    name = step.get("name_hint", f"{i}:{op}")
+
+    if op == "select":
+        _require(step, "columns")
+        cols = list(step["columns"])
+        return Step(name, lambda t: t.select(cols))
+    if op == "rename":
+        _require(step, "mapping")
+        mapping = dict(step["mapping"])
+        return Step(
+            name, lambda t: t.rename_columns([mapping.get(c, c) for c in t.column_names])
+        )
+    if op == "filter":
+        _require(step, "column", "cmp", "value")
+        if step["cmp"] not in _CMP:
+            raise ValueError(
+                f"step {i}: unknown cmp {step['cmp']!r} (expected {sorted(_CMP)})"
+            )
+        cmp_fn, col, val = _CMP[step["cmp"]], step["column"], step["value"]
+        return Step(name, lambda t: cmp_fn(t.column(col), val), kind="filter")
+    if op == "with_column":
+        _require(step, "name", "expr")
+        out_name, expr = step["name"], compile_expr(step["expr"])
+        return Step(name, lambda t: t.append_column(out_name, expr(t)))
+    if op == "grouped_sum":
+        _require(step, "keys", "cols")
+        keys, cols = list(step["keys"]), list(step["cols"])
+
+        def _gsum(ds: rd.Dataset) -> rd.Dataset:
+            from engine.ops.agg import partial_grouped_sum
+
+            return partial_grouped_sum(ds, keys, cols)
+
+        return Step(name, _gsum, kind="dataset")
+    if op == "distinct":
+        _require(step, "columns")
+        dcols = list(step["columns"])
+
+        def _distinct(ds: rd.Dataset) -> rd.Dataset:
+            from engine.ops.agg import distinct
+
+            return distinct(ds, dcols)
+
+        return Step(name, _distinct, kind="dataset")
+    if op == "sort":
+        _require(step, "by")
+        by = list(step["by"])
+        desc = step.get("descending", [False] * len(by))
+        limit = step.get("limit")
+
+        def _sort(ds: rd.Dataset) -> rd.Dataset:
+            out = ds.sort(by, descending=desc)
+            return out.limit(int(limit)) if limit is not None else out
+
+        return Step(name, _sort, kind="dataset")
+    raise ValueError(
+        f"step {i}: unknown op {op!r} (expected select/rename/filter/"
+        "with_column/grouped_sum/distinct/sort)"
+    )
+
+
+def lower(spec: dict) -> Pipeline:
+    """Validate a spec and compile it into a Pipeline (no execution)."""
+    if not isinstance(spec, dict) or not isinstance(spec.get("steps"), list):
+        raise ValueError("spec must be a dict with a 'steps' list")
+    return Pipeline([_lower_step(i, s) for i, s in enumerate(spec["steps"])])
+
+
+def run_spec(spec: dict, sf_dir: str) -> rd.Dataset:
+    """Lower and run a spec against its declared source table (pruned
+    read: only the spec's declared columns leave storage)."""
+    src = spec.get("source")
+    if not isinstance(src, dict) or "table" not in src:
+        raise ValueError("spec['source'] must be a dict with a 'table' field")
+    from engine.io.sources import read_table
+
+    ds = read_table(sf_dir, src["table"], columns=src.get("columns"))
+    return lower(spec).run(ds)

@@ -859,3 +859,42 @@ def test_range_join_global_matches_bruteforce():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_spec_parser_validation_and_lowering():
+    """The declarative-spec compiler: actionable errors for malformed
+    specs, and a lowered pipeline that computes the same result as the
+    hand-written equivalent."""
+    import pytest
+
+    from engine.spec import compile_expr, lower, run_spec
+
+    with pytest.raises(ValueError, match="'steps' list"):
+        lower({"not_steps": []})
+    with pytest.raises(ValueError, match="unknown op 'explode9'"):
+        lower({"steps": [{"op": "explode9"}]})
+    with pytest.raises(ValueError, match="missing field"):
+        lower({"steps": [{"op": "select"}]})
+    with pytest.raises(ValueError, match="unknown cmp"):
+        lower({"steps": [{"op": "filter", "column": "a", "cmp": "~", "value": 1}]})
+    with pytest.raises(ValueError, match="single-key dict"):
+        compile_expr({"add": [1, 2], "mul": [3, 4]})
+    with pytest.raises(ValueError, match="takes \\[left, right\\]"):
+        compile_expr({"add": [{"lit": 1}]})
+    with pytest.raises(ValueError, match="unknown expr op"):
+        compile_expr({"exp": {"lit": 1}})
+    with pytest.raises(ValueError, match="'table' field"):
+        run_spec({"source": {}, "steps": []}, "/nowhere")
+
+    df = pd.DataFrame({"g": ["a", "a", "b"], "x": [1.0, 2.0, 3.0], "q": [5, 20, 20]})
+    spec = {
+        "steps": [
+            {"op": "filter", "column": "q", "cmp": ">", "value": 10},
+            {"op": "with_column", "name": "cents", "expr": {"cents": {"col": "x"}}},
+            {"op": "select", "columns": ["g", "cents"]},
+            {"op": "grouped_sum", "keys": ["g"], "cols": ["cents"]},
+            {"op": "sort", "by": ["g"]},
+        ]
+    }
+    out = lower(spec).run(rd.from_pandas(df)).to_pandas()
+    assert out["g"].tolist() == ["a", "b"] and out["cents"].tolist() == [200, 300]
