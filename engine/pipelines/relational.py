@@ -2294,3 +2294,227 @@ def q_spec_pipeline(sf_dir):
     from engine.spec import run_spec
 
     return run_spec(SPEC_REVENUE_BY_FLAG, sf_dir)
+
+
+# ---- round-4 TPC-H widening -------------------------------------------------
+
+
+@register_query(
+    "q_tpch_q7",
+    oracle="""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                     CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+              FROM supplier, lineitem, orders, customer, nation n1, nation n2
+              WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+                AND c_nationkey = n2.n_nationkey
+                AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+                AND l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY supp_nation, cust_nation, l_year""",
+)
+def q_tpch_q7(sf_dir):
+    """TPC-H Q7 shape (volume shipping between a nation pair, by year).
+    Both sides pre-prune to the pair's nation keys via broadcast semi
+    filters; customer/supplier go through auto_join's size gate; the one
+    unconditional large exchange is lineitem ⋈ orders. With both nation
+    keys restricted to the pair, the cross-nation disjunction reduces to
+    s_nationkey != c_nationkey — filtered per batch."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    from engine.ops.join import auto_join
+
+    nat = table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    pair = nat.filter(
+        pc.is_in(nat.column("n_name"), value_set=pa.array(["NATION_3", "NATION_7"]))
+    )
+    pair_keys = pair.select(["n_nationkey"])
+
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    supp = semi_join(supp, pair_keys.rename_columns(["s_nationkey"]), "s_nationkey")
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = semi_join(cust, pair_keys.rename_columns(["c_nationkey"]), "c_nationkey")
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders = auto_join(orders, rename_ds(cust, {"c_custkey": "o_custkey"}), key="o_custkey")
+    orders = rename_ds(
+        select(orders, ["o_orderkey", "c_nationkey"]), {"o_orderkey": "l_orderkey"}
+    )
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter_expr=(pads.field("l_shipdate") >= datetime.datetime(1995, 1, 1))
+        & (pads.field("l_shipdate") < datetime.datetime(1997, 1, 1)),
+    )
+    j = shuffle_join(li, orders, key="l_orderkey", join_type="inner")
+    j = auto_join(j, rename_ds(supp, {"s_suppkey": "l_suppkey"}), key="l_suppkey")
+    j = filter_expr(
+        j, lambda t: pc.not_equal(t.column("s_nationkey"), t.column("c_nationkey"))
+    )
+    j = broadcast_join(
+        j, pair.rename_columns(["n_nationkey", "supp_nation"]),
+        keys=["s_nationkey"], right_keys=["n_nationkey"],
+    )
+    j = broadcast_join(
+        j, pair.rename_columns(["n_nationkey", "cust_nation"]),
+        keys=["c_nationkey"], right_keys=["n_nationkey"],
+    )
+
+    def _proj(t: pa.Table) -> pa.Table:
+        rev = pc.cast(
+            _round_away(
+                pc.multiply(
+                    pc.multiply(
+                        pc.cast(t.column("l_extendedprice"), pa.float64()),
+                        pc.subtract(1.0, pc.cast(t.column("l_discount"), pa.float64())),
+                    ),
+                    100.0,
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "supp_nation": t.column("supp_nation"),
+                "cust_nation": t.column("cust_nation"),
+                "l_year": pc.cast(pc.year(t.column("l_shipdate")), pa.int64()),
+                "revenue_cents": rev,
+            }
+        )
+
+    out = j.map_batches(_proj, batch_format="pyarrow")
+    return partial_grouped_sum(
+        out, ["supp_nation", "cust_nation", "l_year"], ["revenue_cents"]
+    )
+
+
+@register_query(
+    "q_tpch_q16",
+    oracle="""SELECT p_brand, p_type, p_size,
+                     CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+              FROM part, lineitem
+              WHERE p_partkey = l_partkey
+                AND p_brand <> 'Brand#12'
+                AND p_size IN (1, 2, 3, 4, 5)
+                AND l_suppkey NOT IN
+                    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+              GROUP BY p_brand, p_type, p_size""",
+)
+def q_tpch_q16(sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): NOT IN through the
+    size-gated anti join, pushed-down part predicate, gated part join,
+    then grouped COUNT DISTINCT as distinct-over-(keys+suppkey) →
+    bucketed grouped count — no per-key groups anywhere."""
+    import pyarrow.dataset as pads
+
+    from engine.ops.join import auto_join, auto_semi_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    bad_supp = read_table(
+        sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"],
+        filter_expr=pads.field("s_acctbal") < 0.0,
+    )
+    li = auto_semi_join(li, bad_supp, "l_suppkey", right_key="s_suppkey", anti=True)
+
+    part = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        filter_expr=(pads.field("p_brand") != "Brand#12")
+        & (pads.field("p_size").isin([1, 2, 3, 4, 5])),
+    )
+    j = auto_join(li, rename_ds(part, {"p_partkey": "l_partkey"}), key="l_partkey")
+    uniq = distinct(
+        select(j, ["p_brand", "p_type", "p_size", "l_suppkey"]),
+        ["p_brand", "p_type", "p_size", "l_suppkey"],
+    )
+    return grouped_agg(
+        uniq, ["p_brand", "p_type", "p_size"], {"supplier_cnt": ("count", None)}
+    )
+
+
+@register_query(
+    "q_tpch_q19",
+    oracle="""SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM lineitem, part
+              WHERE p_partkey = l_partkey AND
+                    ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                      AND l_quantity BETWEEN 1 AND 11)
+                  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                      AND l_quantity BETWEEN 10 AND 20)
+                  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                      AND l_quantity BETWEEN 20 AND 30))""",
+)
+def q_tpch_q19(sf_dir):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): the
+    part side pre-filters to the UNION of the three brand/size arms at
+    the read (row groups outside every arm never leave storage), joins
+    through the size gate, and the full disjunction — which needs both
+    sides' columns — filters per batch with Arrow kernels; one-pass
+    global sum+count."""
+    import pyarrow.dataset as pads
+
+    from engine.ops.join import auto_join
+
+    arms = [
+        ("Brand#12", 5, 1.0, 11.0),
+        ("Brand#23", 10, 10.0, 20.0),
+        ("Brand#34", 15, 20.0, 30.0),
+    ]
+    part_pred = None
+    for brand, max_size, _, _ in arms:
+        p = (pads.field("p_brand") == brand) & (pads.field("p_size") >= 1) & (
+            pads.field("p_size") <= max_size
+        )
+        part_pred = p if part_pred is None else (part_pred | p)
+    part = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"],
+        filter_expr=part_pred,
+    )
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    j = auto_join(li, rename_ds(part, {"p_partkey": "l_partkey"}), key="l_partkey")
+
+    def _arm_filter(t: pa.Table) -> pa.Table:
+        mask = None
+        for brand, max_size, qlo, qhi in arms:
+            m = pc.and_(
+                pc.and_(
+                    pc.equal(t.column("p_brand"), brand),
+                    pc.and_(
+                        pc.greater_equal(t.column("p_size"), 1),
+                        pc.less_equal(t.column("p_size"), max_size),
+                    ),
+                ),
+                pc.and_(
+                    pc.greater_equal(t.column("l_quantity"), qlo),
+                    pc.less_equal(t.column("l_quantity"), qhi),
+                ),
+            )
+            mask = m if mask is None else pc.or_(mask, m)
+        t = t.filter(mask)
+        rev = pc.cast(
+            _round_away(
+                pc.multiply(
+                    pc.multiply(
+                        pc.cast(t.column("l_extendedprice"), pa.float64()),
+                        pc.subtract(1.0, pc.cast(t.column("l_discount"), pa.float64())),
+                    ),
+                    100.0,
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table({"revenue_cents": rev})
+
+    out = j.map_batches(_arm_filter, batch_format="pyarrow")
+    return global_agg(
+        out, {"revenue_cents": ("sum", "revenue_cents"), "n": ("count", None)}
+    )
