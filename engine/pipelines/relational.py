@@ -2518,3 +2518,52 @@ def q_tpch_q19(sf_dir):
     return global_agg(
         out, {"revenue_cents": ("sum", "revenue_cents"), "n": ("count", None)}
     )
+
+
+SPEC_REVENUE_BY_PRIORITY = {
+    "source": {
+        "table": "lineitem",
+        "columns": ["l_orderkey", "l_extendedprice", "l_discount"],
+    },
+    "steps": [
+        {
+            "op": "with_column",
+            "name": "revenue_cents",
+            "expr": {
+                "cents": {
+                    "mul": [
+                        {"col": "l_extendedprice"},
+                        {"sub": [{"lit": 1.0}, {"col": "l_discount"}]},
+                    ]
+                }
+            },
+        },
+        {"op": "select", "columns": ["l_orderkey", "revenue_cents"]},
+        {
+            "op": "join",
+            "table": "orders",
+            "columns": ["o_orderkey", "o_orderpriority"],
+            "key": "l_orderkey",
+            "right_key": "o_orderkey",
+        },
+        {"op": "select", "columns": ["o_orderpriority", "revenue_cents"]},
+        {"op": "grouped_sum", "keys": ["o_orderpriority"], "cols": ["revenue_cents"]},
+    ],
+}
+
+
+@register_query(
+    "q_spec_join",
+    oracle="""SELECT o_orderpriority,
+                     CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority""",
+)
+def q_spec_join(sf_dir):
+    """A two-table pipeline expressed entirely as a declarative spec: the
+    'join' step reads its right side pruned and routes through
+    auto_join's size gate (broadcast here, bucketed shuffle at scale)."""
+    from engine.spec import run_spec
+
+    return run_spec(SPEC_REVENUE_BY_PRIORITY, sf_dir)

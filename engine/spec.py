@@ -90,7 +90,7 @@ def _require(step: dict, *fields: str) -> None:
         raise ValueError(f"step {step.get('op')!r} missing field(s) {missing}")
 
 
-def _lower_step(i: int, step: dict) -> Step:
+def _lower_step(i: int, step: dict, ctx: dict | None = None) -> Step:
     if not isinstance(step, dict) or "op" not in step:
         raise ValueError(f"step {i} must be a dict with an 'op' field, got {step!r}")
     op = step["op"]
@@ -138,6 +138,29 @@ def _lower_step(i: int, step: dict) -> Step:
             return distinct(ds, dcols)
 
         return Step(name, _distinct, kind="dataset")
+    if op == "join":
+        _require(step, "table", "key")
+        if not isinstance(ctx, dict) or "sf_dir" not in ctx:
+            raise ValueError(
+                f"step {i}: 'join' needs a source context — run the spec "
+                "through run_spec(spec, sf_dir), not bare lower()"
+            )
+        sf_dir, jtable = ctx["sf_dir"], step["table"]
+        jcols = step.get("columns")
+        key, right_key = step["key"], step.get("right_key", step["key"])
+        jtype = step.get("join_type", "inner")
+
+        def _join(ds: rd.Dataset) -> rd.Dataset:
+            from engine.io.sources import read_table
+            from engine.ops.join import auto_join
+            from engine.ops.map import rename as rename_ds
+
+            right = read_table(sf_dir, jtable, columns=jcols)
+            if right_key != key:
+                right = rename_ds(right, {right_key: key})
+            return auto_join(ds, right, key=key, join_type=jtype)
+
+        return Step(name, _join, kind="dataset")
     if op == "sort":
         _require(step, "by")
         by = list(step["by"])
@@ -151,15 +174,17 @@ def _lower_step(i: int, step: dict) -> Step:
         return Step(name, _sort, kind="dataset")
     raise ValueError(
         f"step {i}: unknown op {op!r} (expected select/rename/filter/"
-        "with_column/grouped_sum/distinct/sort)"
+        "with_column/join/grouped_sum/distinct/sort)"
     )
 
 
-def lower(spec: dict) -> Pipeline:
-    """Validate a spec and compile it into a Pipeline (no execution)."""
+def lower(spec: dict, ctx: dict | None = None) -> Pipeline:
+    """Validate a spec and compile it into a Pipeline (no execution).
+    ``ctx`` carries runtime bindings steps may need (currently
+    ``sf_dir`` for 'join' steps' right-side reads)."""
     if not isinstance(spec, dict) or not isinstance(spec.get("steps"), list):
         raise ValueError("spec must be a dict with a 'steps' list")
-    return Pipeline([_lower_step(i, s) for i, s in enumerate(spec["steps"])])
+    return Pipeline([_lower_step(i, s, ctx) for i, s in enumerate(spec["steps"])])
 
 
 def run_spec(spec: dict, sf_dir: str) -> rd.Dataset:
@@ -171,4 +196,4 @@ def run_spec(spec: dict, sf_dir: str) -> rd.Dataset:
     from engine.io.sources import read_table
 
     ds = read_table(sf_dir, src["table"], columns=src.get("columns"))
-    return lower(spec).run(ds)
+    return lower(spec, ctx={"sf_dir": sf_dir}).run(ds)

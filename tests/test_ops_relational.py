@@ -898,3 +898,12 @@ def test_spec_parser_validation_and_lowering():
     }
     out = lower(spec).run(rd.from_pandas(df)).to_pandas()
     assert out["g"].tolist() == ["a", "b"] and out["cents"].tolist() == [200, 300]
+
+
+def test_spec_join_step_requires_context():
+    from engine.spec import lower
+
+    import pytest
+
+    with pytest.raises(ValueError, match="needs a source context"):
+        lower({"steps": [{"op": "join", "table": "orders", "key": "k"}]})
