@@ -156,6 +156,11 @@ def run_relational_queries() -> dict:
         "q_tpch_q10",
         "q_tfidf",
         "q_dedup_clusters",
+        # round-4 operators
+        "q_tpch_q5",
+        "q_join_range_global",
+        "q_multimodal_real",
+        "q_spec_join",
     ]
     import ray.data as rd
 

@@ -1325,7 +1325,10 @@ def q_tpch_q5(sf_dir):
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
-    joined = shuffle_join(li, orders, key="l_orderkey", join_type="inner")
+    # The date-windowed, nation-filtered orders side is a small fraction
+    # of the table — size-gate it (broadcast at test scale, bucketed
+    # shuffle at 100x) instead of an unconditional exchange.
+    joined = auto_join(li, orders, key="l_orderkey")
 
     supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
     supp = semi_join(supp, asia.rename_columns(["s_nationkey"]), "s_nationkey")
@@ -2351,7 +2354,7 @@ def q_tpch_q7(sf_dir):
         filter_expr=(pads.field("l_shipdate") >= datetime.datetime(1995, 1, 1))
         & (pads.field("l_shipdate") < datetime.datetime(1997, 1, 1)),
     )
-    j = shuffle_join(li, orders, key="l_orderkey", join_type="inner")
+    j = auto_join(li, orders, key="l_orderkey")
     j = auto_join(j, rename_ds(supp, {"s_suppkey": "l_suppkey"}), key="l_suppkey")
     j = filter_expr(
         j, lambda t: pc.not_equal(t.column("s_nationkey"), t.column("c_nationkey"))
