@@ -68,14 +68,32 @@ def _ensure_arrow(ds: rd.Dataset) -> tuple[rd.Dataset, pa.Schema]:
     base = getattr(s, "base_schema", None)
     if isinstance(base, pa.Schema):
         return ds, base
+    first = s
     ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
     s = ds.schema()
     base = getattr(s, "base_schema", None)
     if isinstance(base, pa.Schema):
         return ds, base
-    # schema() returns None for an empty post-map dataset (e.g. a
-    # pushed-down filter that eliminated every row group) — surface a
-    # diagnosable error instead of AttributeError downstream.
+    # Dataset produced no rows (a filter can legitimately match nothing).
+    # If a pandas block schema survived, convert its dtypes — an empty
+    # side must still join (contributing zero rows), not crash. Columns
+    # whose dtype carries no Arrow type (object) degrade to null and are
+    # re-resolved against the other side by _union_fields.
+    for cand in (s, first):
+        names = getattr(cand, "names", None)
+        types = getattr(cand, "types", None)
+        if names and types is not None:
+            fields = []
+            for n, t in zip(names, types):
+                if isinstance(t, pa.DataType):
+                    fields.append(pa.field(n, t))
+                    continue
+                try:
+                    npdt = getattr(t, "numpy_dtype", None) or np.dtype(t)
+                    fields.append(pa.field(n, pa.from_numpy_dtype(npdt)))
+                except (TypeError, pa.ArrowNotImplementedError):
+                    fields.append(pa.field(n, pa.null()))
+            return ds, pa.schema(fields)
     raise ValueError(
         "cannot infer an Arrow schema: dataset produced no rows "
         "(empty filtered read?) and no schema metadata survived"
@@ -115,6 +133,30 @@ def _keyed_arrow(ds: rd.Dataset, keys: list[str]) -> tuple[rd.Dataset, pa.Schema
         if real is not None:
             schema = real
     return ds, schema
+
+
+def _union_fields(
+    lschema: pa.Schema, rschema: pa.Schema, lcols: list[str], rcols: list[str]
+) -> list[pa.Field]:
+    """Unified tagged-union schema for the co-partitioned joins. A field
+    present on both sides takes the first CONCRETE (non-null) type — an
+    all-null column (e.g. an Int64 pandas column with no valid values)
+    degrades to Arrow's ``null`` type, which Acero rejects in key fields
+    and casts can't target. If both sides are all-null the field falls
+    back to int64: every value is null, so any concrete type joins
+    equivalently (null keys never match)."""
+
+    def resolve(name: str) -> pa.Field:
+        lt = lschema.field(name).type if name in lcols else None
+        rt = rschema.field(name).type if name in rcols else None
+        t = lt
+        if t is None or pa.types.is_null(t):
+            t = rt if (rt is not None and not pa.types.is_null(rt)) else t
+        if t is None or pa.types.is_null(t):
+            t = pa.int64()
+        return pa.field(name, t)
+
+    return [resolve(n) for n in lcols] + [resolve(n) for n in rcols if n not in lcols]
 
 
 def _cached_get(ref: ray.ObjectRef):
@@ -391,9 +433,7 @@ def shuffle_join(
     left, lschema = _keyed_arrow(left, keys)
     right, rschema = _keyed_arrow(right, keys)
     lcols, rcols = list(lschema.names), list(rschema.names)
-    union_fields = [lschema.field(n) for n in lcols] + [
-        rschema.field(n) for n in rcols if n not in lcols
-    ]
+    union_fields = _union_fields(lschema, rschema, lcols, rcols)
     target = pa.schema(union_fields + [pa.field("__side", pa.int64())])
 
     def _tag(side: int):
@@ -526,9 +566,7 @@ def asof_join(
     lcols, rcols = list(lschema.names), list(rschema.names)
     # Unified schema for the tagged union: left fields + right-only fields
     # + side tag + join key (typed nulls for the absent side's columns).
-    union_fields = [lschema.field(n) for n in lcols] + [
-        rschema.field(n) for n in rcols if n not in lcols
-    ]
+    union_fields = _union_fields(lschema, rschema, lcols, rcols)
     target = pa.schema(union_fields + [pa.field("__side", pa.int64())])
 
     def _tag(side: int, key_from: str):

@@ -280,3 +280,38 @@ def token_count_regex(ds: rd.Dataset, text_col: str = "text", pattern: str = TOK
         return out
 
     return ds.map_batches(_count, batch_format="pandas")
+
+
+def gopher_rules(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Gopher-style repetition/shape quality rules (the public
+    rule-filter family: word-count band, mean-word-length band, minimum
+    alphabetic ratio), integer-quantized so a SQL oracle can mirror the
+    arithmetic bit-exactly. Vectorized pandas str kernels; emits the
+    per-rule features AND the final keep flag so downstream filters can
+    re-threshold without recomputing."""
+
+    def _rules(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].fillna("")
+        n_words = (s.str.count(" ") + 1).astype("int64")
+        word_chars = (s.str.len() - s.str.count(" ")).astype("int64")
+        # floor(x + 0.5), not .round(): DuckDB ROUND is half-away-from-zero,
+        # pandas is half-to-even — values here are non-negative.
+        mean_word_len_x100 = np.floor(
+            100.0 * word_chars / n_words + 0.5
+        ).astype("int64")
+        n_chars = s.str.len().clip(lower=1)
+        alpha = s.str.count(r"[A-Za-z]")
+        alpha_ratio_x1000 = np.floor(1000.0 * alpha / n_chars + 0.5).astype("int64")
+        keep = (
+            n_words.between(5, 1000)
+            & mean_word_len_x100.between(200, 1200)
+            & (alpha_ratio_x1000 >= 600)
+        ).astype("int64")
+        out = df.copy()
+        out["n_words"] = n_words
+        out["mean_word_len_x100"] = mean_word_len_x100
+        out["alpha_ratio_x1000"] = alpha_ratio_x1000
+        out["keep"] = keep
+        return out
+
+    return ds.map_batches(_rules, batch_format="pandas", batch_size=2048)

@@ -720,3 +720,39 @@ def q_dedup_minhash_clusters(sf_dir):
     cand = minhash_candidate_pairs(ds, "text", "doc_id", dedup_pairs=False)
     pairs = verify_pairs_jaccard(cand, docs, "text", "doc_id", threshold=0.5)
     return connected_components(pairs)
+
+
+@register_query(
+    "q_gopher_rules",
+    oracle="""SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                     CAST(ROUND(100.0 * length(replace(text, ' ', ''))
+                                / len(string_split(text, ' '))) AS BIGINT)
+                       AS mean_word_len_x100,
+                     CAST(ROUND(1000.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                / greatest(length(text), 1)) AS BIGINT)
+                       AS alpha_ratio_x1000,
+                     CAST(CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 1000
+                               AND ROUND(100.0 * length(replace(text, ' ', ''))
+                                         / len(string_split(text, ' '))) BETWEEN 200 AND 1200
+                               AND ROUND(1000.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                         / greatest(length(text), 1)) >= 600
+                          THEN 1 ELSE 0 END AS BIGINT) AS keep
+              FROM documents""",
+)
+def q_gopher_rules(sf_dir):
+    """Gopher-style rule-based quality filter (word-count band,
+    mean-word-length band, alphabetic-ratio floor) — integer-quantized
+    features + keep flag, arithmetic mirrored bit-exactly in the
+    oracle (half-away rounding both sides)."""
+    from engine.ops.text import gopher_rules
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = gopher_rules(ds)
+
+    def _sel(t: pa.Table) -> pa.Table:
+        return t.select(
+            ["doc_id", "n_words", "mean_word_len_x100", "alpha_ratio_x1000", "keep"]
+        )
+
+    return out.map_batches(_sel, batch_format="pyarrow")

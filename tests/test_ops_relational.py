@@ -907,3 +907,51 @@ def test_spec_join_step_requires_context():
 
     with pytest.raises(ValueError, match="needs a source context"):
         lower({"steps": [{"op": "join", "table": "orders", "key": "k"}]})
+
+
+def test_shuffle_join_property_random_frames():
+    """Property test: shuffle_join == SQL-semantics reference join over
+    randomized frames with duplicate and NULL keys, for inner and left.
+    (NULL keys never match — unlike pandas merge, which matches NaN to
+    NaN, so the reference drops null keys from the match set.)"""
+    from hypothesis import given, settings, strategies as st
+
+    from engine.ops.join import shuffle_join
+
+    keys = st.lists(
+        st.one_of(st.integers(min_value=0, max_value=6), st.none()),
+        min_size=0, max_size=25,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(lk=keys, rk=keys, how=st.sampled_from(["inner", "left"]))
+    def _check(lk, rk, how):
+        l = pd.DataFrame({"k": pd.array(lk, dtype="Int64"),
+                          "v": np.arange(len(lk), dtype=np.int64)})
+        r = pd.DataFrame({"k": pd.array(rk, dtype="Int64"),
+                          "w": np.arange(len(rk), dtype=np.int64) * 10})
+        got_ds = shuffle_join(rd.from_pandas(l), rd.from_pandas(r), "k", how)
+        got = got_ds.to_pandas()
+        # SQL reference: null keys never match; left join keeps them unmatched.
+        r_valid = r[r["k"].notna()]
+        inner = l[l["k"].notna()].merge(r_valid, on="k", how="inner")
+        if how == "inner":
+            want = inner
+        else:
+            matched_keys = set(r_valid["k"].tolist())
+            unmatched = l[~l["k"].isin(matched_keys) | l["k"].isna()].copy()
+            unmatched["w"] = pd.array([None] * len(unmatched), dtype="Int64")
+            want = pd.concat([inner, unmatched], ignore_index=True)
+        if len(want) == 0:
+            # empty-Dataset to_pandas() loses columns (known Ray quirk) —
+            # row-count equality is the whole check here.
+            assert len(got) == 0
+            return
+        for df in (got, want):
+            for c in ("k", "v", "w"):
+                df[c] = pd.array(df[c], dtype="Int64")
+        got = got.sort_values(["k", "v", "w"]).reset_index(drop=True)
+        want = want[["k", "v", "w"]].sort_values(["k", "v", "w"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    _check()
