@@ -115,3 +115,38 @@ def q_cdc_lineage(sf_dir):
     return rd.read_parquet(files, partitioning=None).select_columns(
         ["epoch", "pid", "seq_lo", "seq_hi", "events_in", "upserts", "deletes", "rows_out"]
     )
+
+
+@register_query("q_cdc_enrich")
+def q_cdc_enrich(sf_dir):
+    """Stream-table enrichment: epoch-0 change events left-joined against
+    the FINAL committed lake state (engine/cdc/enrich.py). Rows-only
+    driver check, but self-checking: a sampled slice is verified against
+    the driver-side lake table and any mismatch raises."""
+    from engine.cdc.enrich import enrich_with_lake
+    from engine.cdc.tailer import read_epoch
+    from engine.cdc.verify import lake_table
+
+    work = _replayed_lake(sf_dir)
+    stream = read_epoch(f"{work}/log", 0).select_columns(["repo", "path", "seq"])
+    out = enrich_with_lake(
+        stream, f"{work}/lake", keys=("repo", "path"), columns=["content_sha256"]
+    ).materialize()
+
+    state = (
+        lake_table(f"{work}/lake")
+        .to_pandas()
+        .set_index(["repo", "path"])["content_sha256"]
+        .to_dict()
+    )
+    sample = out.take(200)
+    for row in sample:
+        want = state.get((row["repo"], row["path"]))
+        got = row["content_sha256"]
+        ok = (want is None and (got is None or got != got)) or got == want
+        if not ok:
+            raise AssertionError(
+                f"enrichment diverged for {(row['repo'], row['path'])}: "
+                f"{got!r} != {want!r}"
+            )
+    return out

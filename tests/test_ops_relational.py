@@ -955,3 +955,48 @@ def test_shuffle_join_property_random_frames():
         pd.testing.assert_frame_equal(got, want)
 
     _check()
+
+
+def test_grouped_agg_property_random_frames():
+    """Property test: the bucketed-combiner grouped_agg == DuckDB over
+    random frames with NULL group keys and negative values, for
+    sum/count/min/max/mean."""
+    from hypothesis import given, settings, strategies as st
+
+    rows = st.lists(
+        st.tuples(
+            st.one_of(st.integers(min_value=0, max_value=4), st.none()),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1, max_size=40,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(data=rows)
+    def _check(data):
+        df = pd.DataFrame(
+            {"g": pd.array([k for k, _ in data], dtype="Int64"),
+             "x": np.array([v for _, v in data], dtype=np.int64)}
+        )
+        got = (
+            grouped_agg(
+                rd.from_pandas(df), ["g"],
+                {"s": ("sum", "x"), "n": ("count", None),
+                 "lo": ("min", "x"), "hi": ("max", "x"), "m": ("mean", "x")},
+            )
+            .to_pandas()
+            .sort_values("g", na_position="last")
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            """SELECT g, CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(MIN(x) AS BIGINT) AS lo, CAST(MAX(x) AS BIGINT) AS hi,
+                      AVG(x) AS m
+               FROM df GROUP BY g ORDER BY g NULLS LAST"""
+        ).df().reset_index(drop=True)
+        for c in ("s", "n", "lo", "hi"):
+            assert [int(v) for v in got[c]] == [int(v) for v in want[c]], c
+        assert np.allclose(got["m"].astype(float), want["m"].astype(float))
+        assert got["g"].isna().sum() == want["g"].isna().sum()
+
+    _check()
