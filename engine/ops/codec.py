@@ -1,16 +1,17 @@
-"""Pure-Python image codecs (BMP 24-bit, PNG 8-bit RGB/RGBA).
+"""Pure-Python media codecs (BMP 24-bit, PNG 8-bit RGB/RGBA, WAV PCM).
 
-This container has no image libraries, but "no PIL" does not have to
-mean "no real decode": both formats are simple enough to parse with the
-stdlib (``struct`` + ``zlib``). These codecs back
-``DecodePayload(fake=False)`` so the multimodal stage exercises a REAL
-byte-level parse — header validation, bottom-up BMP row order, PNG
-scanline unfiltering including Paeth — instead of a crc32 stand-in.
+This container has no media libraries, but "no PIL/ffmpeg" does not have
+to mean "no real decode": these formats are simple enough to parse with
+the stdlib (``struct`` + ``zlib``). They back the multimodal stages'
+REAL byte-level parses — header validation, bottom-up BMP row order,
+PNG scanline unfiltering including Paeth, RIFF chunk walking — instead
+of a crc32 stand-in.
 
 Scope (documented, validated, errors on anything else):
 - BMP: uncompressed 24-bit BITMAPINFOHEADER, bottom-up or top-down.
 - PNG: 8-bit depth, color type 2 (RGB) or 6 (RGBA), non-interlaced,
   all five filter types.
+- WAV: RIFF/WAVE PCM 16-bit, any channel count.
 
 Intended for small-to-medium payloads inside an actor-pool decode
 stage; the unfilter loop is per-scanline numpy (filters 3/4 keep a
@@ -191,3 +192,49 @@ def decode_image(data: bytes) -> np.ndarray:
     if data[: len(PNG_SIG)] == PNG_SIG:
         return decode_png(data)
     raise ValueError("unknown image container (expected BMP or PNG)")
+
+
+# ---- WAV (RIFF PCM) ----------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """RIFF/WAVE PCM from int16 samples: (n,) mono or (n, ch)."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav expects int16 samples")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """(samples[int16, shape (n, ch)], sample_rate) from a PCM WAV —
+    a real RIFF chunk walk (fmt validation, data extraction), not the
+    stdlib wave module."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE magic")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", data, pos + 4)
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, 0)
+        elif tag == b"data":
+            pcm = payload
+    if fmt is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, ch, rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV: format={audio_format} bits={bits}")
+    samples = np.frombuffer(pcm, dtype="<i2")
+    return samples.reshape(-1, ch).astype(np.int16), rate

@@ -1,12 +1,13 @@
 """Multimodal column plumbing (training-data ops).
 
-Images/audio/video are opaque ``binary`` columns with typed metadata.
-The Ray-side plumbing — schema, small batch sizes for wide payloads,
-actor-pool stage signature, output layout — is real and tested; the
-actual codec work is STUBBED (no image/audio libraries in this
-container): ``DecodePayload(fake=False)`` raises NotImplementedError,
-``fake=True`` produces a deterministic fake decode derived from the
-payload bytes, which is what the tests exercise.
+Images/audio/video are opaque ``binary`` columns with typed metadata,
+decoded in actor-pool ``map_batches`` stages (small batch sizes — wide
+payloads x concurrency must fit worker heaps). Image (BMP/PNG) and
+audio (WAV PCM) decode are REAL byte-level parses through the
+pure-Python codecs in ``engine.ops.codec``; ``fake=True`` keeps the
+deterministic pseudo-decode for non-image payloads (and marks where a
+video frame-sampler's ffmpeg call would slot in — video containers
+remain out of scope for a stdlib codec).
 """
 
 from __future__ import annotations
@@ -136,3 +137,57 @@ def payload_features(ds: rd.Dataset, dim: int = 8) -> rd.Dataset:
         return out
 
     return ds.map_batches(_feat, batch_format="pandas", batch_size=256)
+
+
+def attach_audio_payload(ds: rd.Dataset, id_col: str = "doc_id", sample_rate: int = 16000) -> rd.Dataset:
+    """Synthesize a REAL WAV payload per row, deterministically from the
+    id: sample i = (id * 13 + 7 i) % 65536 - 32768 (full int16 range) at
+    n = 800 + (id % 5) * 40 samples. SQL-mirrorable, so the RIFF parse
+    is oracle-checkable."""
+    from engine.ops.codec import encode_wav
+
+    def _attach(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for i in ids:
+            n = 800 + (int(i) % 5) * 40
+            idx = np.arange(n, dtype=np.int64)
+            s = ((int(i) * 13 + 7 * idx) % 65536 - 32768).astype(np.int16)
+            payloads.append(encode_wav(s, sample_rate))
+        t = t.append_column("payload", pa.array(payloads, pa.binary()))
+        t = t.append_column("media_type", pa.array(["audio/wav"] * len(ids)))
+        t = t.append_column("n_bytes", pa.array([len(p) for p in payloads], pa.int64()))
+        return t
+
+    return ds.map_batches(_attach, batch_format="pyarrow")
+
+
+class DecodeAudio:
+    """Actor-pool WAV decode stage: real RIFF chunk walk per payload
+    (engine.ops.codec.decode_wav), emitting sample count, rate and the
+    exact int64 sample sum — the audio analogue of DecodePayload's
+    fake=False path."""
+
+    def __init__(self):
+        from engine.ops.codec import decode_wav
+
+        self._decode = decode_wav
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        decoded = [self._decode(p) for p in df["payload"]]
+        out = df.copy()
+        out["n_samples"] = np.array([s.shape[0] for s, _ in decoded], np.int64)
+        out["sample_rate"] = np.array([r for _, r in decoded], np.int64)
+        out["sample_sum"] = np.array(
+            [int(s.sum(dtype=np.int64)) for s, _ in decoded], np.int64
+        )
+        return out
+
+
+def decode_audio_payloads(ds: rd.Dataset, concurrency: int = 2, batch_size: int = 64) -> rd.Dataset:
+    return ds.map_batches(
+        DecodeAudio,
+        batch_format="pandas",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

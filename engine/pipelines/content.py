@@ -756,3 +756,33 @@ def q_gopher_rules(sf_dir):
         )
 
     return out.map_batches(_sel, batch_format="pyarrow")
+
+
+@register_query(
+    "q_multimodal_audio",
+    oracle="""WITH d AS (SELECT doc_id, 800 + (doc_id % 5) * 40 AS n FROM documents)
+              SELECT d.doc_id,
+                     CAST(d.n AS BIGINT) AS n_samples,
+                     CAST(16000 AS BIGINT) AS sample_rate,
+                     CAST(SUM((d.doc_id * 13 + 7 * i.i) % 65536 - 32768) AS BIGINT)
+                       AS sample_sum
+              FROM d, range(0, 960) i(i)
+              WHERE i.i < d.n
+              GROUP BY d.doc_id, d.n""",
+)
+def q_multimodal_audio(sf_dir):
+    """REAL audio decode, oracle-checked: deterministic int16 waveforms
+    are encoded as true RIFF/WAVE PCM and the actor-pool stage recovers
+    sample count, rate and the exact sample sum by walking the RIFF
+    chunks — the oracle recomputes the same quantities from the waveform
+    formula in SQL."""
+    from engine.ops.multimodal import attach_audio_payload, decode_audio_payloads
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    ds = attach_audio_payload(ds, "doc_id")
+    ds = decode_audio_payloads(ds)
+
+    def _out(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "n_samples", "sample_rate", "sample_sum"])
+
+    return ds.map_batches(_out, batch_format="pyarrow")

@@ -304,3 +304,41 @@ def test_multimodal_real_decode_stage():
         want = int(((i + 3 * y + 5 * x + 11 * c) % 256).sum())
         assert (row["width"], row["height"], row["channels"]) == (w, h, 3)
         assert int(row["pixel_sum"]) == want
+
+
+def test_wav_codec_and_audio_stage():
+    """WAV round trip is byte-exact (mono + stereo, odd lengths incl. the
+    RIFF word-alignment path) and the actor-pool audio stage recovers the
+    generation formula's sample sums."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from engine.ops.codec import decode_wav, encode_wav
+    from engine.ops.multimodal import attach_audio_payload, decode_audio_payloads
+
+    rng = np.random.default_rng(13)
+    for shape in [(100,), (64, 2), (1, 1), (257,)]:
+        s = rng.integers(-32768, 32767, shape).astype(np.int16)
+        out, rate = decode_wav(encode_wav(s, 8000))
+        want = s[:, None] if s.ndim == 1 else s
+        assert rate == 8000 and np.array_equal(out, want)
+    with pytest.raises(ValueError, match="bad RIFF"):
+        decode_wav(b"OggS not a wav")
+
+    ids = np.arange(7, dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids}))
+    out = (
+        decode_audio_payloads(attach_audio_payload(ds), concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for _, row in out.iterrows():
+        i = int(row["doc_id"])
+        n = 800 + (i % 5) * 40
+        idx = np.arange(n, dtype=np.int64)
+        want = int(((i * 13 + 7 * idx) % 65536 - 32768).sum())
+        assert (row["n_samples"], row["sample_rate"]) == (n, 16000)
+        assert int(row["sample_sum"]) == want
