@@ -238,3 +238,89 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"unsupported WAV: format={audio_format} bits={bits}")
     samples = np.frombuffer(pcm, dtype="<i2")
     return samples.reshape(-1, ch).astype(np.int16), rate
+
+
+# ---- AVI (RIFF, uncompressed BI_RGB DIB frames) ------------------------------
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Minimal standard AVI from (F, H, W, 3) uint8 RGB frames:
+    RIFF 'AVI ' with hdrl (avih + strl/strh/strf) and a movi LIST of
+    uncompressed bottom-up BGR '00db' DIB chunks — the BI_RGB layout
+    every AVI reader understands."""
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise ValueError("encode_avi expects (F, H, W, 3) uint8")
+    f, h, w = frames.shape[:3]
+    row_len = (w * 3 + 3) & ~3
+    dibs = []
+    for fr in frames:
+        img = np.zeros((h, row_len), np.uint8)
+        img[:, : w * 3] = fr[::-1, :, ::-1].reshape(h, w * 3)
+        dibs.append(img.tobytes())
+    frame_bytes = len(dibs[0])
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(four_cc: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", four_cc + payload)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, frame_bytes * fps, 0, 0x10, f, 0, 1, frame_bytes,
+        w, h, 0, 0, 0, 0,
+    )
+    # fccType fccHandler flags priority language initialFrames scale rate
+    # start length suggestedBuffer quality sampleSize rcFrame(l,t,r,b)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4h",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, f, frame_bytes, -1, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", d) for d in dibs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(data: bytes, frame_stride: int = 1) -> tuple[np.ndarray, dict]:
+    """Real RIFF/AVI walk: validates magic, reads frame dims from the
+    strf BITMAPINFOHEADER, collects '00db' DIB chunks (recursing into
+    LISTs), and decodes every ``frame_stride``-th frame — the
+    frame-sampling read path of a video pipeline. Returns
+    (frames[(k, H, W, 3) uint8 RGB], meta)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI: bad RIFF/AVI magic")
+
+    strf: list[bytes] = []
+    dibs: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            (length,) = struct.unpack_from("<I", buf, pos + 4)
+            payload_start = pos + 8
+            if tag == b"LIST":
+                walk(buf, payload_start + 4, payload_start + length)
+            elif tag == b"strf":
+                strf.append(buf[payload_start : payload_start + length])
+            elif tag in (b"00db", b"00dc"):
+                dibs.append(buf[payload_start : payload_start + length])
+            pos = payload_start + length + (length & 1)
+
+    walk(data, 12, len(data))
+    if not strf:
+        raise ValueError("AVI missing strf header")
+    _sz, w, h, _planes, bpp, compression = struct.unpack_from("<IiiHHI", strf[0], 0)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported AVI frames: {bpp}-bit compression={compression}")
+    row_len = (w * 3 + 3) & ~3
+    picked = dibs[::frame_stride]
+    frames = np.zeros((len(picked), h, w, 3), np.uint8)
+    for i, d in enumerate(picked):
+        rows = np.frombuffer(d, np.uint8, count=h * row_len).reshape(h, row_len)
+        frames[i] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+    meta = {"n_frames": len(dibs), "width": w, "height": h, "stride": frame_stride}
+    return frames, meta

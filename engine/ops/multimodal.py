@@ -2,12 +2,13 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata,
 decoded in actor-pool ``map_batches`` stages (small batch sizes — wide
-payloads x concurrency must fit worker heaps). Image (BMP/PNG) and
-audio (WAV PCM) decode are REAL byte-level parses through the
-pure-Python codecs in ``engine.ops.codec``; ``fake=True`` keeps the
-deterministic pseudo-decode for non-image payloads (and marks where a
-video frame-sampler's ffmpeg call would slot in — video containers
-remain out of scope for a stdlib codec).
+payloads x concurrency must fit worker heaps). All three modalities are
+REAL byte-level parses through the pure-Python codecs in
+``engine.ops.codec``: image = BMP/PNG decode, audio = WAV RIFF walk,
+video = AVI container walk + every-Nth frame sampling.  ``fake=True``
+keeps the deterministic pseudo-decode for non-media payloads (and marks
+where a PIL/ffmpeg call would slot in for compressed codecs beyond the
+stdlib's reach — JPEG/H.264 etc.).
 """
 
 from __future__ import annotations
@@ -187,6 +188,68 @@ class DecodeAudio:
 def decode_audio_payloads(ds: rd.Dataset, concurrency: int = 2, batch_size: int = 64) -> rd.Dataset:
     return ds.map_batches(
         DecodeAudio,
+        batch_format="pandas",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+def attach_video_payload(ds: rd.Dataset, id_col: str = "doc_id") -> rd.Dataset:
+    """Synthesize a REAL AVI payload per row (RIFF container,
+    uncompressed BI_RGB DIB frames), deterministically from the id:
+    n_frames = 4 + id % 3 at 8x6, frame f pixel (y, x, c) =
+    (id + 2f + 3y + 5x + 11c) % 256. SQL-mirrorable, so the container
+    walk + frame sampling is oracle-checkable."""
+    from engine.ops.codec import encode_avi
+
+    def _attach(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for i in ids:
+            n = 4 + int(i) % 3
+            f, y, x, c = np.ogrid[0:n, 0:6, 0:8, 0:3]
+            frames = ((int(i) + 2 * f + 3 * y + 5 * x + 11 * c) % 256).astype(np.uint8)
+            payloads.append(encode_avi(frames, fps=10))
+        t = t.append_column("payload", pa.array(payloads, pa.binary()))
+        t = t.append_column("media_type", pa.array(["video/avi"] * len(ids)))
+        t = t.append_column("n_bytes", pa.array([len(p) for p in payloads], pa.int64()))
+        return t
+
+    return ds.map_batches(_attach, batch_format="pyarrow")
+
+
+class SampleFrames:
+    """Actor-pool video frame-sampling stage: real RIFF/AVI walk per
+    payload (engine.ops.codec.decode_avi), decoding every
+    ``stride``-th frame and emitting container metadata plus the exact
+    pixel sum of the SAMPLED frames — the shape of a frame-extraction
+    stage feeding a vision encoder."""
+
+    def __init__(self, stride: int = 2):
+        from engine.ops.codec import decode_avi
+
+        self._decode = decode_avi
+        self.stride = stride
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        decoded = [self._decode(p, frame_stride=self.stride) for p in df["payload"]]
+        out = df.copy()
+        out["n_frames"] = np.array([m["n_frames"] for _, m in decoded], np.int64)
+        out["frames_sampled"] = np.array([f.shape[0] for f, _ in decoded], np.int64)
+        out["width"] = np.array([m["width"] for _, m in decoded], np.int64)
+        out["height"] = np.array([m["height"] for _, m in decoded], np.int64)
+        out["sampled_pixel_sum"] = np.array(
+            [int(f.sum(dtype=np.int64)) for f, _ in decoded], np.int64
+        )
+        return out
+
+
+def sample_video_frames(ds: rd.Dataset, stride: int = 2, concurrency: int = 2, batch_size: int = 32) -> rd.Dataset:
+    """Small batch_size: video payloads are the widest rows in the
+    engine — batch x concurrency must fit worker heaps."""
+    return ds.map_batches(
+        SampleFrames,
+        fn_constructor_kwargs=dict(stride=stride),
         batch_format="pandas",
         concurrency=concurrency,
         batch_size=batch_size,

@@ -786,3 +786,38 @@ def q_multimodal_audio(sf_dir):
         return t.select(["doc_id", "n_samples", "sample_rate", "sample_sum"])
 
     return ds.map_batches(_out, batch_format="pyarrow")
+
+
+@register_query(
+    "q_multimodal_video",
+    oracle="""WITH d AS (SELECT doc_id, 4 + doc_id % 3 AS n_frames FROM documents)
+              SELECT d.doc_id,
+                     CAST(d.n_frames AS BIGINT) AS n_frames,
+                     CAST((d.n_frames + 1) // 2 AS BIGINT) AS frames_sampled,
+                     CAST(8 AS BIGINT) AS width,
+                     CAST(6 AS BIGINT) AS height,
+                     CAST(SUM(CASE WHEN f.f % 2 = 0
+                              THEN (d.doc_id + 2 * f.f + 3 * y.y + 5 * x.x + 11 * c.c) % 256
+                              ELSE 0 END) AS BIGINT) AS sampled_pixel_sum
+              FROM d, range(0, 6) f(f), range(0, 6) y(y), range(0, 8) x(x), range(0, 3) c(c)
+              WHERE f.f < d.n_frames
+              GROUP BY d.doc_id, d.n_frames""",
+)
+def q_multimodal_video(sf_dir):
+    """REAL video frame sampling, oracle-checked: deterministic frames
+    are packed into true AVI containers (RIFF walk, BI_RGB DIB frames)
+    and the actor-pool stage samples every 2nd frame, recovering
+    container metadata and the exact sampled-pixel sum — the oracle
+    recomputes the same quantities from the frame formula in SQL."""
+    from engine.ops.multimodal import attach_video_payload, sample_video_frames
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    ds = attach_video_payload(ds, "doc_id")
+    ds = sample_video_frames(ds, stride=2)
+
+    def _out(t: pa.Table) -> pa.Table:
+        return t.select(
+            ["doc_id", "n_frames", "frames_sampled", "width", "height", "sampled_pixel_sum"]
+        )
+
+    return ds.map_batches(_out, batch_format="pyarrow")

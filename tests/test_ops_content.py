@@ -342,3 +342,43 @@ def test_wav_codec_and_audio_stage():
         want = int(((i * 13 + 7 * idx) % 65536 - 32768).sum())
         assert (row["n_samples"], row["sample_rate"]) == (n, 16000)
         assert int(row["sample_sum"]) == want
+
+
+def test_avi_codec_and_frame_sampling_stage():
+    """AVI round trip is byte-exact, stride sampling picks every Nth
+    frame, and the actor-pool stage recovers the generation formula's
+    sampled-pixel sums."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from engine.ops.codec import decode_avi, encode_avi
+    from engine.ops.multimodal import attach_video_payload, sample_video_frames
+
+    rng = np.random.default_rng(17)
+    fr = rng.integers(0, 256, (5, 6, 9, 3)).astype(np.uint8)
+    out, meta = decode_avi(encode_avi(fr, fps=4))
+    assert np.array_equal(out, fr)
+    assert (meta["n_frames"], meta["width"], meta["height"]) == (5, 9, 6)
+    s2, _ = decode_avi(encode_avi(fr), frame_stride=2)
+    assert np.array_equal(s2, fr[::2])
+    with pytest.raises(ValueError, match="bad RIFF/AVI"):
+        decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+
+    ids = np.arange(6, dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids}))
+    got = (
+        sample_video_frames(attach_video_payload(ds), stride=2, concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        i = int(row["doc_id"])
+        n = 4 + i % 3
+        f, y, x, c = np.ogrid[0:n, 0:6, 0:8, 0:3]
+        frames = (i + 2 * f + 3 * y + 5 * x + 11 * c) % 256
+        want = int(frames[::2].sum())
+        assert (row["n_frames"], row["frames_sampled"]) == (n, (n + 1) // 2)
+        assert int(row["sampled_pixel_sum"]) == want
