@@ -1000,3 +1000,48 @@ def test_grouped_agg_property_random_frames():
         assert got["g"].isna().sum() == want["g"].isna().sum()
 
     _check()
+
+
+def test_asof_join_property_random_frames():
+    """Property test: asof_join (backward) == pandas merge_asof over
+    random per-key event times with duplicate keys and empty overlap."""
+    from hypothesis import given, settings, strategies as st
+
+    rows = st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),
+                  st.integers(min_value=0, max_value=1000)),
+        min_size=1, max_size=30,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(lrows=rows, rrows=rows)
+    def _check(lrows, rrows):
+        base = pd.Timestamp("2024-01-01")
+        l = pd.DataFrame({
+            "u": np.array([k for k, _ in lrows], np.int64),
+            "t": (base + pd.to_timedelta([s for _, s in lrows], unit="s")).astype("datetime64[us]"),
+        })
+        l["x"] = np.arange(len(l), dtype=np.int64)
+        r = pd.DataFrame({
+            "u": np.array([k for k, _ in rrows], np.int64),
+            "t2": (base + pd.to_timedelta([s for _, s in rrows], unit="s")).astype("datetime64[us]"),
+        })
+        # merge_asof requires unique right (by, time) winners to be
+        # deterministic — collapse duplicates keeping max y.
+        r["y"] = np.arange(len(r), dtype=np.int64) * 10
+        r = r.sort_values("y").groupby(["u", "t2"], as_index=False).last()
+        got = (
+            asof_join(rd.from_pandas(l), rd.from_pandas(r),
+                      on="t", by="u", right_on="t2", right_by="u")
+            .to_pandas()
+            .sort_values(["u", "t", "x"])
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            l.sort_values("t", kind="mergesort"),
+            r.sort_values("t2", kind="mergesort"),
+            left_on="t", right_on="t2", by="u", direction="backward",
+        ).sort_values(["u", "t", "x"]).reset_index(drop=True)
+        assert got["y"].astype("Int64").tolist() == want["y"].astype("Int64").tolist()
+
+    _check()
