@@ -2570,3 +2570,164 @@ def q_spec_join(sf_dir):
     from engine.spec import run_spec
 
     return run_spec(SPEC_REVENUE_BY_PRIORITY, sf_dir)
+
+
+@register_query(
+    "q_tpch_q13",
+    oracle="""SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+                SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+                GROUP BY c_custkey)
+              GROUP BY c_count""",
+)
+def q_tpch_q13(sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): count orders
+    per customer with the partial combiner FIRST (the join input is one
+    row per customer, never per order), LEFT-join through the size gate
+    so no-order customers survive as count 0, then a second tiny grouped
+    count over the distribution."""
+    import pyarrow.dataset as pads
+
+    from engine.ops.join import auto_join
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderstatus"],
+        filter_expr=pads.field("o_orderstatus") != "F",
+    )
+    counts = grouped_agg(
+        select(orders, ["o_custkey"]), ["o_custkey"], {"c_count": ("count", None)}
+    )
+    cust = rename_ds(
+        read_table(sf_dir, "customer", columns=["c_custkey"]),
+        {"c_custkey": "o_custkey"},
+    )
+    j = auto_join(cust, counts, key="o_custkey", join_type="left")
+
+    def _fill(t: pa.Table) -> pa.Table:
+        c = pc.fill_null(pc.cast(t.column("c_count"), pa.int64()), 0)
+        return pa.table({"c_count": c})
+
+    dist = j.map_batches(_fill, batch_format="pyarrow")
+    return grouped_agg(dist, ["c_count"], {"custdist": ("count", None)})
+
+
+@register_query(
+    "q_tpch_q15",
+    oracle="""WITH rev AS (SELECT l_suppkey,
+                     CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                       AS total_rev
+                   FROM lineitem
+                   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                     AND l_shipdate < TIMESTAMP '1996-04-01'
+                   GROUP BY l_suppkey)
+              SELECT s_suppkey, s_name, total_rev
+              FROM supplier JOIN rev ON s_suppkey = l_suppkey
+              WHERE total_rev = (SELECT MAX(total_rev) FROM rev)""",
+)
+def q_tpch_q15(sf_dir):
+    """TPC-H Q15 shape (top supplier): quarter-windowed integer-cents
+    revenue per supplier via the partial combiner, global MAX over the
+    (supplier-sized) revenue set, equality filter against the broadcast
+    scalar, names joined broadcast. Ties are kept, like the SQL."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter_expr=(pads.field("l_shipdate") >= datetime.datetime(1996, 1, 1))
+        & (pads.field("l_shipdate") < datetime.datetime(1996, 4, 1)),
+    )
+    li = with_columns(
+        li,
+        {
+            "total_rev": lambda t: pc.cast(
+                _round_away(
+                    pc.multiply(
+                        pc.multiply(
+                            pc.cast(t.column("l_extendedprice"), pa.float64()),
+                            pc.subtract(1.0, pc.cast(t.column("l_discount"), pa.float64())),
+                        ),
+                        100.0,
+                    )
+                ),
+                pa.int64(),
+            )
+        },
+    )
+    rev = partial_grouped_sum(
+        select(li, ["l_suppkey", "total_rev"]), ["l_suppkey"], ["total_rev"]
+    ).materialize()
+    best = global_agg(rev, {"mx": ("max", "total_rev")}).column("mx")[0].as_py()
+    top = filter_expr(rev, lambda t: pc.equal(t.column("total_rev"), best))
+    supp = table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    out = broadcast_join(top, supp, keys=["l_suppkey"], right_keys=["s_suppkey"])
+    return rename_ds(
+        select(out, ["l_suppkey", "s_name", "total_rev"]), {"l_suppkey": "s_suppkey"}
+    )
+
+
+@register_query(
+    "q_tpch_q17",
+    oracle="""WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+                   li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+                                 l_extendedprice
+                          FROM lineitem JOIN pk ON p_partkey = l_partkey),
+                   s AS (SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS qty_sum,
+                                CAST(COUNT(*) AS BIGINT) AS cnt
+                         FROM li GROUP BY l_partkey)
+              SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM li JOIN s USING (l_partkey)
+              WHERE 2 * q * cnt < qty_sum""",
+)
+def q_tpch_q17(sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    'below half the part's average quantity' predicate, made
+    integer-exact on BOTH sides — q < 0.5 * (sum/cnt) is evaluated as
+    2*q*cnt < sum over int64, so no float-average tie can diverge from
+    the oracle. Aggregate → join-back → filter (the MAD pattern): the
+    brand's lineitems stream twice, never materialize."""
+    import pyarrow.dataset as pads
+
+    from engine.ops.join import auto_join, auto_semi_join
+
+    part = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_brand"],
+        filter_expr=pads.field("p_brand") == "Brand#23",
+    )
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+    li = auto_semi_join(li, part, "l_partkey", right_key="p_partkey")
+    li = with_columns(
+        li, {"q": lambda t: pc.cast(t.column("l_quantity"), pa.int64())}
+    )
+    li = select(li, ["l_partkey", "q", "l_extendedprice"])
+    stats = grouped_agg(
+        select(li, ["l_partkey", "q"]), ["l_partkey"],
+        {"qty_sum": ("sum", "q"), "cnt": ("count", None)},
+    )
+    j = auto_join(li, stats, key="l_partkey", join_type="inner")
+    j = filter_expr(
+        j,
+        lambda t: pc.less(
+            pc.multiply(pc.multiply(t.column("q"), 2), pc.cast(t.column("cnt"), pa.int64())),
+            pc.cast(t.column("qty_sum"), pa.int64()),
+        ),
+    )
+    j = with_columns(
+        j,
+        {
+            "revenue_cents": lambda t: pc.cast(
+                _round_away(pc.multiply(pc.cast(t.column("l_extendedprice"), pa.float64()), 100.0)),
+                pa.int64(),
+            )
+        },
+    )
+    return global_agg(
+        j, {"revenue_cents": ("sum", "revenue_cents"), "n": ("count", None)}
+    )
