@@ -2731,3 +2731,66 @@ def q_tpch_q17(sf_dir):
     return global_agg(
         j, {"revenue_cents": ("sum", "revenue_cents"), "n": ("count", None)}
     )
+
+
+@register_query(
+    "q_tpch_q22",
+    oracle="""WITH pos AS (SELECT c_custkey,
+                                  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+                           FROM customer WHERE c_acctbal > 0.0),
+                   s AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS tot,
+                                CAST(COUNT(*) AS BIGINT) AS n FROM pos)
+              SELECT CAST(COUNT(*) AS BIGINT) AS numcust,
+                     CAST(COALESCE(SUM(bal_cents), 0) AS BIGINT) AS totacctbal_cents
+              FROM pos, s
+              WHERE bal_cents * n > tot
+                AND c_custkey NOT IN
+                    (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)""",
+)
+def q_tpch_q22(sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): customers with an
+    above-average positive balance and no HIGH-VALUE orders. The 'above average'
+    comparison is integer-exact on both sides (bal*n > sum over int64
+    cents — no float-average tie risk); the NOT EXISTS is the size-gated
+    anti join."""
+    import pyarrow.dataset as pads
+
+    from engine.ops.join import auto_semi_join
+
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_acctbal"],
+        filter_expr=pads.field("c_acctbal") > 0.0,
+    )
+    cust = with_columns(
+        cust,
+        {
+            "bal_cents": lambda t: pc.cast(
+                _round_away(pc.multiply(pc.cast(t.column("c_acctbal"), pa.float64()), 100.0)),
+                pa.int64(),
+            )
+        },
+    )
+    cust = select(cust, ["c_custkey", "bal_cents"]).materialize()
+    s = global_agg(cust, {"tot": ("sum", "bal_cents"), "n": ("count", None)})
+    tot, n = s.column("tot")[0].as_py(), s.column("n")[0].as_py()
+    rich = filter_expr(
+        cust, lambda t: pc.greater(pc.multiply(t.column("bal_cents"), n), tot)
+    )
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"],
+        filter_expr=pads.field("o_totalprice") > 350000.0,
+    )
+    lonely = auto_semi_join(rich, orders, "c_custkey", right_key="o_custkey", anti=True)
+    out = global_agg(
+        lonely, {"numcust": ("count", None), "totacctbal_cents": ("sum", "bal_cents")}
+    )
+    # SUM over zero rows is NULL in SQL; mirror COALESCE(...,0) so the
+    # value hash stays stable even if a scale factor empties the result.
+    return pa.table(
+        {
+            "numcust": out.column("numcust"),
+            "totacctbal_cents": pc.fill_null(
+                pc.cast(out.column("totacctbal_cents"), pa.int64()), 0
+            ),
+        }
+    )
