@@ -719,6 +719,67 @@ def range_join_global(
     return j.map_batches(_band, batch_format="pyarrow")
 
 
+def interval_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    max_len_us: int,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Interval OVERLAP join (the general form of the range-join family):
+    rows match when ``[left_start, left_end]`` and ``[right_start,
+    right_end]`` intersect, with NO equi-key.
+
+    Co-partitioning: both sides replicate to every ``max_len_us``-wide
+    time bin their interval touches (≤ 2 bins per row when interval
+    length ≤ max_len_us — enforced, it bounds the replication). Two
+    overlapping intervals always share the bin containing the overlap's
+    START (= max of the two starts), and each pair is emitted ONLY in
+    that bin — exactly-once without a dedup exchange. Column names must
+    be disjoint across sides (rename upstream)."""
+    width = max(int(max_len_us), 1)
+
+    def _replicate(start_col: str, end_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            s = t.column(start_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            e = t.column(end_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if len(s) and int((e - s).max()) > width:
+                raise ValueError(
+                    f"interval_join: interval longer than max_len_us={width}"
+                )
+            b0, b1 = s // width, e // width
+            counts = (b1 - b0 + 1).astype(np.int64)
+            total = int(counts.sum())
+            idx = np.repeat(np.arange(len(s), dtype=np.int64), counts)
+            starts = np.cumsum(counts) - counts
+            offs = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+            out = t.take(pa.array(idx))
+            return out.append_column("__bin", pa.array(b0[idx] + offs, pa.int64()))
+
+        return fn
+
+    l = left.map_batches(_replicate(left_start, left_end), batch_format="pyarrow")
+    r = right.map_batches(_replicate(right_start, right_end), batch_format="pyarrow")
+    j = shuffle_join(l, r, key="__bin", join_type="inner", num_buckets=num_buckets)
+
+    def _overlap_once(t: pa.Table) -> pa.Table:
+        ls = t.column(left_start).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        le = t.column(left_end).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        rs = t.column(right_start).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        re_ = t.column(right_end).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bins = t.column("__bin").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        overlap = (ls <= re_) & (rs <= le)
+        # numpy floor-div, matching the replication binning (Arrow's
+        # integer divide truncates toward zero — wrong for negatives).
+        once = (np.maximum(ls, rs) // width) == bins
+        return t.filter(pa.array(overlap & once)).drop_columns(["__bin"])
+
+    return j.map_batches(_overlap_once, batch_format="pyarrow")
+
+
 def salted_join(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -2794,3 +2794,53 @@ def q_tpch_q22(sf_dir):
             ),
         }
     )
+
+
+@register_query(
+    "q_join_interval",
+    oracle="""WITH l AS (SELECT event_id AS l_id, ts AS l_s,
+                                ts + (event_id % 120) * INTERVAL 1 MINUTE AS l_e
+                         FROM events WHERE event_type = 'purchase'),
+                   r AS (SELECT event_id AS r_id, ts AS r_s,
+                                ts + (event_id % 120) * INTERVAL 1 MINUTE AS r_e
+                         FROM events WHERE event_type = 'click')
+              SELECT l_id, r_id FROM l, r
+              WHERE l_s <= r_e AND r_s <= l_e""",
+)
+def q_join_interval(sf_dir):
+    """KEYLESS interval OVERLAP join: purchase and click activity windows
+    (variable per-event length up to 2 h) that intersect. Time-bin
+    co-partitioned with exactly-once pair emission in the overlap-start
+    bin — no equi-key, no all-pairs, bounded replication."""
+    import pyarrow.dataset as pads
+
+    from engine.ops.join import interval_join
+
+    def _side(ev_type, id_name, s_name, e_name):
+        ds = read_table(
+            sf_dir, "events", columns=["event_id", "ts", "event_type"],
+            filter_expr=pads.field("event_type") == ev_type,
+        )
+
+        def _win(t: pa.Table) -> pa.Table:
+            ts = t.column("ts").cast(pa.int64())
+            length = pc.multiply(
+                pc.cast(pc.subtract(t.column("event_id"), pc.multiply(pc.divide(t.column("event_id"), 120), 120)), pa.int64()),
+                60_000_000,
+            )
+            return pa.table(
+                {
+                    id_name: t.column("event_id"),
+                    s_name: ts,
+                    e_name: pc.add(ts, length),
+                }
+            )
+
+        return ds.map_batches(_win, batch_format="pyarrow")
+
+    l = _side("purchase", "l_id", "l_s", "l_e")
+    r = _side("click", "r_id", "r_s", "r_e")
+    out = interval_join(
+        l, r, "l_s", "l_e", "r_s", "r_e", max_len_us=120 * 60_000_000
+    )
+    return select(out, ["l_id", "r_id"])

@@ -1045,3 +1045,41 @@ def test_asof_join_property_random_frames():
         assert got["y"].astype("Int64").tolist() == want["y"].astype("Int64").tolist()
 
     _check()
+
+
+def test_interval_join_matches_bruteforce():
+    """Keyless interval-overlap join == brute-force, incl. negative
+    timestamps (floor-div bin edges), zero-length intervals, and pairs
+    spanning multiple shared bins (exactly-once emission)."""
+    from engine.ops.join import interval_join
+
+    rng = np.random.default_rng(23)
+    def mk(n, prefix):
+        s = rng.integers(-5000, 5000, n).astype(np.int64)
+        ln = rng.integers(0, 300, n).astype(np.int64)
+        return pd.DataFrame({f"{prefix}id": np.arange(n, dtype=np.int64),
+                             f"{prefix}s": s, f"{prefix}e": s + ln})
+    l, r = mk(250, "l"), mk(300, "r")
+    got = (
+        interval_join(rd.from_pandas(l), rd.from_pandas(r),
+                      "ls", "le", "rs", "re", max_len_us=300)
+        .to_pandas()[["lid", "rid"]]
+        .astype("int64")
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    want = (
+        l.merge(r, how="cross")
+        .query("ls <= re and rs <= le")[["lid", "rid"]]
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # duplicates would break exactly-once: assert no pair twice
+    assert not got.duplicated().any()
+    import pytest
+
+    with pytest.raises(Exception, match="longer than max_len_us"):
+        interval_join(rd.from_pandas(l.assign(le=l["ls"] + 10_000)),
+                      rd.from_pandas(r), "ls", "le", "rs", "re",
+                      max_len_us=300).materialize()
