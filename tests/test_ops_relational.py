@@ -924,7 +924,8 @@ def test_shuffle_join_property_random_frames():
     )
 
     @settings(max_examples=5, deadline=None)
-    @given(lk=keys, rk=keys, how=st.sampled_from(["inner", "left"]))
+    @given(lk=keys, rk=keys,
+           how=st.sampled_from(["inner", "left", "right", "outer"]))
     def _check(lk, rk, how):
         l = pd.DataFrame({"k": pd.array(lk, dtype="Int64"),
                           "v": np.arange(len(lk), dtype=np.int64)})
@@ -932,16 +933,22 @@ def test_shuffle_join_property_random_frames():
                           "w": np.arange(len(rk), dtype=np.int64) * 10})
         got_ds = shuffle_join(rd.from_pandas(l), rd.from_pandas(r), "k", how)
         got = got_ds.to_pandas()
-        # SQL reference: null keys never match; left join keeps them unmatched.
-        r_valid = r[r["k"].notna()]
-        inner = l[l["k"].notna()].merge(r_valid, on="k", how="inner")
-        if how == "inner":
-            want = inner
-        else:
-            matched_keys = set(r_valid["k"].tolist())
-            unmatched = l[~l["k"].isin(matched_keys) | l["k"].isna()].copy()
-            unmatched["w"] = pd.array([None] * len(unmatched), dtype="Int64")
-            want = pd.concat([inner, unmatched], ignore_index=True)
+        # SQL reference: null keys never match; outer sides keep them
+        # as unmatched rows.
+        r_valid, l_valid = r[r["k"].notna()], l[l["k"].notna()]
+        inner = l_valid.merge(r_valid, on="k", how="inner")
+        parts = [inner]
+        if how in ("left", "outer"):
+            mk = set(r_valid["k"].tolist())
+            un = l[~l["k"].isin(mk) | l["k"].isna()].copy()
+            un["w"] = pd.array([None] * len(un), dtype="Int64")
+            parts.append(un)
+        if how in ("right", "outer"):
+            mk = set(l_valid["k"].tolist())
+            un = r[~r["k"].isin(mk) | r["k"].isna()].copy()
+            un["v"] = pd.array([None] * len(un), dtype="Int64")
+            parts.append(un)
+        want = pd.concat(parts, ignore_index=True)[["k", "v", "w"]]
         if len(want) == 0:
             # empty-Dataset to_pandas() loses columns (known Ray quirk) —
             # row-count equality is the whole check here.
@@ -950,8 +957,8 @@ def test_shuffle_join_property_random_frames():
         for df in (got, want):
             for c in ("k", "v", "w"):
                 df[c] = pd.array(df[c], dtype="Int64")
-        got = got.sort_values(["k", "v", "w"]).reset_index(drop=True)
-        want = want[["k", "v", "w"]].sort_values(["k", "v", "w"]).reset_index(drop=True)
+        got = got[["k", "v", "w"]].sort_values(["k", "v", "w"]).reset_index(drop=True)
+        want = want.sort_values(["k", "v", "w"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want)
 
     _check()
