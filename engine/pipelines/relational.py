@@ -2844,3 +2844,49 @@ def q_join_interval(sf_dir):
         l, r, "l_s", "l_e", "r_s", "r_e", max_len_us=120 * 60_000_000
     )
     return select(out, ["l_id", "r_id"])
+
+
+@register_query(
+    "q_validate",
+    oracle="""SELECT 'not_null:l_orderkey' AS rule,
+                     CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS violations FROM lineitem
+              UNION ALL
+              SELECT 'in_range:l_discount',
+                     CAST(SUM(CASE WHEN l_discount IS NOT NULL
+                              AND NOT (l_discount >= 0.0 AND l_discount <= 0.05)
+                              THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+              UNION ALL
+              SELECT 'accepted_values:l_returnflag',
+                     CAST(SUM(CASE WHEN l_returnflag IS NOT NULL
+                              AND l_returnflag NOT IN ('A', 'N')
+                              THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+              UNION ALL
+              SELECT 'matches:l_linestatus',
+                     CAST(SUM(CASE WHEN l_linestatus IS NOT NULL
+                              AND NOT regexp_matches(l_linestatus, '^O')
+                              THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+              UNION ALL
+              SELECT 'unique:l_orderkey',
+                     CAST(COUNT(*) - COUNT(DISTINCT l_orderkey) AS BIGINT)
+              FROM lineitem""",
+)
+def q_validate(sf_dir):
+    """Declarative data-quality gate (engine/ops/validate.py): five rule
+    kinds evaluated in one streaming pass (plus a distinct pass for the
+    set-level uniqueness rule), violation counts mirrored rule-by-rule
+    in SQL."""
+    from engine.ops.validate import validate
+
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_discount", "l_returnflag", "l_linestatus"],
+    )
+    rules = [
+        {"rule": "not_null", "column": "l_orderkey"},
+        {"rule": "in_range", "column": "l_discount", "min": 0.0, "max": 0.05},
+        {"rule": "accepted_values", "column": "l_returnflag", "values": ["A", "N"]},
+        {"rule": "matches", "column": "l_linestatus", "pattern": "^O"},
+        {"rule": "unique", "column": "l_orderkey"},
+    ]
+    return validate(ds, rules)

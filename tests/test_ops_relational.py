@@ -1090,3 +1090,38 @@ def test_interval_join_matches_bruteforce():
         interval_join(rd.from_pandas(l.assign(le=l["ls"] + 10_000)),
                       rd.from_pandas(r), "ls", "le", "rs", "re",
                       max_len_us=300).materialize()
+
+
+def test_validate_and_bad_row_split():
+    """validate() counts violations per rule (zero rows included);
+    split_bad_rows partitions rows and tags each bad row with every rule
+    it failed."""
+    from engine.ops.validate import split_bad_rows, validate
+
+    df = pd.DataFrame(
+        {
+            "id": pd.array([1, 2, None, 4, 4], dtype="Int64"),
+            "x": [0.5, 2.0, 0.1, -1.0, 0.2],
+            "flag": ["A", "Z", "A", "Z", "A"],
+        }
+    )
+    rules = [
+        {"rule": "not_null", "column": "id"},
+        {"rule": "in_range", "column": "x", "min": 0.0, "max": 1.0},
+        {"rule": "accepted_values", "column": "flag", "values": ["A"]},
+        {"rule": "unique", "column": "id"},
+    ]
+    rep = validate(rd.from_pandas(df), rules).to_pandas().set_index("rule")["violations"]
+    assert rep["not_null:id"] == 1
+    assert rep["in_range:x"] == 2        # 2.0 and -1.0
+    assert rep["accepted_values:flag"] == 2
+    assert rep["unique:id"] == 1         # 4 appears twice (null is one distinct)
+    good, bad = split_bad_rows(rd.from_pandas(df), rules)
+    g, b = good.to_pandas(), bad.to_pandas()
+    assert len(g) + len(b) == len(df) and len(g) == 2
+    multi = b[b["x"] == 2.0]["failed_rules"].iloc[0]
+    assert set(multi.split(",")) == {"in_range:x", "accepted_values:flag"}
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown validation rule"):
+        validate(rd.from_pandas(df), [{"rule": "positive", "column": "x"}]).to_pandas()
