@@ -161,6 +161,16 @@ def _lower_step(i: int, step: dict, ctx: dict | None = None) -> Step:
             return auto_join(ds, right, key=key, join_type=jtype)
 
         return Step(name, _join, kind="dataset")
+    if op == "validate":
+        _require(step, "rules")
+        vrules = list(step["rules"])
+
+        def _validate(ds: rd.Dataset) -> rd.Dataset:
+            from engine.ops.validate import validate
+
+            return validate(ds, vrules)
+
+        return Step(name, _validate, kind="dataset")
     if op == "sort":
         _require(step, "by")
         by = list(step["by"])
@@ -174,7 +184,7 @@ def _lower_step(i: int, step: dict, ctx: dict | None = None) -> Step:
         return Step(name, _sort, kind="dataset")
     raise ValueError(
         f"step {i}: unknown op {op!r} (expected select/rename/filter/"
-        "with_column/join/grouped_sum/distinct/sort)"
+        "with_column/join/grouped_sum/distinct/validate/sort)"
     )
 
 
