@@ -821,3 +821,58 @@ def q_multimodal_video(sf_dir):
         )
 
     return ds.map_batches(_out, batch_format="pyarrow")
+
+
+# Benchmark probes for q_decontaminate — stands in for an eval-set
+# n-gram list (the real thing is a few million 13-gram hashes shipped via
+# ray.put and probed with a hash-set membership test; literal substrings
+# keep the oracle SQL-expressible).
+DECONTAMINATION_PROBES = [
+    "key agg row",
+    "spark order data",
+    "hash value table",
+    "slow fast table",
+    "batch window spark",
+    "value part hash",
+    "table key scan",
+    "data column agg",
+]
+
+
+@register_query(
+    "q_decontaminate",
+    oracle="""SELECT doc_id,
+                     CAST((CASE WHEN contains(text, 'key agg row') THEN 1 ELSE 0 END)
+                        + (CASE WHEN contains(text, 'spark order data') THEN 1 ELSE 0 END)
+                        + (CASE WHEN contains(text, 'hash value table') THEN 1 ELSE 0 END)
+                        + (CASE WHEN contains(text, 'slow fast table') THEN 1 ELSE 0 END)
+                        + (CASE WHEN contains(text, 'batch window spark') THEN 1 ELSE 0 END)
+                        + (CASE WHEN contains(text, 'value part hash') THEN 1 ELSE 0 END)
+                        + (CASE WHEN contains(text, 'table key scan') THEN 1 ELSE 0 END)
+                        + (CASE WHEN contains(text, 'data column agg') THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_hits
+              FROM documents
+              WHERE contains(text, 'key agg row') OR contains(text, 'spark order data')
+                 OR contains(text, 'hash value table') OR contains(text, 'slow fast table')
+                 OR contains(text, 'batch window spark') OR contains(text, 'value part hash')
+                 OR contains(text, 'table key scan') OR contains(text, 'data column agg')""",
+)
+def q_decontaminate(sf_dir):
+    """Training-data decontamination: flag documents containing any
+    eval-set probe n-gram. One streaming pass; each probe is a
+    vectorized substring kernel over the batch (K probes x
+    pc.match_substring — never a Python loop over rows), docs with zero
+    hits never leave the stage. The flagged set feeds an anti join in a
+    curation pipeline; at 100 TB the probe set is a broadcast hash-set of
+    eval-set 13-grams instead of literal substrings."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _probe(t: pa.Table) -> pa.Table:
+        n_hits = None
+        for p in DECONTAMINATION_PROBES:
+            h = pc.cast(pc.match_substring(t.column("text"), p), pa.int64())
+            n_hits = h if n_hits is None else pc.add(n_hits, h)
+        out = pa.table({"doc_id": t.column("doc_id"), "n_hits": n_hits})
+        return out.filter(pc.greater(n_hits, 0))
+
+    return ds.map_batches(_probe, batch_format="pyarrow")

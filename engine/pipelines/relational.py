@@ -2890,3 +2890,383 @@ def q_validate(sf_dir):
         {"rule": "unique", "column": "l_orderkey"},
     ]
     return validate(ds, rules)
+
+
+# ---- TPC-H shapes round 4 (Q2/Q8/Q9/Q11/Q20/Q21 adapted to the testdata
+# columns: no partsupp table and no commit/receipt dates, so each query keeps
+# its canonical PLAN SHAPE — correlated argmin, market share, profit rollup,
+# global-fraction HAVING, semi-join chain, double-correlated EXISTS — over the
+# columns that exist) -------------------------------------------------------
+
+
+def _region_nation_keys(sf_dir: str, region_name: str) -> list[int]:
+    """Nation keys of one region, from the two tiny dimension tables
+    (25 + 5 rows — driver-side by design; pushed into scans as isin)."""
+    nat = table(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    reg = table(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    rk = reg.filter(pc.equal(reg.column("r_name"), region_name)).column("r_regionkey")[0].as_py()
+    return nat.filter(pc.equal(nat.column("n_regionkey"), rk)).column("n_nationkey").to_pylist()
+
+
+def _revenue_cents(t: pa.Table) -> pa.Array:
+    return pc.cast(
+        _round_away(
+            pc.multiply(
+                pc.multiply(
+                    pc.cast(t.column("l_extendedprice"), pa.float64()),
+                    pc.subtract(1.0, pc.cast(t.column("l_discount"), pa.float64())),
+                ),
+                100.0,
+            )
+        ),
+        pa.int64(),
+    )
+
+
+@register_query(
+    "q_tpch_q8",
+    oracle="""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(SUM(CASE WHEN s_nationkey = 3
+                              THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS nation_cents,
+                     CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                       AS total_cents
+              FROM part, lineitem, orders, customer, nation, region, supplier
+              WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+                AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+                AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+                AND s_suppkey = l_suppkey AND p_type = 'PROMO'
+                AND o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01'
+              GROUP BY o_year""",
+)
+def q_tpch_q8(sf_dir):
+    """TPC-H Q8 shape (national market share): PROMO parts semi-filter
+    lineitem; orders pre-pruned by the pushed date window and semi-joined
+    to EUROPE customers before the one fact exchange; supplier nationkey
+    arrives through the size gate; numerator/denominator are integer
+    cents summed in one combiner pass (the share itself is
+    numerator/denominator — a driver-side division the oracle avoids by
+    checking both sums)."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    from engine.ops.join import auto_join, auto_semi_join
+
+    part_promo = read_table(
+        sf_dir, "part", columns=["p_partkey"], filter_expr=pads.field("p_type") == "PROMO"
+    )
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    li = auto_semi_join(li, part_promo, "l_partkey", right_key="p_partkey")
+
+    eur_keys = _region_nation_keys(sf_dir, "EUROPE")
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey"],
+        filter_expr=pads.field("c_nationkey").isin(eur_keys),
+    )
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter_expr=(pads.field("o_orderdate") >= datetime.datetime(1995, 1, 1))
+        & (pads.field("o_orderdate") < datetime.datetime(1997, 1, 1)),
+    )
+    orders = auto_semi_join(orders, cust, "o_custkey", right_key="c_custkey")
+
+    def _oproj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t.column("o_orderkey"),
+                "o_year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+            }
+        )
+
+    orders = orders.map_batches(_oproj, batch_format="pyarrow")
+    j = auto_join(li, orders, key="l_orderkey")
+
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    j = auto_join(j, rename_ds(supp, {"s_suppkey": "l_suppkey"}), key="l_suppkey")
+
+    def _proj(t: pa.Table) -> pa.Table:
+        rev = _revenue_cents(t)
+        is_nat = pc.cast(pc.equal(t.column("s_nationkey"), 3), pa.int64())
+        return pa.table(
+            {
+                "o_year": t.column("o_year"),
+                "nation_cents": pc.multiply(rev, is_nat),
+                "total_cents": rev,
+            }
+        )
+
+    out = j.map_batches(_proj, batch_format="pyarrow")
+    return partial_grouped_sum(out, ["o_year"], ["nation_cents", "total_cents"])
+
+
+@register_query(
+    "q_tpch_q9",
+    oracle="""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_profit_cents
+              FROM part, supplier, lineitem, orders, nation
+              WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+                AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+                AND p_name LIKE 'red %'
+              GROUP BY n_name, o_year""",
+)
+def q_tpch_q9(sf_dir):
+    """TPC-H Q9 shape (product-type profit by supplier nation and year;
+    the testdata has no partsupp/supplycost, so profit = discounted
+    revenue — same plan: name-filtered parts semi-prune the fact, the
+    unfiltered orders join is the one big exchange behind the size gate,
+    nation names broadcast last)."""
+    from engine.ops.join import auto_join, auto_semi_join
+
+    part_red = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+    part_red = select(
+        filter_expr(part_red, lambda t: pc.starts_with(t.column("p_name"), "red ")),
+        ["p_partkey"],
+    )
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    li = auto_semi_join(li, part_red, "l_partkey", right_key="p_partkey")
+
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    li = auto_join(li, rename_ds(supp, {"s_suppkey": "l_suppkey"}), key="l_suppkey")
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def _oproj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t.column("o_orderkey"),
+                "o_year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+            }
+        )
+
+    orders = orders.map_batches(_oproj, batch_format="pyarrow")
+    j = auto_join(li, orders, key="l_orderkey")
+
+    nat = table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    j = broadcast_join(
+        j, nat.rename_columns(["s_nationkey", "n_name"]), keys=["s_nationkey"]
+    )
+
+    def _proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": t.column("n_name"),
+                "o_year": t.column("o_year"),
+                "sum_profit_cents": _revenue_cents(t),
+            }
+        )
+
+    out = j.map_batches(_proj, batch_format="pyarrow")
+    return partial_grouped_sum(out, ["n_name", "o_year"], ["sum_profit_cents"])
+
+
+@register_query(
+    "q_tpch_q2",
+    oracle="""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+                   s AS (SELECT s_suppkey, s_name,
+                                CAST(ROUND(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
+                                n_name
+                         FROM supplier, nation, region
+                         WHERE s_nationkey = n_nationkey
+                           AND n_regionkey = r_regionkey AND r_name = 'ASIA')
+              SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal_cents, n_name
+              FROM part, ps, s
+              WHERE p_partkey = ps.l_partkey AND ps.l_suppkey = s.s_suppkey
+                AND p_size = 15
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY p_partkey
+                                         ORDER BY s_acctbal_cents, s_suppkey) = 1""",
+)
+def q_tpch_q2(sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part; no partsupp table, so
+    the part↔supplier relation is the DISTINCT (l_partkey, l_suppkey)
+    pairs and "cost" is the supplier's account balance): the correlated
+    MIN subquery lowers onto topk_per_group(k=1, ascending) with an
+    explicit suppkey tiebreak — one bucketed exchange, never per-key
+    groups; region-filtered supplier info and the size-15 part names ride
+    the size gate."""
+    import pyarrow.dataset as pads
+
+    from engine.ops.join import auto_join, auto_semi_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    pairs = distinct(li, ["l_partkey", "l_suppkey"])
+
+    part15 = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_name"],
+        filter_expr=pads.field("p_size") == 15,
+    )
+    pairs = auto_semi_join(pairs, part15, "l_partkey", right_key="p_partkey")
+
+    asia_keys = _region_nation_keys(sf_dir, "ASIA")
+    supp = read_table(
+        sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"],
+        filter_expr=pads.field("s_nationkey").isin(asia_keys),
+    )
+    supp = with_columns(supp, {"s_acctbal_cents": _cents("s_acctbal")})
+    nat = table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    supp = broadcast_join(
+        supp, nat.rename_columns(["s_nationkey", "n_name"]), keys=["s_nationkey"]
+    )
+    supp = select(supp, ["s_suppkey", "s_name", "s_acctbal_cents", "n_name"])
+
+    j = auto_join(pairs, rename_ds(supp, {"s_suppkey": "l_suppkey"}), key="l_suppkey")
+    best = topk_per_group(
+        j, ["l_partkey"], "s_acctbal_cents", k=1, descending=False, tiebreak=["l_suppkey"]
+    )
+    best = auto_join(best, rename_ds(part15, {"p_partkey": "l_partkey"}), key="l_partkey")
+    best = rename_ds(best, {"l_partkey": "p_partkey", "l_suppkey": "s_suppkey"})
+    return select(
+        best, ["p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal_cents", "n_name"]
+    )
+
+
+@register_query(
+    "q_tpch_q11",
+    oracle="""WITH v AS (SELECT l_partkey,
+                                CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                                  AS value_cents
+                         FROM lineitem, supplier, nation, region
+                         WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+                           AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+                         GROUP BY l_partkey)
+              SELECT l_partkey, value_cents FROM v
+              WHERE value_cents * 1000 > (SELECT SUM(value_cents) FROM v)""",
+)
+def q_tpch_q11(sf_dir):
+    """TPC-H Q11 shape (important stock: parts whose value exceeds a
+    fraction of the GLOBAL total): per-part combiner sum, one tree-reduce
+    for the total, then an integer-exact correlated HAVING
+    (value*1000 > total — no float fraction, so no fp-tie divergence
+    from the oracle). The per-part table is materialized once and
+    consumed twice (total + filter) without a driver pull."""
+    import pyarrow.dataset as pads
+
+    from engine.ops.join import auto_semi_join
+
+    asia_keys = _region_nation_keys(sf_dir, "ASIA")
+    supp = read_table(
+        sf_dir, "supplier", columns=["s_suppkey"],
+        filter_expr=pads.field("s_nationkey").isin(asia_keys),
+    )
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+    li = auto_semi_join(li, supp, "l_suppkey", right_key="s_suppkey")
+    li = with_columns(li, {"value_cents": _cents("l_extendedprice")})
+    v = partial_grouped_sum(
+        select(li, ["l_partkey", "value_cents"]), ["l_partkey"], ["value_cents"]
+    ).materialize()
+    total = global_agg(v, {"total_cents": ("sum", "value_cents")}).column("total_cents")[0].as_py()
+    return filter_expr(
+        v, lambda t: pc.greater(pc.multiply(t.column("value_cents"), 1000), total)
+    )
+
+
+@register_query(
+    "q_tpch_q20",
+    oracle="""SELECT s_suppkey, s_name
+              FROM supplier, nation, region
+              WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+                AND r_name = 'AFRICA'
+                AND s_suppkey IN
+                    (SELECT l_suppkey FROM lineitem
+                     WHERE l_partkey IN
+                           (SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+                     GROUP BY l_suppkey
+                     HAVING SUM(CAST(l_quantity AS BIGINT)) > 2000)""",
+)
+def q_tpch_q20(sf_dir):
+    """TPC-H Q20 shape (suppliers with excess stock of a named part
+    family, region-scoped): a pure semi-join CHAIN — name-filtered parts
+    semi-prune lineitem, a per-supplier combiner sum applies the HAVING,
+    and the surviving key set semi-joins the region-filtered supplier
+    table. No wide rows ever cross an exchange."""
+    import pyarrow.dataset as pads
+
+    from engine.ops.join import auto_semi_join
+
+    part_red = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+    part_red = select(
+        filter_expr(part_red, lambda t: pc.starts_with(t.column("p_name"), "red ")),
+        ["p_partkey"],
+    )
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity"])
+    li = auto_semi_join(li, part_red, "l_partkey", right_key="p_partkey")
+    li = with_columns(li, {"qty": lambda t: pc.cast(t.column("l_quantity"), pa.int64())})
+    q = partial_grouped_sum(select(li, ["l_suppkey", "qty"]), ["l_suppkey"], ["qty"])
+    q = filter_expr(q, lambda t: pc.greater(t.column("qty"), 2000))
+
+    afr_keys = _region_nation_keys(sf_dir, "AFRICA")
+    supp = read_table(
+        sf_dir, "supplier", columns=["s_suppkey", "s_name"],
+        filter_expr=pads.field("s_nationkey").isin(afr_keys),
+    )
+    return auto_semi_join(supp, q, "s_suppkey", right_key="l_suppkey")
+
+
+@register_query(
+    "q_tpch_q21",
+    oracle="""WITH per AS (SELECT l_orderkey, l_suppkey,
+                                  MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS failed
+                           FROM lineitem GROUP BY l_orderkey, l_suppkey),
+                   ord AS (SELECT l_orderkey, COUNT(*) AS n_supp, SUM(failed) AS n_failed
+                           FROM per GROUP BY l_orderkey)
+              SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+              FROM per
+              JOIN ord USING (l_orderkey)
+              JOIN orders ON o_orderkey = per.l_orderkey AND o_orderstatus = 'F'
+              JOIN supplier ON s_suppkey = per.l_suppkey
+              WHERE per.failed = 1 AND ord.n_supp > 1 AND ord.n_failed = 1
+              GROUP BY s_name
+              ORDER BY numwait DESC, s_name
+              LIMIT 20""",
+)
+def q_tpch_q21(sf_dir):
+    """TPC-H Q21 shape (suppliers who alone held up multi-supplier
+    orders; no receipt/commit dates in the testdata, so "late" is the
+    R return flag): the double-correlated EXISTS / NOT EXISTS lowers onto
+    per-(order,supplier) flag aggregation, a per-order combiner
+    (supplier count + failed count), one key-aligned join back, an
+    F-status semi filter, then a grouped count with a deterministic
+    top-20."""
+    import pyarrow.dataset as pads
+
+    from engine.ops.join import auto_join, auto_semi_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+    li = with_columns(
+        li,
+        {"failed_flag": lambda t: pc.cast(pc.equal(t.column("l_returnflag"), "R"), pa.int64())},
+    )
+    per = grouped_agg(
+        select(li, ["l_orderkey", "l_suppkey", "failed_flag"]),
+        ["l_orderkey", "l_suppkey"],
+        {"failed": ("max", "failed_flag")},
+    )
+    per = per.materialize()
+    ordstats = grouped_agg(
+        per, ["l_orderkey"], {"n_supp": ("count", None), "n_failed": ("sum", "failed")}
+    )
+    j = auto_join(per, ordstats, key="l_orderkey")
+    j = filter_expr(
+        j,
+        lambda t: pc.and_(
+            pc.and_(pc.equal(t.column("failed"), 1), pc.greater(t.column("n_supp"), 1)),
+            pc.equal(t.column("n_failed"), 1),
+        ),
+    )
+    f_orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey"],
+        filter_expr=pads.field("o_orderstatus") == "F",
+    )
+    j = auto_semi_join(j, f_orders, "l_orderkey", right_key="o_orderkey")
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    j = auto_join(j, rename_ds(supp, {"s_suppkey": "l_suppkey"}), key="l_suppkey")
+    counts = grouped_agg(j, ["s_name"], {"numwait": ("count", None)})
+    return counts.sort(["numwait", "s_name"], descending=[True, False]).limit(20)
