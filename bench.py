@@ -161,6 +161,9 @@ def run_relational_queries() -> dict:
         "q_join_range_global",
         "q_multimodal_real",
         "q_spec_join",
+        "q_tpch_q9",
+        "q_tpch_q21",
+        "q_decontaminate",
     ]
     import ray.data as rd
 

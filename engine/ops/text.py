@@ -315,3 +315,45 @@ def gopher_rules(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
         return out
 
     return ds.map_batches(_rules, batch_format="pandas", batch_size=2048)
+
+
+def word_repetition(
+    ds: rd.Dataset, text_col: str = "text", pct_threshold: int = 40
+) -> rd.Dataset:
+    """Repetition-ratio quality signal: per-doc word count, distinct-word
+    count, and a ``repetitive`` flag (unique-word ratio below
+    ``pct_threshold`` percent — integer-exact, mirrors
+    ``n_unique*100 < n_words*threshold`` in SQL).
+
+    Fully vectorized: one Arrow split over the batch, one dictionary
+    encode of the flattened token array, then per-doc distinct counts
+    via np.unique over (row_id, token_code) composite keys — no Python
+    loop over rows or tokens."""
+    import pyarrow.compute as pc
+
+    def _rep(t: pa.Table) -> pa.Table:
+        la = pc.split_pattern(t.column(text_col), " ").combine_chunks()
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        n = len(t)
+        offsets = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_words = np.diff(offsets)
+        codes_arr = pc.dictionary_encode(la.values)
+        if isinstance(codes_arr, pa.ChunkedArray):
+            codes_arr = codes_arr.combine_chunks()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), n_words)
+        vocab = int(codes.max()) + 1 if len(codes) else 1
+        uniq_pairs = np.unique(row_ids * vocab + codes)
+        n_unique = np.bincount(uniq_pairs // vocab, minlength=n).astype(np.int64)
+        repetitive = n_unique * 100 < n_words * pct_threshold
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_unique": pa.array(n_unique, pa.int64()),
+                "repetitive": pa.array(repetitive),
+            }
+        )
+
+    return ds.map_batches(_rep, batch_format="pyarrow", batch_size=2048)

@@ -876,3 +876,22 @@ def q_decontaminate(sf_dir):
         return out.filter(pc.greater(n_hits, 0))
 
     return ds.map_batches(_probe, batch_format="pyarrow")
+
+
+@register_query(
+    "q_word_repetition",
+    oracle="""SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                     CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+                     len(list_distinct(string_split(text, ' '))) * 100
+                       < len(string_split(text, ' ')) * 40 AS repetitive
+              FROM documents""",
+)
+def q_word_repetition(sf_dir):
+    """Repetition-ratio quality filter (Gopher-style duplicate-content
+    signal): distinct-word ratio per document, integer-exact threshold,
+    mirrored against DuckDB list_distinct/string_split."""
+    from engine.ops.text import word_repetition
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return word_repetition(ds, pct_threshold=40)
