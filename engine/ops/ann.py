@@ -102,10 +102,12 @@ def bottomk_sample_rows(
             df = df.iloc[np.argpartition(h, n)[:n]]
         return df
 
-    rows = ds.map_batches(_bottom, batch_format="pandas").sort("__h").limit(n).take_all()
-    for r in rows:
-        r.pop("__h", None)
-    return rows
+    from engine.util.collect import pull_arrow
+
+    tbl = pull_arrow(ds.map_batches(_bottom, batch_format="pandas").sort("__h").limit(n))
+    if tbl is None:
+        return []
+    return tbl.drop_columns(["__h"]).to_pylist()
 
 
 def build_centroids(sample: np.ndarray, n_cells: int, seed: int = 42, iters: int = 10) -> np.ndarray:

@@ -431,7 +431,14 @@ def connected_components(
 
     pairs = pairs.materialize()
     if pairs.count() <= local_threshold:
-        rows = pairs.select_columns([a_col, b_col]).take_all()
+        from engine.util.collect import pull_arrow
+
+        tbl = pull_arrow(pairs.select_columns([a_col, b_col]))
+        edges = (
+            zip(tbl.column(a_col).to_pylist(), tbl.column(b_col).to_pylist())
+            if tbl is not None
+            else []
+        )
         parent: dict = {}
 
         def _find(x):
@@ -441,8 +448,8 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for r in rows:
-            ra, rb = _find(r[a_col]), _find(r[b_col])
+        for ea, eb in edges:
+            ra, rb = _find(ea), _find(eb)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         out = {n: _find(n) for n in parent}

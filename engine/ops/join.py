@@ -288,12 +288,12 @@ def distributed_keyset(ds: rd.Dataset, key: str) -> pa.Table:
     cardinality — never the table's row count (the broadcast-semi-join
     contract: the key set, not the table, must fit the driver)."""
     from engine.ops.agg import distinct
+    from engine.util.collect import nan_to_null, pull_arrow
 
-    rows = distinct(ds.select_columns([key]), [key]).take_all()
-    vals = [
-        None if (isinstance(v, float) and v != v) else v for v in (r[key] for r in rows)
-    ]
-    return pa.table({key: vals})
+    tbl = pull_arrow(distinct(ds.select_columns([key]), [key]))
+    if tbl is None:
+        return pa.table({key: []})
+    return pa.table({key: nan_to_null(tbl.column(key))})
 
 
 def auto_semi_join(
@@ -320,12 +320,11 @@ def auto_semi_join(
     dk = distinct(right.select_columns([right_key]), [right_key]).materialize()
     auto_semi_join.last_strategy = None
     if dk.count() <= broadcast_threshold_keys:
+        from engine.util.collect import nan_to_null, pull_arrow
+
         auto_semi_join.last_strategy = "broadcast"
-        rows = dk.take_all()
-        vals = [
-            None if (isinstance(v, float) and v != v) else v
-            for v in (r[right_key] for r in rows)
-        ]
+        tbl = pull_arrow(dk)
+        vals = nan_to_null(tbl.column(right_key)) if tbl is not None else pa.array([])
         return semi_join(left, pa.table({left_key: vals}), left_key, anti=anti)
     auto_semi_join.last_strategy = "shuffle"
     return _shuffled_semi(left, dk, left_key, right_key, anti, num_buckets)

@@ -15,19 +15,26 @@ def sort(ds: rd.Dataset, cols, descending=False) -> rd.Dataset:
     return ds.sort(cols, descending=descending)
 
 
-def top_k(ds: rd.Dataset, col: str, k: int, descending: bool = True) -> rd.Dataset:
+def top_k(
+    ds: rd.Dataset, cols: str | list[str], k: int, descending: bool | list[bool] = True
+) -> rd.Dataset:
     """Global top-k without a full sort: per-block partial top-k inside
-    map_batches (bounds the shuffle to k rows per block), then one small
-    final sort+limit."""
+    map_batches (the all-to-all moves at most k rows per block instead of
+    the whole dataset), then one small final sort+limit. Multi-column
+    keys with per-column direction act as ORDER BY ... LIMIT k with
+    tiebreaks (sort keys must be non-null — select_k_unstable's
+    contract; the callers sort aggregate outputs)."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    desc = [descending] * len(cols) if isinstance(descending, bool) else list(descending)
+    keys = [(c, "descending" if d else "ascending") for c, d in zip(cols, desc)]
 
     def _partial(t: pa.Table) -> pa.Table:
-        idx = pc.select_k_unstable(
-            t, k, [(col, "descending" if descending else "ascending")]
-        )
-        return t.take(idx)
+        if t.num_rows <= k:
+            return t
+        return t.take(pc.select_k_unstable(t, k, keys))
 
     return ds.map_batches(_partial, batch_format="pyarrow").sort(
-        col, descending=descending
+        cols, descending=desc
     ).limit(k)
 
 

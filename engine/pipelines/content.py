@@ -422,8 +422,10 @@ def q_vocab_topk(sf_dir):
     """Top-50 vocabulary terms (deterministic tiebreak on the word)."""
     from engine.ops.text import word_counts
 
+    from engine.ops.order import top_k
+
     wc = word_counts(read_table(sf_dir, "documents", columns=["text"]))
-    return wc.sort(["n", "word"], descending=[True, False]).limit(50)
+    return top_k(wc, ["n", "word"], 50, descending=[True, False])
 
 
 @register_query(

@@ -30,7 +30,7 @@ from engine.ops.agg import (
 )
 from engine.ops.join import asof_join, broadcast_join, semi_join, shuffle_join
 from engine.ops.map import explode, filter_expr, rename as rename_ds, select, with_columns
-from engine.ops.order import sample_sql, seeded_sample
+from engine.ops.order import sample_sql, seeded_sample, top_k
 from engine.ops.setops import except_distinct, intersect_distinct, union_all
 from engine.ops.sketch import approx_count_distinct
 from engine.ops.window import session, sliding, tumbling
@@ -559,9 +559,10 @@ def q_join_range_global(sf_dir):
 )
 def q_sort_limit(sf_dir):
     ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
-    return ds.sort(
-        ["l_extendedprice", "l_orderkey", "l_linenumber"], descending=[True, False, False]
-    ).limit(10)
+    return top_k(
+        ds, ["l_extendedprice", "l_orderkey", "l_linenumber"], 10,
+        descending=[True, False, False],
+    )
 
 
 @register_query(
@@ -804,12 +805,12 @@ def q_tpch_q3(sf_dir):
     """TPC-H Q3 shape end-to-end: semi-join the customer segment into
     orders (size-gated: broadcast key set at test scale, distributed
     bucketed membership at a 100x customer segment — no customer columns
-    survive, so no data join needed), shuffle-join lineitem x orders on
-    the order key, combiner group-sum on integer cents, sort+limit with
-    tiebreaks."""
+    survive, so no data join needed), size-gated lineitem x orders join
+    on the order key, combiner group-sum on integer cents, partial top-k
+    with tiebreaks."""
     import pyarrow.dataset as pads
 
-    from engine.ops.join import auto_semi_join
+    from engine.ops.join import auto_join, auto_semi_join
 
     cust_ds = read_table(
         sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
@@ -849,11 +850,16 @@ def q_tpch_q3(sf_dir):
     )
     li = select(li, ["l_orderkey", "revenue_cents"])
 
-    j = shuffle_join(li, orders, key="l_orderkey", join_type="inner")
+    # The date+segment-filtered orders side is a small fraction of the
+    # table — let the size gate broadcast it at test scale and fall back
+    # to the bucketed shuffle at 100x (unconditional shuffle_join here
+    # measured 2x the whole query's wall time at sf0.1).
+    j = auto_join(li, orders, key="l_orderkey", join_type="inner")
     agg = partial_grouped_sum(j, ["l_orderkey", "o_orderdate"], ["revenue_cents"])
-    return agg.sort(
-        ["revenue_cents", "o_orderdate", "l_orderkey"], descending=[True, False, False]
-    ).limit(10)
+    return top_k(
+        agg, ["revenue_cents", "o_orderdate", "l_orderkey"], 10,
+        descending=[True, False, False],
+    )
 
 
 @register_query(
@@ -1875,7 +1881,7 @@ def q_tpch_q10(sf_dir):
         select(j3, ["o_custkey", "c_name", "c_acctbal", "n_name", "revenue_cents"]),
         {"o_custkey": "c_custkey"},
     )
-    return out.sort(["revenue_cents", "c_custkey"], descending=[True, False]).limit(20)
+    return top_k(out, ["revenue_cents", "c_custkey"], 20, descending=[True, False])
 
 
 @register_query(
@@ -3231,42 +3237,54 @@ def q_tpch_q21(sf_dir):
     """TPC-H Q21 shape (suppliers who alone held up multi-supplier
     orders; no receipt/commit dates in the testdata, so "late" is the
     R return flag): the double-correlated EXISTS / NOT EXISTS lowers onto
-    per-(order,supplier) flag aggregation, a per-order combiner
-    (supplier count + failed count), one key-aligned join back, an
-    F-status semi filter, then a grouped count with a deterministic
-    top-20."""
+    ONE order-keyed bucketed exchange — the F-status semi filter runs
+    BEFORE it (per-order predicate, so it commutes; cuts the exchange
+    volume ~3x), a per-batch combiner pre-reduces to distinct
+    (order, supplier, flag) rows, and inside the bucket the
+    per-(order,supplier) max, the per-order supplier/failed counts, the
+    sole-failer filter and the culprit emission all happen in one
+    vectorized pandas pass (the naive two-aggregations-plus-join-back
+    plan measured 3-4x slower at sf0.1)."""
+    import pandas as pd
     import pyarrow.dataset as pads
 
+    from engine.ops.bucket import bucketed_map_groups
     from engine.ops.join import auto_join, auto_semi_join
 
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_returnflag"])
-    li = with_columns(
-        li,
-        {"failed_flag": lambda t: pc.cast(pc.equal(t.column("l_returnflag"), "R"), pa.int64())},
-    )
-    per = grouped_agg(
-        select(li, ["l_orderkey", "l_suppkey", "failed_flag"]),
-        ["l_orderkey", "l_suppkey"],
-        {"failed": ("max", "failed_flag")},
-    )
-    per = per.materialize()
-    ordstats = grouped_agg(
-        per, ["l_orderkey"], {"n_supp": ("count", None), "n_failed": ("sum", "failed")}
-    )
-    j = auto_join(per, ordstats, key="l_orderkey")
-    j = filter_expr(
-        j,
-        lambda t: pc.and_(
-            pc.and_(pc.equal(t.column("failed"), 1), pc.greater(t.column("n_supp"), 1)),
-            pc.equal(t.column("n_failed"), 1),
-        ),
-    )
     f_orders = read_table(
         sf_dir, "orders", columns=["o_orderkey"],
         filter_expr=pads.field("o_orderstatus") == "F",
     )
-    j = auto_semi_join(j, f_orders, "l_orderkey", right_key="o_orderkey")
+    li = auto_semi_join(li, f_orders, "l_orderkey", right_key="o_orderkey")
+    li = with_columns(
+        li,
+        {"failed": lambda t: pc.cast(pc.equal(t.column("l_returnflag"), "R"), pa.int64())},
+    )
+    li = select(li, ["l_orderkey", "l_suppkey", "failed"])
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["l_orderkey", "l_suppkey"], sort=False)["failed"]
+            .max()
+            .reset_index()
+        )
+
+    def _culprits(df: pd.DataFrame) -> pd.DataFrame:
+        per = (
+            df.groupby(["l_orderkey", "l_suppkey"], sort=False)["failed"]
+            .max()
+            .reset_index()
+        )
+        stats = per.groupby("l_orderkey", sort=False)["failed"].agg(["size", "sum"])
+        ok = stats.index[(stats["size"] > 1) & (stats["sum"] == 1)]
+        out = per[(per["failed"] == 1) & per["l_orderkey"].isin(ok)]
+        return out[["l_suppkey"]]
+
+    pre = li.map_batches(_pre, batch_format="pandas")
+    culprits = bucketed_map_groups(pre, ["l_orderkey"], _culprits, seed="q21")
+
     supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
-    j = auto_join(j, rename_ds(supp, {"s_suppkey": "l_suppkey"}), key="l_suppkey")
+    j = auto_join(culprits, rename_ds(supp, {"s_suppkey": "l_suppkey"}), key="l_suppkey")
     counts = grouped_agg(j, ["s_name"], {"numwait": ("count", None)})
-    return counts.sort(["numwait", "s_name"], descending=[True, False]).limit(20)
+    return top_k(counts, ["numwait", "s_name"], 20, descending=[True, False])
