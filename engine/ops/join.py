@@ -176,9 +176,17 @@ def broadcast_join(
     keys: list[str],
     join_type: str = "inner",
     right_keys: list[str] | None = None,
+    suffix_overlapping: bool = False,
 ) -> rd.Dataset:
     """Join a Dataset against an in-memory dimension table, shuffle-free.
-    ``small`` is put in the object store ONCE; tasks read it zero-copy."""
+    ``small`` is put in the object store ONCE; tasks read it zero-copy.
+
+    ``suffix_overlapping``: rename non-key ``small`` columns that collide
+    with the batch's columns to ``<name>_r`` (the shuffle path's naming),
+    decided per batch from the batch's own schema. This keeps the left
+    side fully lazy — reading the left schema upfront costs an extra
+    sample execution of the whole upstream chain (the testdata parquets
+    are single-row-group, so a schema sample reads the entire file)."""
     # Normalize this engine's join-type names to Acero's (a bare "left"
     # through the auto_join broadcast gate raised "Unsupported join type").
     join_type = {
@@ -188,9 +196,17 @@ def broadcast_join(
         "full": "full outer",
     }.get(join_type, join_type)
     ref = ray.put(small)
+    keyset = set(right_keys or keys)
 
     def _join(t: pa.Table) -> pa.Table:
         dim = _cached_get(ref)
+        if suffix_overlapping:
+            ren = [
+                c + "_r" if (c in t.column_names and c not in keyset) else c
+                for c in dim.column_names
+            ]
+            if ren != dim.column_names:
+                dim = dim.rename_columns(ren)  # metadata-only
         out = t.join(
             dim,
             keys=keys,
@@ -258,18 +274,15 @@ def auto_join(
         if not nonempty:
             auto_join.last_strategy = "shuffle"
             return shuffle_join(left, right, key, join_type, num_buckets=num_buckets)
-        left, lschema = _keyed_arrow(left, keys)
         small = pa.concat_tables(nonempty)
-        # Same output names as the shuffle path: overlapping non-key
-        # right columns get the "_r" suffix.
-        small = small.rename_columns(
-            [
-                c + "_r" if (c in lschema.names and c not in keys) else c
-                for c in small.column_names
-            ]
-        )
         auto_join.last_strategy = "broadcast"
-        return broadcast_join(left, small, keys=keys, join_type=join_type)
+        # suffix_overlapping renames colliding right columns to "_r" (the
+        # shuffle path's naming) per batch — the left side stays LAZY; an
+        # upfront left-schema read here cost an extra sample execution of
+        # the whole left chain (measured ~2-3 s of q_tpch_q10's wall).
+        return broadcast_join(
+            left, small, keys=keys, join_type=join_type, suffix_overlapping=True
+        )
     if detect_skew and isinstance(key, str):
         share = _top_key_share(left, key)
         if share >= skew_share_threshold:
