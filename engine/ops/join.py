@@ -303,10 +303,34 @@ def distributed_keyset(ds: rd.Dataset, key: str) -> pa.Table:
     from engine.ops.agg import distinct
     from engine.util.collect import nan_to_null, pull_arrow
 
+    partials = _unique_partials(ds, key)
+    if partials.count() <= _PARTIAL_PULL_THRESHOLD:
+        tbl = pull_arrow(partials)
+        if tbl is None:
+            return pa.table({key: []})
+        return pa.table({key: pc.unique(nan_to_null(tbl.column(key)))})
     tbl = pull_arrow(distinct(ds.select_columns([key]), [key]))
     if tbl is None:
         return pa.table({key: []})
     return pa.table({key: nan_to_null(tbl.column(key))})
+
+
+# Max combiner-output rows pulled to the driver before falling back to a
+# distributed exchange distinct: one key column, so ~16 MB at 2M int64
+# rows — well under driver heap, well over every dimension-side build.
+_PARTIAL_PULL_THRESHOLD = 2_000_000
+
+
+def _unique_partials(ds: rd.Dataset, key: str) -> rd.Dataset:
+    """Per-batch Arrow unique of one column — the distinct COMBINER
+    without the exchange. Output size is bounded by
+    blocks x min(block_rows, key cardinality); the caller gates the pull
+    on the actual count. Arrow-native, so integer keys keep their type
+    (the pandas combiner degrades null-bearing ints to float/NaN)."""
+    return ds.select_columns([key]).map_batches(
+        lambda t: pa.table({key: pc.unique(t.column(key))}),
+        batch_format="pyarrow",
+    ).materialize()
 
 
 def auto_semi_join(
@@ -329,12 +353,31 @@ def auto_semi_join(
     test asserts."""
     right_key = right_key or left_key
     from engine.ops.agg import distinct
+    from engine.util.collect import nan_to_null, pull_arrow
 
-    dk = distinct(right.select_columns([right_key]), [right_key]).materialize()
     auto_semi_join.last_strategy = None
+    # Combiner-first: per-batch Arrow unique collapses the key column
+    # before any exchange. When the combiner output is pull-bounded, the
+    # exact key set is finished on the driver — no distributed distinct
+    # (its sort exchange costs ~4 s of fixed overhead even on a 20k-row
+    # dimension side; measured on q_tpch_q9's part build at sf0.1).
+    partials = _unique_partials(right, right_key)
+    if partials.count() <= _PARTIAL_PULL_THRESHOLD:
+        tbl = pull_arrow(partials)
+        vals = (
+            pc.unique(nan_to_null(tbl.column(right_key)))
+            if tbl is not None
+            else pa.array([])
+        )
+        if len(vals) <= broadcast_threshold_keys:
+            auto_semi_join.last_strategy = "broadcast"
+            return semi_join(left, pa.table({left_key: vals}), left_key, anti=anti)
+        auto_semi_join.last_strategy = "shuffle"
+        dk = rd.from_arrow(pa.table({right_key: vals}))
+        return _shuffled_semi(left, dk, left_key, right_key, anti, num_buckets)
+    # Combiner output itself is huge — exchange distinct, old gates.
+    dk = distinct(right.select_columns([right_key]), [right_key]).materialize()
     if dk.count() <= broadcast_threshold_keys:
-        from engine.util.collect import nan_to_null, pull_arrow
-
         auto_semi_join.last_strategy = "broadcast"
         tbl = pull_arrow(dk)
         vals = nan_to_null(tbl.column(right_key)) if tbl is not None else pa.array([])
