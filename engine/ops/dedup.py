@@ -248,7 +248,24 @@ def verify_pairs_jaccard(
         t0 = df[df["half"] == 0][["a", "b", "txt"]].drop_duplicates(["a", "b"])
         t1 = df[df["half"] == 1][["a", "b", "txt"]].drop_duplicates(["a", "b"])
         m = t0.merge(t1, on=["a", "b"], suffixes=("_a", "_b"))
-        jac = [jaccard(ta or "", tb or "", k) for ta, tb in zip(m["txt_a"], m["txt_b"])]
+        # Shingle each doc ONCE per bucket (hub docs appear in many
+        # pairs; re-shingling per pair dominated the verify stage).
+        cache: dict = {}
+
+        def _sh(doc_id, txt):
+            s = cache.get(doc_id)
+            if s is None:
+                s = cache[doc_id] = shingle_hashes(txt or "", k)
+            return s
+
+        jac = np.empty(len(m), dtype=np.float64)
+        for i, (ia, ib, ta, tb) in enumerate(
+            zip(m["a"], m["b"], m["txt_a"], m["txt_b"])
+        ):
+            s1, s2 = _sh(ia, ta), _sh(ib, tb)
+            inter = len(np.intersect1d(s1, s2, assume_unique=True))
+            union = len(s1) + len(s2) - inter
+            jac[i] = inter / union if union else 1.0
         m = m.drop(columns=["txt_a", "txt_b"])
         m["a"] = m["a"].astype("int64")
         m["b"] = m["b"].astype("int64")
