@@ -29,25 +29,6 @@ _BCAST_CACHE_MAX = 4  # bounded LRU-ish: interleaved broadcast refs on one
 # worker (e.g. IVF centroids + query matrix) must not evict each other.
 
 
-def _has_all_to_all(ds: rd.Dataset) -> bool:
-    try:
-        # Ray-internal path — import inside the guard so a Ray upgrade that
-        # moves the module degrades to "no shuffle detected" (skip the
-        # materialize-once optimization) instead of breaking every join.
-        from ray.data._internal.logical.operators.all_to_all_operator import (
-            AbstractAllToAll,
-        )
-
-        def walk(op) -> bool:
-            return isinstance(op, AbstractAllToAll) or any(
-                walk(d) for d in op.input_dependencies
-            )
-
-        return walk(ds._logical_plan.dag)
-    except Exception:
-        return False
-
-
 def _ensure_arrow(ds: rd.Dataset) -> tuple[rd.Dataset, pa.Schema]:
     """Return the dataset with Arrow blocks plus its Arrow schema
     (pandas-backed datasets — e.g. from_pandas — are converted).
@@ -62,7 +43,14 @@ def _ensure_arrow(ds: rd.Dataset) -> tuple[rd.Dataset, pa.Schema]:
     base = getattr(s, "base_schema", None) if s is not None else None
     if isinstance(base, pa.Schema):
         return ds, base
-    if s is None and _has_all_to_all(ds):
+    if s is None:
+        # No cheap schema → materialize ONCE and read it from block
+        # metadata. Sampling instead (ds.schema() on the lazy chain)
+        # executes the upstream plan for the sample and AGAIN for the
+        # real run (testdata parquets are single-row-group, so the
+        # sample reads the whole file; measured 6x on the minhash-verify
+        # chain). Every caller feeds an exchange next, which would
+        # materialize anyway — same peak footprint, one execution.
         ds = ds.materialize()
     s = ds.schema()
     base = getattr(s, "base_schema", None)
