@@ -164,6 +164,8 @@ def run_relational_queries() -> dict:
         "q_tpch_q9",
         "q_tpch_q21",
         "q_decontaminate",
+        "q_seq_chunks",
+        "q_seq_pack",
     ]
     import ray.data as rd
 

@@ -897,3 +897,67 @@ def q_word_repetition(sf_dir):
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return word_repetition(ds, pct_threshold=40)
+
+
+@register_query(
+    "q_seq_chunks",
+    oracle="""WITH d AS (SELECT doc_id,
+                                string_split(text, ' ') AS toks,
+                                len(string_split(text, ' ')) AS n
+                         FROM documents),
+                   e AS (SELECT doc_id, toks, n,
+                                unnest(range(CAST(ceil(n / 32.0) AS BIGINT))) AS i
+                         FROM d)
+              SELECT doc_id,
+                     CAST(i AS BIGINT) AS chunk_idx,
+                     CAST(LEAST(n - i * 32, 32) AS BIGINT) AS n_tokens,
+                     array_to_string(toks[i * 32 + 1 : i * 32 + 32], ' ') AS chunk_text
+              FROM e""",
+)
+def q_seq_chunks(sf_dir):
+    """Context-window chunking: every document explodes into consecutive
+    32-token chunks — chunk TEXT included in the value hash (tokens are
+    the single-space split, exactly DuckDB's string_split semantics)."""
+    from engine.ops.sequence import chunk_documents
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds, "text", "doc_id", max_tokens=32)
+
+
+@register_query("q_seq_pack")  # greedy reset-on-overflow — not SQL-expressible;
+# self-checking (raises on over-budget multi-doc bins or lost docs)
+def q_seq_pack(sf_dir):
+    """Sequence packing: greedy in-order binning of documents into
+    256-token training sequences, one stream per language, doc_id order
+    (deterministic at any parallelism). The sequential greedy loop sees
+    only token counts; text never crosses the exchange."""
+    from engine.ops.sequence import pack_sequences
+    from engine.ops.text import text_stats
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    toks = text_stats(ds)
+    return pack_sequences(
+        select(toks, ["lang", "doc_id", "n_tokens"]),
+        group_col="lang", id_col="doc_id", token_col="n_tokens", budget=256,
+    )
+
+
+@register_query(
+    "q_domain_mix",
+    oracle="""SELECT doc_id, lang FROM documents
+              WHERE (doc_id * 2654435761) % 4294967296 <
+                    CASE lang WHEN 'en' THEN 3865470566
+                              WHEN 'fr' THEN 2147483648
+                              WHEN 'de' THEN 1073741824
+                              WHEN 'es' THEN 429496729
+                              ELSE 0 END""",
+)
+def q_domain_mix(sf_dir):
+    """Weighted domain mixing: per-language keep rates (en 0.9 / fr 0.5 /
+    de 0.25 / es 0.1 / zh dropped) via the Knuth multiplicative hash of
+    doc_id — integer arithmetic both sides, so the SQL twin selects the
+    identical rows. Pure per-batch filter, no exchange, no RNG."""
+    from engine.ops.sequence import mix_domains
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    return mix_domains(ds, {"en": 0.9, "fr": 0.5, "de": 0.25, "es": 0.1})

@@ -382,3 +382,69 @@ def test_avi_codec_and_frame_sampling_stage():
         want = int(frames[::2].sum())
         assert (row["n_frames"], row["frames_sampled"]) == (n, (n + 1) // 2)
         assert int(row["sampled_pixel_sum"]) == want
+
+
+def test_sequence_chunk_pack_mix():
+    from engine.ops.sequence import chunk_documents, mix_domains, pack_sequences
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "lang": ["en", "en", "en", "fr", "fr", "fr"],
+            "text": [
+                "a b c d e",          # 5 tokens
+                "f g",                # 2
+                " ".join(["w"] * 11),  # 11 -> chunks of 4: 4,4,3
+                "x",                  # 1
+                "y z q",              # 3
+                " ".join(["v"] * 9),   # 9
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs)
+
+    # chunking: token counts reassemble to the doc totals; text roundtrips
+    ch = chunk_documents(ds, "text", "doc_id", max_tokens=4).to_pandas()
+    got = ch.groupby("doc_id")["n_tokens"].sum().to_dict()
+    assert got == {1: 5, 2: 2, 3: 11, 4: 1, 5: 3, 6: 9}
+    rejoined = (
+        ch.sort_values(["doc_id", "chunk_idx"])
+        .groupby("doc_id")["chunk_text"]
+        .apply(" ".join)
+    )
+    assert (rejoined.to_numpy() == docs.set_index("doc_id")["text"].to_numpy()).all()
+
+    # packing: greedy reset at budget 8, per lang in doc_id order.
+    # en: 5 | 2 -> bin0 (7), 11 -> bin1 alone (oversized kept whole)
+    # fr: 1 | 3 -> bin0 (4), 9 -> bin1
+    toks = pd.DataFrame(
+        {
+            "lang": docs["lang"],
+            "doc_id": docs["doc_id"],
+            "n_tokens": [5, 2, 11, 1, 3, 9],
+        }
+    )
+    packed = (
+        pack_sequences(rd.from_pandas(toks), budget=8)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert packed["bin_idx"].tolist() == [0, 0, 1, 0, 0, 1]
+    assert packed["bin_tokens"].tolist() == [7, 7, 11, 4, 4, 9]
+
+    # parallelism invariance: 1 block vs 6 blocks, same assignment
+    packed6 = (
+        pack_sequences(rd.from_pandas(toks).repartition(6), budget=8)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert packed6["bin_idx"].tolist() == packed["bin_idx"].tolist()
+
+    # mixing: hash-threshold filter matches a direct recomputation
+    kept = mix_domains(ds, {"en": 0.5, "fr": 1.0}).to_pandas()
+    expect = {
+        int(i)
+        for i, g in zip(docs["doc_id"], docs["lang"])
+        if (i * 2654435761) % 4294967296 < int({"en": 0.5, "fr": 1.0}[g] * 4294967296)
+    }
+    assert set(kept["doc_id"]) == expect and 4 in expect  # fr rate 1.0 keeps all fr
