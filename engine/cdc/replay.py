@@ -80,6 +80,24 @@ class ReplayConfig:
     # and writes the summary straight from the Dataset (huge-repo-count
     # path; adds a small per-epoch Ray job).
     summary_fold: str = "driver"
+    # Winners exchange strategy. "full": the prepared events (content
+    # included) flow through the (pid, salt) sort shuffle. "late":
+    # late materialization — only the LWW METADATA (key/seq/locator,
+    # ~70 B/row) crosses the exchange; winner rows are then fetched
+    # zero-copy from the materialized prepare output via a broadcast
+    # locator set, so content strings cross an exchange exactly once
+    # (the final per-pid merge shuffle), not twice. Gated: above
+    # ``late_max_winners`` locators the epoch falls back to "full"
+    # (the broadcast must stay bounded). Measured SLOWER single-node
+    # (4M events/32 CPUs, interleaved A/B: late 22-39 s vs full
+    # 19-27 s): the per-batch combiner already collapses the stream
+    # before the shuffle, so "full" moves winners only, and the extra
+    # materialize round-trip costs the same heavy bytes the meta
+    # exchange saves. Kept for multi-node, where the exchange is
+    # network but the materialize stays local. State hash identical
+    # on both paths (tested, incl. skew + the gate fallback).
+    exchange: str = "full"
+    late_max_winners: int = 4_000_000
 
 
 def _cpus() -> int:
@@ -124,6 +142,8 @@ def build_winners(log, lake_dir: str, epoch: int, cfg: ReplayConfig, target_b64:
         batch_size=cfg.batch_size,
         zero_copy_batch=True,
     )
+    if cfg.exchange == "late":
+        return _late_winners(ds, cfg)
     # NOTE on groupby(num_partitions=...): measured WORSE at every level
     # (explicit num_partitions forces a slower exchange path in Ray
     # 2.49's sort shuffle — 3x at 32 CPUs). The default (reduce count =
@@ -131,6 +151,109 @@ def build_winners(log, lake_dir: str, epoch: int, cfg: ReplayConfig, target_b64:
     # per-task scheduling overhead amortizes; sizing epochs is the
     # correct knob, not reduce-task count.
     return ds.groupby(["pid", "salt"]).map_groups(lww_collapse, batch_format="pyarrow")
+
+
+_META_COLS = ["pid", "salt", "repo", "path", "seq", "n_events", "seq_lo"]
+
+
+def _tag_locators(t: pa.Table) -> pa.Table:
+    """Append a (block id, row id) locator to every prepared row. The
+    block id only needs UNIQUENESS (winner selection never depends on
+    its value — LWW is decided by seq alone), so 63 random bits are
+    sound at any scale."""
+    import uuid
+
+    import numpy as np
+
+    bid = uuid.uuid4().int & ((1 << 63) - 1)
+    t = t.append_column("__bid", pa.array(np.full(t.num_rows, bid, np.int64)))
+    return t.append_column("__rid", pa.array(np.arange(t.num_rows, dtype=np.int64)))
+
+
+def _late_winners(prepared, cfg: ReplayConfig):
+    """Late-materialization winners: content never crosses the wide
+    (pid, salt) exchange.
+
+    1. materialize prepare output once (the full exchange would
+       materialize the same bytes inside the sort shuffle anyway);
+    2. shuffle ONLY the LWW metadata + locator (~70 B/row vs ~500 B
+       with content) and sub-LWW it per (pid, salt);
+    3. pull the winning locators (bounded by the epoch's touched-key
+       count — gated by ``late_max_winners``), broadcast them, and
+       fetch winner rows zero-copy from the materialized blocks with
+       the folded n_events / seq_lo accumulators attached.
+
+    Output rows, accumulators and dtypes are identical to the full
+    path (same lww_collapse on the same seq values); the CDC state
+    hash is the regression oracle."""
+    import numpy as np
+
+    from engine.util.collect import pull_arrow
+
+    prepared = prepared.map_batches(
+        _tag_locators, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    meta = prepared.select_columns(_META_COLS + ["__bid", "__rid"])
+    wm = (
+        meta.groupby(["pid", "salt"])
+        .map_groups(lww_collapse, batch_format="pyarrow")
+        .materialize()
+    )
+    if wm.count() > cfg.late_max_winners:
+        # Locator broadcast would be unbounded — run the classic full
+        # exchange over the already-materialized prepare output.
+        return prepared.drop_columns(["__bid", "__rid"]).groupby(
+            ["pid", "salt"]
+        ).map_groups(lww_collapse, batch_format="pyarrow")
+    tbl = pull_arrow(wm.select_columns(["__bid", "__rid", "n_events", "seq_lo"]))
+    loc: dict[int, tuple] = {}
+    if tbl is not None:
+        bids = tbl.column("__bid").to_numpy()
+        rids = tbl.column("__rid").to_numpy()
+        nev = tbl.column("n_events").to_numpy()
+        slo = tbl.column("seq_lo").to_numpy()
+        order = np.lexsort((rids, bids))
+        bids, rids, nev, slo = bids[order], rids[order], nev[order], slo[order]
+        cuts = np.flatnonzero(np.diff(bids)) + 1
+        for s, e in zip(np.r_[0, cuts], np.r_[cuts, len(bids)]):
+            loc[int(bids[s])] = (rids[s:e], nev[s:e], slo[s:e])
+    ref = ray.put(loc)
+
+    def _fetch(t: pa.Table) -> pa.Table:
+        from engine.ops.join import _cached_get
+
+        d = _cached_get(ref)
+        b = t.column("__bid").to_numpy()
+        r = t.column("__rid").to_numpy()
+        keep, ns, los = [], [], []
+        cuts = np.flatnonzero(np.diff(b)) + 1
+        for s, e in zip(np.r_[0, cuts], np.r_[cuts, len(b)]):
+            ent = d.get(int(b[s])) if len(b) else None
+            if ent is None:
+                continue
+            wr, wn, wl = ent
+            seg = r[s:e]
+            pos = np.searchsorted(wr, seg)
+            pos_c = np.minimum(pos, len(wr) - 1)
+            ok = wr[pos_c] == seg
+            keep.append(np.flatnonzero(ok) + s)
+            sel = pos_c[ok]
+            ns.append(wn[sel])
+            los.append(wl[sel])
+        idx = np.concatenate(keep) if keep else np.array([], np.int64)
+        base = t.drop_columns(["__bid", "__rid", "n_events", "seq_lo"]).take(
+            pa.array(idx)
+        )
+        base = base.append_column(
+            "n_events", pa.array(np.concatenate(ns) if ns else np.array([], np.int64))
+        )
+        return base.append_column(
+            "seq_lo", pa.array(np.concatenate(los) if los else np.array([], np.int64))
+        )
+
+    return prepared.map_batches(
+        _fetch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
 
 
 def merge_and_commit(

@@ -85,3 +85,34 @@ def test_lineage_totals_match_event_count(tmp_path, sf_dir):
         total += pc.sum(t.column("events_in")).as_py()
         assert pc.min(t.column("seq_lo")).as_py() >= 0
     assert total == 1500  # every valid event accounted once
+
+
+def test_late_materialization_exchange_matches_full(tmp_path, sf_dir):
+    # exchange="late": only LWW metadata + locators cross the wide
+    # shuffle; winner rows are fetched from the materialized prepare
+    # output via a broadcast locator set. Must be byte-identical to the
+    # full-exchange path (same lww_collapse on the same seq values) —
+    # including with skew and deletes in play.
+    log, lake_full = _run(
+        tmp_path, sf_dir, synth_kw=dict(hot_event_frac=0.8), name="lm_full"
+    )
+    _, lake_late = _run(
+        tmp_path,
+        sf_dir,
+        synth_kw=dict(hot_event_frac=0.8),
+        replay_kw=dict(exchange="late"),
+        name="lm_late",
+    )
+    assert state_hash(lake_late) == state_hash(lake_full) == oracle_state_hash(log)
+
+
+def test_late_exchange_gate_falls_back_to_full(tmp_path, sf_dir):
+    # Above late_max_winners the locator broadcast would be unbounded —
+    # the epoch must fall back to the full exchange, same state.
+    log, lake = _run(
+        tmp_path,
+        sf_dir,
+        replay_kw=dict(exchange="late", late_max_winners=10),
+        name="lm_gate",
+    )
+    assert state_hash(lake) == oracle_state_hash(log)
