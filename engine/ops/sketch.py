@@ -102,7 +102,12 @@ def approx_count_distinct_grouped(
 
 
 def heavy_hitters(
-    ds: rd.Dataset, col: str, min_count: int, k: int = 1024, out: str = "n"
+    ds: rd.Dataset,
+    col: str,
+    min_count: int,
+    k: int = 1024,
+    out: str = "n",
+    fold_pull_threshold: int = 2_000_000,
 ) -> rd.Dataset:
     """Exact heavy hitters at scale via sketch-then-verify:
 
@@ -143,11 +148,47 @@ def heavy_hitters(
             }
         )
 
-    summary = (
-        ds.select_columns([col]).map_batches(_cand, batch_format="pandas").to_pandas()
+    summary_ds = (
+        ds.select_columns([col]).map_batches(_cand, batch_format="pandas").materialize()
     )
-    n_total = int(summary["__batch_n"].sum())
+    n_total = int(summary_ds.sum("__batch_n") or 0)
     slack = n_total / (k + 1)
+    if slack >= min_count:
+        # SOUNDNESS GATE: a value absent from every batch summary can
+        # still have true count up to ``slack`` — when that reaches
+        # min_count the sketch cannot prove its candidate set is a
+        # superset (k is too small for this n_total/min_count; found as
+        # a real 178-row miss at sf0.1 with k=1024). Fall back to the
+        # exact bucketed recount of EVERYTHING — same cost class as the
+        # verify pass, exactness guaranteed.
+        counted_all = grouped_agg(
+            ds.select_columns([col]), [col], {out: ("count", None)}
+        )
+        return counted_all.map_batches(
+            lambda df: df[df[out] >= min_count], batch_format="pandas"
+        )
+    if summary_ds.count() <= fold_pull_threshold:
+        summary = summary_ds.to_pandas()
+    else:
+        # Per-batch summaries too numerous for a driver fold (many blocks
+        # x k survivors) — fold them distributed and pull only the
+        # candidate rows (bounded: fold >= min_count - slack, and
+        # slack < min_count here, so only true heavy hitters and their
+        # slack near-misses survive the filter).
+        from engine.util.collect import pull_arrow
+
+        folded = grouped_agg(summary_ds, [col], {"__cnt": ("sum", "__cnt")})
+        thresh = min_count - slack
+        cand_tbl = pull_arrow(
+            folded.map_batches(
+                lambda df: df[df["__cnt"] >= thresh], batch_format="pandas"
+            )
+        )
+        summary = (
+            cand_tbl.to_pandas()
+            if cand_tbl is not None
+            else pd.DataFrame({col: [], "__cnt": []})
+        )
     fold = summary.groupby(col, dropna=False)["__cnt"].sum()
     cand_mask = fold + slack >= min_count
     null_is_candidate = bool(cand_mask[fold.index.isna()].any())

@@ -414,11 +414,13 @@ def q_heavy_hitters(sf_dir):
     """Exact heavy hitters via sketch-then-verify: per-batch Misra-Gries
     candidate survivors → broadcast candidate set → exact bucketed
     recount of candidates only. The sketch prunes, never decides, so the
-    output is exact and oracle-checked."""
+    output is exact and oracle-checked. k is sized so the completeness
+    bound n_total/(k+1) < min_count holds through sf1 (the sketch's
+    soundness gate falls back to a full recount beyond that)."""
     from engine.ops.sketch import heavy_hitters
 
     ds = read_table(sf_dir, "events", columns=["user_id"])
-    return heavy_hitters(ds, "user_id", min_count=15, k=1024)
+    return heavy_hitters(ds, "user_id", min_count=15, k=1 << 19)
 
 
 @register_query("q_hll_count_distinct")  # sketch → rows-only driver check
@@ -3169,9 +3171,21 @@ def q_tpch_q11(sf_dir):
         select(li, ["l_partkey", "value_cents"]), ["l_partkey"], ["value_cents"]
     ).materialize()
     total = global_agg(v, {"total_cents": ("sum", "value_cents")}).column("total_cents")[0].as_py()
-    return filter_expr(
+    out = filter_expr(
         v, lambda t: pc.greater(pc.multiply(t.column("value_cents"), 1000), total)
     )
+    # The >0.1%-share filter can legitimately match NOTHING (it does at
+    # sf0.1), and an empty Ray Dataset loses its schema through
+    # to_pandas — return a typed Arrow table (bounded: it's the
+    # important-parts report) so the empty result keeps its columns.
+    from engine.util.collect import pull_arrow
+
+    tbl = pull_arrow(out)
+    if tbl is None:
+        return pa.table(
+            {"l_partkey": pa.array([], pa.int64()), "value_cents": pa.array([], pa.int64())}
+        )
+    return tbl.select(["l_partkey", "value_cents"])
 
 
 @register_query(

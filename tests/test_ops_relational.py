@@ -1125,3 +1125,27 @@ def test_validate_and_bad_row_split():
 
     with pytest.raises(ValueError, match="unknown validation rule"):
         validate(rd.from_pandas(df), [{"rule": "positive", "column": "x"}]).to_pandas()
+
+
+def test_heavy_hitters_soundness_gate_and_distributed_fold():
+    # Regression for the sf0.1 miss: values whose per-batch count never
+    # clears batch_n/(k+1) used to vanish from the candidate fold even
+    # though their TRUE count >= min_count. With k too small the
+    # soundness gate must recount everything exactly.
+    import numpy as np
+
+    from engine.ops.sketch import heavy_hitters
+
+    rng = np.arange(4800)
+    df = pd.DataFrame({"x": rng % 300})  # every value appears 16x, spread out
+    ds = rd.from_pandas(df).repartition(20)  # ~240 rows/batch -> 1-2 per value
+    out = _pdf(heavy_hitters(ds, "x", min_count=16, k=8)).sort_values("x")
+    assert len(out) == 300 and (out["n"] == 16).all()
+
+    # Sound k (slack < min_count) through the DISTRIBUTED candidate fold:
+    # same exact answer as the driver-fold path.
+    out2 = _pdf(
+        heavy_hitters(ds, "x", min_count=16, k=4800, fold_pull_threshold=0)
+    ).sort_values("x")
+    assert out2["x"].tolist() == out["x"].tolist()
+    assert out2["n"].tolist() == out["n"].tolist()
