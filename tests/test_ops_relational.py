@@ -1149,3 +1149,47 @@ def test_heavy_hitters_soundness_gate_and_distributed_fold():
     ).sort_values("x")
     assert out2["x"].tolist() == out["x"].tolist()
     assert out2["n"].tolist() == out["n"].tolist()
+
+
+def test_auto_semi_join_property_random_frames():
+    """Property test over the round-4 combiner-first key-set build:
+    auto_semi_join (semi AND anti, broadcast AND shuffled routes) ==
+    SQL IN / NOT IN three-valued-logic reference, on randomized frames
+    with duplicate and NULL keys on both sides."""
+    from hypothesis import given, settings, strategies as st
+
+    from engine.ops.join import auto_semi_join
+
+    keys = st.lists(
+        st.one_of(st.integers(min_value=0, max_value=6), st.none()),
+        min_size=0, max_size=25,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(lk=keys, rk=keys, anti=st.booleans(), force_shuffle=st.booleans())
+    def _check(lk, rk, anti, force_shuffle):
+        l = pd.DataFrame({"k": pd.array(lk, dtype="Int64"),
+                          "v": np.arange(len(lk), dtype=np.int64)})
+        r = pd.DataFrame({"k": pd.array(rk, dtype="Int64")})
+        got = auto_semi_join(
+            rd.from_pandas(l), rd.from_pandas(r), "k",
+            anti=anti,
+            broadcast_threshold_keys=0 if force_shuffle else 200_000,
+        ).to_pandas()
+        rv = set(r["k"].dropna().tolist())
+        if anti:
+            # NOT IN: unsatisfiable if the key set holds a NULL; a NULL
+            # left key is never NOT IN.
+            if r["k"].isna().any():
+                want = l.iloc[0:0]
+            else:
+                want = l[l["k"].notna() & ~l["k"].isin(rv)]
+        else:
+            want = l[l["k"].notna() & l["k"].isin(rv)]
+        assert len(got) == len(want)
+        if len(want):
+            a = sorted(zip(got["k"].tolist(), got["v"].tolist()))
+            b = sorted(zip(want["k"].tolist(), want["v"].tolist()))
+            assert a == b
+
+    _check()
