@@ -245,3 +245,126 @@ def cosine_near_dup_pairs(
 
 def _stack_any(rows: list[dict], vec_col: str) -> np.ndarray:
     return np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+
+
+# ---- Product quantization (PQ) ----------------------------------------------
+#
+# The memory scale path for 100-TB embedding corpora: a 64-dim float32
+# vector (256 B) compresses to n_sub uint8 codes (8 B at n_sub=8, 32x).
+# Asymmetric distance computation (ADC) scores a query against codes via
+# per-subspace lookup tables — no decompression, one gather + sum per
+# subspace. Everything is seeded/deterministic; scores are approximate
+# by construction (quantization error), so PQ queries are rows-only with
+# a recall-vs-brute-force test, like IVF.
+
+
+def build_pq_codebook(
+    sample: np.ndarray, n_sub: int = 8, n_centroids: int = 256, seed: int = 42,
+    iters: int = 10,
+) -> np.ndarray:
+    """Per-subspace k-means codebook, shape (n_sub, n_centroids, sub_dim).
+    Built once driver-side on a bounded sample (bottomk_sample_rows),
+    broadcast to every scoring task."""
+    dim = sample.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub = dim // n_sub
+    return np.stack(
+        [
+            build_centroids(
+                sample[:, s * sub : (s + 1) * sub], n_centroids, seed=seed + s,
+                iters=iters,
+            )
+            for s in range(n_sub)
+        ]
+    )
+
+
+def _pq_codes(vecs: np.ndarray, codebook: np.ndarray) -> np.ndarray:
+    """(n, n_sub) uint8 nearest-centroid codes, vectorized per subspace."""
+    n_sub, _, sub = codebook.shape
+    out = np.empty((len(vecs), n_sub), dtype=np.uint8)
+    for s in range(n_sub):
+        seg = vecs[:, s * sub : (s + 1) * sub]
+        d = ((seg[:, None, :] - codebook[s][None, :, :]) ** 2).sum(-1)
+        out[:, s] = d.argmin(1).astype(np.uint8)
+    return out
+
+
+def pq_encode(
+    ds: rd.Dataset, vec_col: str, id_col: str, codebook: np.ndarray
+) -> rd.Dataset:
+    """Compress the corpus: (id, code_0..code_{n_sub-1}) uint8 columns —
+    the persistent ANN index a real pipeline writes back to Parquet."""
+    ref = ray.put(codebook)
+
+    def _enc(df: pd.DataFrame) -> pd.DataFrame:
+        cb = _cached_get(ref)
+        if len(df) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64")}
+                | {f"code_{s}": pd.Series(dtype="uint8") for s in range(cb.shape[0])}
+            )
+        codes = _pq_codes(_stack(df, vec_col).astype(np.float64), cb)
+        out = {id_col: df[id_col].to_numpy()}
+        for s in range(cb.shape[0]):
+            out[f"code_{s}"] = codes[:, s]
+        return pd.DataFrame(out)
+
+    return ds.map_batches(_enc, batch_format="pandas")
+
+
+def knn_pq(
+    codes_ds: rd.Dataset,
+    id_col: str,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int,
+    codebook: np.ndarray,
+) -> rd.Dataset:
+    """ADC top-k over PQ codes: per query and subspace, the lookup table
+    holds the quantized dot product of the query subvector with each
+    centroid; a vector's approximate score is the sum of its n_sub table
+    entries (int64-exact given the quantized tables, so ties and order
+    are deterministic). The shuffle moves ≤ k rows per query per block."""
+    n_sub = codebook.shape[0]
+    sub = codebook.shape[2]
+    # LUT[q, s, c] = quantized <query_q[s], centroid_{s,c}>
+    lut = np.stack(
+        [
+            quantize(queries[:, s * sub : (s + 1) * sub].astype(np.float64))
+            @ quantize(codebook[s]).T
+            for s in range(n_sub)
+        ],
+        axis=1,
+    )  # (nq, n_sub, n_centroids) int64 — quantized twice: QUANT^2 scale
+    ref = ray.put((lut, np.asarray(query_ids)))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="int64")})
+        tables, qids = _cached_get(ref)
+        codes = np.stack([df[f"code_{s}"].to_numpy() for s in range(n_sub)], axis=1)
+        ids = df[id_col].to_numpy()
+        rows = {"query_id": [], "id": [], "score": []}
+        for qi, qid in enumerate(qids):
+            # gather-sum: scores[n] = sum_s LUT[qi, s, codes[n, s]]
+            scores = tables[qi][np.arange(n_sub)[None, :], codes].sum(1)
+            kk = min(k, len(ids))
+            top = np.argpartition(-scores, kk - 1)[:kk]
+            rows["query_id"] += [int(qid)] * kk
+            rows["id"] += ids[top].tolist()
+            rows["score"] += scores[top].tolist()
+        return pd.DataFrame(rows).astype({"query_id": "int64", "id": "int64", "score": "int64"})
+
+    partial = codes_ds.map_batches(_partial, batch_format="pandas")
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "score", "id"], ascending=[True, False, True])
+        return df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+
+    from engine.ops.bucket import bucketed_map_groups
+
+    return bucketed_map_groups(partial, ["query_id"], _final, seed="pq")

@@ -961,3 +961,29 @@ def q_domain_mix(sf_dir):
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
     return mix_domains(ds, {"en": 0.9, "fr": 0.5, "de": 0.25, "es": 0.1})
+
+
+@register_query("q_ann_pq")  # PQ/ADC scores are approximate by construction
+def q_ann_pq(sf_dir):
+    """Product-quantization ANN (memory scale path: 64-dim float ->
+    n_sub uint8 codes, 32x smaller index): per-subspace codebook from a
+    bounded seeded sample, corpus PQ-encoded in one pass, ADC top-k via
+    per-query lookup tables (int64-exact given the quantized tables —
+    deterministic ties). Recall vs brute force is unit-tested."""
+    from engine.ops.ann import (
+        bottomk_sample_rows,
+        build_pq_codebook,
+        knn_pq,
+        pq_encode,
+    )
+
+    queries, qids = _query_vectors(sf_dir)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sample = bottomk_sample_rows(ds, "vec_id", 1024, seed="pq-codebook")
+    m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
+    cb = build_pq_codebook(m, n_sub=8, n_centroids=256, seed=42)
+    codes = pq_encode(
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        "embedding", "vec_id", cb,
+    )
+    return knn_pq(codes, "vec_id", queries, qids, k=5, codebook=cb)
