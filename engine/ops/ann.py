@@ -148,7 +148,8 @@ def knn_ivf(
             return df
         cent, cells = _cached_get(ref)
         vecs = _stack(df, vec_col).astype(np.float64)
-        dd = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        # argmin|x-c|^2 = argmin(|c|^2 - 2 x.c): matmul, no (n, cells, dim) temp
+        dd = (cent * cent).sum(1)[None, :] - 2.0 * (vecs @ cent.T)
         assign = dd.argmin(1)
         return df[np.isin(assign, cells)]
 
@@ -281,12 +282,16 @@ def build_pq_codebook(
 
 
 def _pq_codes(vecs: np.ndarray, codebook: np.ndarray) -> np.ndarray:
-    """(n, n_sub) uint8 nearest-centroid codes, vectorized per subspace."""
+    """(n, n_sub) uint8 nearest-centroid codes, vectorized per subspace.
+    argmin|x-c|^2 = argmin(|c|^2 - 2 x.c): one (n, n_centroids) matmul
+    per subspace instead of the (n, n_centroids, sub_dim) broadcast temp
+    (1.6 GB per 100k-vector batch on this box's weak memory path)."""
     n_sub, _, sub = codebook.shape
     out = np.empty((len(vecs), n_sub), dtype=np.uint8)
     for s in range(n_sub):
         seg = vecs[:, s * sub : (s + 1) * sub]
-        d = ((seg[:, None, :] - codebook[s][None, :, :]) ** 2).sum(-1)
+        c = codebook[s]
+        d = (c * c).sum(1)[None, :] - 2.0 * (seg @ c.T)
         out[:, s] = d.argmin(1).astype(np.uint8)
     return out
 
