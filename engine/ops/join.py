@@ -272,6 +272,11 @@ def auto_join(
             left, small, keys=keys, join_type=join_type, suffix_overlapping=True
         )
     if detect_skew and isinstance(key, str):
+        # Materialize the left ONCE up front (the shuffle/salted join's
+        # _keyed_arrow would anyway) so the skew probe reads blocks
+        # instead of executing a prefix of the lazy chain that the real
+        # join then re-executes.
+        left, _ = _keyed_arrow(left, keys)
         share = _top_key_share(left, key)
         if share >= skew_share_threshold:
             auto_join.last_strategy = "salted"
