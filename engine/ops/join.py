@@ -76,12 +76,32 @@ def _ensure_arrow(ds: rd.Dataset) -> tuple[rd.Dataset, pa.Schema]:
                 if isinstance(t, pa.DataType):
                     fields.append(pa.field(n, t))
                     continue
+                if t is None:
+                    # Ray's Schema.types yields None when a pandas
+                    # extension dtype (e.g. Int64) has no direct Arrow
+                    # mapping; np.dtype(None) would silently mean
+                    # float64 — degrade to null and let _union_fields
+                    # resolve the concrete type from the other side.
+                    fields.append(pa.field(n, pa.null()))
+                    continue
                 try:
                     npdt = getattr(t, "numpy_dtype", None) or np.dtype(t)
                     fields.append(pa.field(n, pa.from_numpy_dtype(npdt)))
                 except (TypeError, pa.ArrowNotImplementedError):
                     fields.append(pa.field(n, pa.null()))
-            return ds, pa.schema(fields)
+            schema = pa.schema(fields)
+            # This fallback only fires when the pipeline yielded no
+            # Arrow rows. If the side is verifiably empty, re-root it as
+            # a concrete empty Arrow dataset: the bare map_batches chain
+            # loses ALL schema metadata on a second materialization, so
+            # a downstream _ensure_arrow (e.g. shuffle_join re-keying
+            # this side inside _shuffled_semi) would have nothing left
+            # to infer from and raise (hypothesis-found: empty Int64
+            # left through the shuffled semi route).
+            mat = ds.materialize()
+            if mat.count() == 0:
+                return rd.from_arrow(schema.empty_table()), schema
+            return mat, schema
     raise ValueError(
         "cannot infer an Arrow schema: dataset produced no rows "
         "(empty filtered read?) and no schema metadata survived"
@@ -404,6 +424,11 @@ def _shuffled_semi(
         col = t.column(right_key)
         if pa.types.is_floating(col.type) and not pa.types.is_floating(key_type):
             col = pc.if_else(pc.is_nan(col), pa.scalar(None, col.type), col)
+        if pa.types.is_null(key_type):
+            # An EMPTY left side degrades its key to the null type; keep
+            # the key set's own concrete type (nothing can match anyway,
+            # and casting int64 → null is not a thing).
+            return pa.table({left_key: col})
         return pa.table({left_key: pc.cast(col, key_type)})
 
     keys_ds = dk.map_batches(_conform, batch_format="pyarrow")

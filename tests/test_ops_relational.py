@@ -1193,3 +1193,22 @@ def test_auto_semi_join_property_random_frames():
             assert a == b
 
     _check()
+
+
+def test_auto_semi_join_empty_left_shuffled_route():
+    """Pinned hypothesis falsifier: an EMPTY Int64-keyed left side
+    through the forced-shuffle semi route. The left loses every scrap
+    of schema metadata by the time shuffle_join re-keys it; _ensure_arrow
+    must re-root it as a concrete empty Arrow dataset instead of
+    raising."""
+    from engine.ops.join import auto_semi_join
+
+    l = pd.DataFrame({"k": pd.array([], dtype="Int64"),
+                      "v": np.arange(0, dtype=np.int64)})
+    for rk, anti in (([None], False), ([None], True), ([1, None, 2], False)):
+        r = pd.DataFrame({"k": pd.array(rk, dtype="Int64")})
+        got = auto_semi_join(
+            rd.from_pandas(l), rd.from_pandas(r), "k",
+            anti=anti, broadcast_threshold_keys=0,
+        ).to_pandas()
+        assert len(got) == 0
