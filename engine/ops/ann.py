@@ -126,6 +126,98 @@ def build_centroids(sample: np.ndarray, n_cells: int, seed: int = 42, iters: int
     return cent
 
 
+def _kmeans_partials(vq: np.ndarray, cq: np.ndarray) -> pd.DataFrame:
+    """Per-batch Lloyd partial: exact-int64 assignment + per-cluster
+    component sums. Assignment by the matmul identity argmin(|c|^2 -
+    2 v.c) — |v|^2 is constant per row; everything stays int64 so the
+    result is independent of batch boundaries and summation order."""
+    cross = vq @ cq.T  # (n, k) exact int64
+    cnorm = np.einsum("ij,ij->i", cq, cq)  # (k,) exact int64
+    assign = (cnorm[None, :] - 2 * cross).argmin(1)  # first-min tie-break
+    order = np.argsort(assign, kind="stable")
+    sa = assign[order]
+    uniq, starts = np.unique(sa, return_index=True)
+    sums = np.add.reduceat(vq[order], starts, axis=0)  # int64 exact
+    counts = np.diff(np.append(starts, len(sa))).astype(np.int64)
+    return assign, pd.DataFrame(
+        {"cluster": uniq.astype(np.int64), "n": counts, "s": list(sums)}
+    )
+
+
+def kmeans(
+    ds: rd.Dataset,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    iters: int = 5,
+    sample_n: int = 4096,
+    seed: int = 42,
+) -> tuple[np.ndarray, rd.Dataset]:
+    """Distributed Lloyd k-means over the FULL dataset, parallelism- and
+    batch-order-invariant.
+
+    Init: deterministic bottom-k-by-hash sample → driver-side Lloyd
+    (:func:`build_centroids`), quantized to the module's exact-int64
+    grid. Each refinement round is ONE map_batches pass over the
+    materialized (id, vec) projection emitting per-cluster partial
+    (count, int64 component-sum) rows — at most k rows per batch cross
+    to the driver, never vectors — reduced by exact integer addition
+    (order-invariant), and the next centroids are round(sum/n) back on
+    the quantized grid. Identical centroids at ANY parallelism or batch
+    split, so the single-process reference in the tests matches
+    bit-for-bit. Empty clusters keep their previous centroid; converged
+    centroids stop the loop early.
+
+    Returns (centroids float64 (k, d), assignment Dataset with
+    [id_col, "cluster"]). The projection is materialized once and reused
+    by every round and the final assignment pass (a lazy chain would
+    re-read the source per round)."""
+    data = ds.select_columns([id_col, vec_col]).materialize()
+    sample_rows = bottomk_sample_rows(data, id_col, sample_n, seed=f"kmeans-{seed}")
+    sample = _stack_any(sample_rows, vec_col)
+    cq = quantize(build_centroids(sample, k, seed=seed))
+
+    from engine.util.collect import pull_arrow
+
+    for _ in range(iters):
+        ref = ray.put(cq)
+
+        def _partial(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({"cluster": pd.Series(dtype="int64"),
+                                     "n": pd.Series(dtype="int64"),
+                                     "s": pd.Series(dtype="object")})
+            vq = quantize(_stack(df, vec_col))
+            _, part = _kmeans_partials(vq, _cached_get(ref))
+            return part
+
+        tbl = pull_arrow(data.map_batches(_partial, batch_format="pandas"))
+        new = cq.copy()
+        if tbl is not None and tbl.num_rows:
+            pdf = tbl.to_pandas()
+            for c, grp in pdf.groupby("cluster", sort=True):
+                n = int(grp["n"].sum())
+                if n:
+                    total = np.sum(np.stack(grp["s"].to_numpy()).astype(np.int64), axis=0)
+                    new[int(c)] = np.round(total / n).astype(np.int64)
+        if np.array_equal(new, cq):
+            break
+        cq = new
+
+    ref = ray.put(cq)
+
+    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "cluster": pd.Series(dtype="int64")})
+        vq = quantize(_stack(df, vec_col))
+        assign, _ = _kmeans_partials(vq, _cached_get(ref))
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "cluster": assign.astype(np.int64)})
+
+    return cq.astype(np.float64) / QUANT, data.map_batches(_assign, batch_format="pandas")
+
+
 def knn_ivf(
     ds: rd.Dataset,
     vec_col: str,

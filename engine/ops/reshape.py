@@ -97,6 +97,36 @@ def percentile_disc_by_group(
     )
 
 
+def global_percentile_disc(ds: rd.Dataset, col: str, q: float) -> float:
+    """Exact global PERCENTILE_DISC(q) returned as a driver-side scalar:
+    the smallest value whose cumulative distribution >= q (ANSI
+    semantics, NULLs ignored). One bucketed count exchange over the
+    DISTINCT values (per-batch value-count combiner — one row per
+    distinct value per batch crosses the exchange, never the data), then
+    a cumulative-count selection over the pulled histogram.
+
+    Scale contract: the distinct-value set must be pull-bounded —
+    quantized scores, token counts, ratings, ages. For raw continuous
+    columns with ~n distinct values use ``engine.ops.sketch.
+    approx_percentile`` instead; this helper is for exact thresholds
+    (percentile pruning) over quantized signals."""
+    from engine.ops.agg import grouped_agg
+    from engine.util.collect import pull_arrow
+
+    counts = grouped_agg(ds.select_columns([col]), [col], {"n": ("count", None)})
+    tbl = pull_arrow(counts)
+    if tbl is None or tbl.num_rows == 0:
+        raise ValueError(f"global_percentile_disc: no rows in column {col!r}")
+    df = tbl.to_pandas().dropna(subset=[col]).sort_values(col)
+    n = int(df["n"].sum())
+    if n == 0:
+        raise ValueError(f"global_percentile_disc: column {col!r} is all-null")
+    # 1-based target rank, same convention as percentile_disc_by_group.
+    rank = max(1, math.ceil(q * n))
+    cum = df["n"].cumsum().to_numpy()
+    return df[col].to_numpy()[int(np.searchsorted(cum, rank))]
+
+
 def histogram_fixed_width(
     ds: rd.Dataset, col: str, width: float, bin_col: str = "bin", out: str = "n"
 ) -> rd.Dataset:

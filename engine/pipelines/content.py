@@ -137,6 +137,22 @@ def q_ann_ivf(sf_dir):
                    centroids=cent, n_probe=4)
 
 
+@register_query("q_kmeans")  # iterative algorithm — rows-only
+def q_kmeans(sf_dir):
+    """Distributed Lloyd k-means over the full embedding table (corpus
+    clustering for mixture curation / IVF refinement). Exact-int64
+    centroid accumulation → bit-identical clusters at any parallelism
+    (asserted against a single-process reference in
+    tests/test_ops_content.py). Output: one row per cluster with its
+    member count."""
+    from engine.ops.agg import grouped_agg
+    from engine.ops.ann import kmeans
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _, assign = kmeans(ds, "embedding", "vec_id", k=8, iters=4)
+    return grouped_agg(assign, ["cluster"], {"n": ("count", None)})
+
+
 @register_query(
     "q_text_stats",
     oracle="""SELECT doc_id,
@@ -231,6 +247,48 @@ def q_quality_score(sf_dir):
     corpus (verified: no runs of spaces / tabs / newlines at any sf)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return select(quality_score(ds), ["doc_id", "quality"])
+
+
+_QUALITY_SQL = f"""t AS (
+                 SELECT doc_id, text,
+                        CAST(greatest(length(text), 1) AS DOUBLE) AS n,
+                        string_split(lower(text), ' ') AS ws
+                 FROM documents),
+               s AS (SELECT doc_id,
+                      round(0.4 * least(n / 200.0, 1.0)
+                          + 0.3 * (1.0 - least(
+                                (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / n * 5.0,
+                                1.0))
+                          + 0.3 * least(
+                                CAST(len(list_filter(ws, w -> w IN ({_stop_sql()}))) AS DOUBLE)
+                                / greatest(len(ws), 1) * 4.0,
+                                1.0), 6) AS quality
+               FROM t)"""
+
+
+@register_query(
+    "q_quality_prune",
+    oracle=f"""WITH {_QUALITY_SQL}
+               SELECT doc_id, quality FROM s
+               WHERE quality >= (SELECT PERCENTILE_DISC(0.3)
+                                 WITHIN GROUP (ORDER BY quality) FROM s)""",
+)
+def q_quality_prune(sf_dir):
+    """Percentile-threshold quality pruning (keep the top ~70% of the
+    corpus by score) — the standard curation move when the keep-budget
+    is a fraction, not an absolute score. Exact global
+    PERCENTILE_DISC(0.3) over the quantized (round-6) quality signal:
+    a value-histogram exchange (one row per distinct score per batch),
+    threshold resolved on the driver and broadcast into a plain filter.
+    The scored projection is materialized once so the histogram pass and
+    the filter pass reuse the same blocks instead of re-running the
+    scorer."""
+    from engine.ops.reshape import global_percentile_disc
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = select(quality_score(ds), ["doc_id", "quality"]).materialize()
+    thr = float(global_percentile_disc(scored, "quality", 0.3))
+    return filter_expr(scored, lambda t: pc.greater_equal(t.column("quality"), thr))
 
 
 def _langid_oracle() -> str:

@@ -487,3 +487,51 @@ def test_pq_adc_recall_vs_brute(sf_dir):
     a = sorted(map(tuple, approx[["query_id", "id", "score"]].to_numpy().tolist()))
     b = sorted(map(tuple, approx2[["query_id", "id", "score"]].to_numpy().tolist()))
     assert a == b
+
+
+def test_kmeans_distributed_matches_single_process(sf_dir):
+    """Distributed Lloyd == single-process reference, bit-for-bit:
+    exact-int64 centroid accumulation makes the result independent of
+    batch boundaries and parallelism, so the same init must yield
+    IDENTICAL centroids and assignments."""
+    import pyarrow.parquet as pq
+
+    from engine.io.sources import read_table
+    from engine.ops.ann import (
+        _kmeans_partials, bottomk_sample_rows, build_centroids, kmeans, quantize,
+    )
+
+    k, iters = 5, 3
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent, assign_ds = kmeans(ds, "embedding", "vec_id", k=k, iters=iters)
+    got = assign_ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    # Single-process reference: same init, whole table as ONE batch.
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = np.stack([np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()])
+    ids = np.asarray(tbl["vec_id"].to_pylist())
+    order = np.argsort(ids)
+    vecs, ids = vecs[order], ids[order]
+    sample = np.stack([
+        np.asarray(r["embedding"], dtype=np.float64)
+        for r in bottomk_sample_rows(ds, "vec_id", 4096, seed="kmeans-42")
+    ])
+    cq = quantize(build_centroids(sample, k, seed=42))
+    vq = quantize(vecs)
+    for _ in range(iters):
+        assign, part = _kmeans_partials(vq, cq)
+        new = cq.copy()
+        for c, grp in part.groupby("cluster"):
+            n = int(grp["n"].sum())
+            total = np.sum(np.stack(grp["s"].to_numpy()).astype(np.int64), axis=0)
+            new[int(c)] = np.round(total / n).astype(np.int64)
+        if np.array_equal(new, cq):
+            break
+        cq = new
+    ref_assign, _ = _kmeans_partials(vq, cq)
+
+    assert np.array_equal(quantize(cent), cq)
+    assert got["vec_id"].to_numpy().tolist() == ids.tolist()
+    assert got["cluster"].to_numpy().tolist() == ref_assign.tolist()
+    # every cluster is non-trivial on the synthetic corpus
+    assert got["cluster"].nunique() == k
