@@ -31,7 +31,13 @@ from engine.ops.agg import (
 from engine.ops.join import asof_join, broadcast_join, semi_join, shuffle_join
 from engine.ops.map import explode, filter_expr, rename as rename_ds, select, with_columns
 from engine.ops.order import sample_sql, seeded_sample, top_k
-from engine.ops.setops import except_distinct, intersect_distinct, union_all
+from engine.ops.setops import (
+    except_all,
+    except_distinct,
+    intersect_all,
+    intersect_distinct,
+    union_all,
+)
 from engine.ops.sketch import approx_count_distinct
 from engine.ops.window import session, sliding, tumbling
 from engine.registry import register_query
@@ -624,6 +630,41 @@ def q_except(sf_dir):
         return select(ds, ["o_custkey"]).rename_columns({"o_custkey": "custkey"})
 
     return except_distinct(side(300000), side(400000), ["custkey"])
+
+
+@register_query(
+    "q_intersect_all",
+    oracle="""SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+              INTERSECT ALL
+              SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""",
+)
+def q_intersect_all(sf_dir):
+    """Bag-semantics INTERSECT ALL: multiplicity = min(count_a, count_b)
+    per row value — duplicates on both sides matter, unlike q_intersect."""
+    a = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    a = filter_expr(a, lambda t: pc.greater(t.column("o_totalprice"), 150000.0))
+    a = select(a, ["o_custkey"]).rename_columns({"o_custkey": "custkey"})
+    b = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+    b = filter_expr(b, lambda t: pc.equal(t.column("o_orderstatus"), "F"))
+    b = select(b, ["o_custkey"]).rename_columns({"o_custkey": "custkey"})
+    return intersect_all(a, b, ["custkey"])
+
+
+@register_query(
+    "q_except_all",
+    oracle="""SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+              EXCEPT ALL
+              SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000""",
+)
+def q_except_all(sf_dir):
+    """Bag-semantics EXCEPT ALL: multiplicity = max(count_a - count_b, 0)
+    per row value."""
+    def side(cut):
+        ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        ds = filter_expr(ds, lambda t: pc.greater(t.column("o_totalprice"), float(cut)))
+        return select(ds, ["o_custkey"]).rename_columns({"o_custkey": "custkey"})
+
+    return except_all(side(150000), side(300000), ["custkey"])
 
 
 # ---- joins -----------------------------------------------------------------

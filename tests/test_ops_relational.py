@@ -1212,3 +1212,20 @@ def test_auto_semi_join_empty_left_shuffled_route():
             anti=anti, broadcast_threshold_keys=0,
         ).to_pandas()
         assert len(got) == 0
+
+
+def test_setops_all_multiplicity_and_nulls():
+    """ANSI bag semantics: INTERSECT ALL = min(counts), EXCEPT ALL =
+    max(l-r, 0); NULLs compare EQUAL in set operations (unlike joins)."""
+    from engine.ops.setops import except_all, intersect_all
+
+    a = rd.from_pandas(pd.DataFrame({"k": pd.array([1, 1, 1, 2, None, None], dtype="Int64")}))
+    b = rd.from_pandas(pd.DataFrame({"k": pd.array([1, 2, 2, None], dtype="Int64")}))
+    # min(3,1)=1 one, min(1,2)=1 two, min(2,1)=1 null
+    got = intersect_all(a, b, ["k"]).to_pandas()["k"]
+    assert got.notna().sum() == 2 and sorted(got.dropna().astype(int).tolist()) == [1, 2]
+    assert got.isna().sum() == 1
+    exc = except_all(a, b, ["k"]).to_pandas()["k"]
+    # 1: 3-1=2, 2: 1-2=0, null: 2-1=1
+    assert sorted(exc.dropna().astype(int).tolist()) == [1, 1]
+    assert exc.isna().sum() == 1
