@@ -1229,3 +1229,125 @@ def test_setops_all_multiplicity_and_nulls():
     # 1: 3-1=2, 2: 1-2=0, null: 2-1=1
     assert sorted(exc.dropna().astype(int).tolist()) == [1, 1]
     assert exc.isna().sum() == 1
+
+
+def test_analytic_window_property_random_frames():
+    """Property test over the bucketed window exchange: the distributed
+    analytic() result must equal a single-frame pandas computation of
+    the same spec — i.e. the exchange never splits a partition, and
+    batch boundaries / group routing never leak into window semantics.
+    Unique order keys make the row-dependent functions well-defined;
+    the rank family is additionally exercised on a heavily-tied value
+    column."""
+    from hypothesis import given, settings, strategies as st
+
+    from engine.ops.window import analytic
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=60),
+        n_parts=st.integers(min_value=1, max_value=4),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        descending=st.booleans(),
+    )
+    def _check(n, n_parts, seed, descending):
+        rng = np.random.RandomState(seed)
+        df = pd.DataFrame({
+            "p": rng.randint(0, n_parts, n),
+            "o": rng.permutation(n),          # unique order key
+            "v": rng.randint(0, 3, n),        # heavy ties for the rank family
+        })
+        specs = {
+            "rn": ("row_number",),
+            "rk": ("rank", "v"),
+            "drk": ("dense_rank", "v"),
+            "prk": ("percent_rank", "v"),
+            "cd": ("cume_dist", "v"),
+            "tile": ("ntile", 3),
+            "prev": ("lag", "v", 1),
+            "nxt": ("lead", "v", 2),
+            "cs": ("cumsum", "v"),
+            "fv": ("first_value", "v"),
+            "lv": ("last_value", "v"),
+        }
+        got = (
+            analytic(rd.from_pandas(df), ["p"], ["o"], specs, descending=descending)
+            .to_pandas()
+            .sort_values(["p", "o"])
+            .reset_index(drop=True)
+        )
+        # single-frame reference: same pandas semantics, no exchange
+        ref = df.sort_values(["o", "p"], ascending=[not descending, True],
+                             kind="mergesort")
+        g = ref.groupby("p", sort=False)
+        ref = ref.assign(
+            rn=g.cumcount() + 1,
+            rk=g["v"].rank(method="min", ascending=not descending).astype("int64"),
+            drk=g["v"].rank(method="dense", ascending=not descending).astype("int64"),
+            prev=g["v"].shift(1),
+            nxt=g["v"].shift(-2),
+            cs=g["v"].cumsum(),
+            fv=g["v"].transform("first"),
+            lv=g["v"].transform("last"),
+        )
+        rk_max = g["v"].rank(method="max", ascending=not descending)
+        cnt = g["v"].transform("size")
+        ref["prk"] = ((ref["rk"] - 1) / (cnt - 1).clip(lower=1)).where(cnt > 1, 0.0)
+        ref["cd"] = rk_max / cnt
+        i = g.cumcount().to_numpy()
+        c = cnt.to_numpy()
+        q_, r_ = c // 3, c % 3
+        big = r_ * (q_ + 1)
+        ref["tile"] = np.where(i < big, i // np.maximum(q_ + 1, 1),
+                               r_ + (i - big) // np.maximum(q_, 1)).astype("int64") + 1
+        ref = ref.sort_values(["p", "o"]).reset_index(drop=True)
+        for c_ in specs:
+            gv, rv = got[c_].to_numpy(), ref[c_].to_numpy()
+            if gv.dtype.kind == "f" or rv.dtype.kind == "f":
+                assert np.allclose(gv, rv, equal_nan=True), c_
+            else:
+                assert (gv == rv).all(), c_
+
+    _check()
+
+
+def test_grouped_agg_property_null_keys():
+    """Property test over the bucketed combiner: grouped_agg on frames
+    with NULL-bearing composite keys == pandas groupby(dropna=False),
+    at any batch split."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=80),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def _check(n, seed):
+        rng = np.random.RandomState(seed)
+        k1 = pd.array(
+            [None if rng.rand() < 0.2 else int(x) for x in rng.randint(0, 4, n)],
+            dtype="Int64",
+        )
+        df = pd.DataFrame({
+            "k1": k1,
+            "k2": rng.choice(["x", "y"], n),
+            "v": rng.randint(-50, 50, n).astype("int64"),
+        })
+        got = (
+            grouped_agg(rd.from_pandas(df), ["k1", "k2"],
+                        {"s": ("sum", "v"), "mn": ("min", "v"),
+                         "mx": ("max", "v"), "n": ("count", None)})
+            .to_pandas()
+        )
+        ref = (
+            df.groupby(["k1", "k2"], dropna=False)
+            .agg(s=("v", "sum"), mn=("v", "min"), mx=("v", "max"), n=("v", "size"))
+            .reset_index()
+        )
+        key = lambda d: d.assign(__k=d["k1"].astype("Float64").astype(object).astype(str) + "|" + d["k2"]).sort_values("__k").reset_index(drop=True)
+        got, ref = key(got), key(ref)
+        assert len(got) == len(ref)
+        for c_ in ("s", "mn", "mx", "n"):
+            assert got[c_].astype("int64").tolist() == ref[c_].astype("int64").tolist(), c_
+
+    _check()
