@@ -185,6 +185,7 @@ class MergeApply:
         event_schema_b64: str,
         write_mode: str = "rewrite",
         compact_files: int = 4,
+        update_mode: str = "row",
     ):
         from engine.cdc.sink import schema_from_b64
 
@@ -201,8 +202,16 @@ class MergeApply:
         ]
         if write_mode not in ("rewrite", "delta"):
             raise ValueError(f"write_mode {write_mode!r}")
+        if update_mode not in ("row", "column"):
+            raise ValueError(f"update_mode {update_mode!r}")
+        if update_mode == "column" and write_mode != "rewrite":
+            # Merge-on-read (delta) folds row-level tombstone/upsert pairs;
+            # column-level patches would need per-column fold on every
+            # read. Documented restriction, enforced here and in replay().
+            raise ValueError("update_mode='column' requires write_mode='rewrite'")
         self.write_mode = write_mode
         self.compact_files = compact_files
+        self.update_mode = update_mode
 
     def _read_base(self, pid: int) -> pa.Table:
         return live_view(self.lake_dir, self.active.get(pid, []), self.lake_schema)
@@ -212,6 +221,8 @@ class MergeApply:
         if group.num_rows == 0:
             return REPORT_SCHEMA.empty_table()
         pid = group.column("pid")[0].as_py()
+        if self.update_mode == "column":
+            return self._apply_column(group, pid, t0)
         winners = lww_collapse(group)  # cross-salt reconciliation (C2 pass 2)
         events_in = int(pc.sum(winners.column("n_events")).as_py())
         seq_lo = int(pc.min(winners.column("seq_lo")).as_py())
@@ -291,6 +302,156 @@ class MergeApply:
             schema=REPORT_SCHEMA,
         )
 
+    def _apply_column(self, events: pa.Table, pid: int, t0: float) -> pa.Table:
+        """Column-level LWW (partial "patch" updates): a ``U`` event's
+        NULL payload column means *unchanged*, not "set to null" — the
+        latest non-null value per column wins. ``I`` replaces the full
+        row (its nulls ARE null); ``D`` is a full tombstone (its payload
+        is ignored); patches after a barrier (the key's newest I/D)
+        build on the barrier, never on pre-barrier state, so a U after a
+        D re-creates the row from the patched columns only.
+
+        Unlike row-LWW this fold is NOT associative across arbitrary
+        batch splits (a later batch's I must invalidate an earlier
+        batch's already-collapsed patches below it), so column mode
+        skips every pre-shuffle collapse and this method sees the
+        partition's RAW epoch events and does ONE exact fold: winner
+        ROW INDICES are computed per column in pandas (key/seq/op
+        metadata only); payload values — content included — move via
+        Arrow ``take``, so heavy strings never enter pandas."""
+        n = events.num_rows
+        events_in = (
+            int(pc.sum(events.column("n_events")).as_py())
+            if "n_events" in events.column_names
+            else n
+        )
+        seq_lo = int(pc.min(events.column("seq_lo" if "seq_lo" in events.column_names else "seq")).as_py())
+        seq_hi = int(pc.max(events.column("seq")).as_py())
+        patchable = [c for c in self.payload_names if c not in ("repo", "path")]
+
+        meta = pd.DataFrame(
+            {
+                "r": events.column("repo").to_pandas(),
+                "p": events.column("path").to_pandas(),
+                "s": events.column("seq").to_pandas(),
+                "op": events.column("op").to_pandas(),
+                "i": np.arange(n, dtype=np.int64),
+            }
+        )
+        # Barrier = the key's max-seq I/D event.
+        bmask = meta["op"] != "U"
+        bar = (
+            meta[bmask]
+            .sort_values("s", kind="mergesort")
+            .drop_duplicates(["r", "p"], keep="last")[["r", "p", "s", "op"]]
+            .rename(columns={"s": "bs", "op": "bop"})
+        )
+        meta = meta.merge(bar, on=["r", "p"], how="left")
+        eligible = (meta["bs"].isna() | (meta["s"] >= meta["bs"])).to_numpy()
+        order = meta.sort_values(["r", "p", "s"], ascending=[True, True, False],
+                                 kind="mergesort")
+        final = order.drop_duplicates(["r", "p"])[["r", "p", "s", "bop"]].reset_index(drop=True)
+
+        # Per-column winner row index (max-seq eligible non-null non-D).
+        not_d = (order["op"] != "D").to_numpy()
+        elig_sorted = eligible[order.index.to_numpy()]
+        ev_idx: dict[str, pd.Series] = {}
+        for c in patchable:
+            valid = pc.is_valid(events.column(c)).to_numpy(zero_copy_only=False)
+            m = valid[order["i"].to_numpy()] & elig_sorted & not_d
+            w = order[m].drop_duplicates(["r", "p"])
+            ev_idx[c] = final.merge(w[["r", "p", "i"]], on=["r", "p"], how="left")["i"]
+
+        base = self._read_base(pid)
+        bkeys = pd.DataFrame(
+            {
+                "r": base.column("repo").to_pandas(),
+                "p": base.column("path").to_pandas(),
+                "bi": np.arange(base.num_rows, dtype=np.int64),
+            }
+        )
+        base_ix = final.merge(bkeys, on=["r", "p"], how="left")["bi"]
+
+        has_barrier = final["bop"].notna().to_numpy()
+        # A D-barrier key with no later U is a delete; any U after the
+        # barrier keeps the key alive (sequential-fold semantics: every
+        # U is an upsert — even an all-null no-op patch re-creates an
+        # empty row after a delete). I, patched-D, and patch-only keys
+        # all materialize a row.
+        u_rows = order[(order["op"].to_numpy() == "U") & elig_sorted]
+        ua = (
+            final.merge(
+                u_rows.drop_duplicates(["r", "p"])[["r", "p"]].assign(__u=True),
+                on=["r", "p"],
+                how="left",
+            )["__u"]
+            .fillna(False)
+            .to_numpy()
+        )
+        exists = ~((final["bop"] == "D").to_numpy() & ~ua)
+
+        def _take(col: pa.ChunkedArray, idx: pd.Series, keep: np.ndarray) -> pa.Array:
+            ia = pa.array(idx[keep].astype("Int64"), type=pa.int64())
+            return pc.take(col.combine_chunks(), ia)
+
+        use_base = ~has_barrier  # patches coalesce onto base only barrier-free
+        cols: dict[str, pa.Array] = {
+            "repo": pa.array(final["r"][exists], type=pa.string()),
+            "path": pa.array(final["p"][exists], type=pa.string()),
+        }
+        for c in patchable:
+            ftype = self.lake_schema.field(c).type
+            ev = pc.cast(_take(events.column(c), ev_idx[c], exists), ftype)
+            bv = pc.cast(_take(base.column(c), base_ix.where(pd.Series(use_base)), exists), ftype)
+            cols[c] = pc.coalesce(ev, bv)
+        cols["content_sha256"] = pa.array(
+            sha256_hex_column(cols["content"]), type=pa.string()
+        )
+        cols["seq"] = pa.array(final["s"][exists].to_numpy(), type=pa.int64())
+        upsert_rows = pa.table(
+            {f.name: cols[f.name] for f in self.lake_schema}, schema=self.lake_schema
+        )
+
+        removed = base.slice(0, 0)
+        if base.num_rows:
+            hit_ix = base_ix.dropna().astype(np.int64).to_numpy()
+            hit = np.zeros(base.num_rows, dtype=bool)
+            hit[hit_ix] = True
+            removed = base.filter(pa.array(hit))
+            base = base.filter(pa.array(~hit))
+        out = pa.concat_tables([base, upsert_rows])
+        out = out.sort_by([("repo", "ascending"), ("path", "ascending")])
+
+        files, nbytes = [], 0
+        if out.num_rows:
+            file_rel = os.path.join(
+                "data", f"part={pid}",
+                f"base-{self.epoch:05d}-{uuid.uuid4().hex[:12]}.parquet",
+            )
+            abs_path = os.path.join(self.lake_dir, file_rel)
+            os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+            pq.write_table(out, abs_path)
+            files = [file_rel]
+            nbytes = os.path.getsize(abs_path)
+
+        return pa.table(
+            {
+                "pid": [pid],
+                "epoch": [self.epoch],
+                "files": [files if files else None],
+                "seq_lo": [seq_lo],
+                "seq_hi": [seq_hi],
+                "events_in": [events_in],
+                "upserts": [int(upsert_rows.num_rows)],
+                "deletes": [int((~exists).sum())],
+                "rows_out": [int(out.num_rows)],
+                "bytes_written": [nbytes],
+                "duration_s": [time.monotonic() - t0],
+                "summary_delta": [_summary_delta(removed, upsert_rows)],
+            },
+            schema=REPORT_SCHEMA,
+        )
+
 
 _MERGE_CACHE: dict[tuple, MergeApply] = {}
 
@@ -304,6 +465,7 @@ def merge_apply_group(
     event_schema_b64,
     write_mode="rewrite",
     compact_files=4,
+    update_mode="row",
 ) -> pa.Table:
     """Task-form of :class:`MergeApply` (elastic scheduling: one task per
     partition group, no pool pre-reservation — a fixed-size actor pool
@@ -311,11 +473,12 @@ def merge_apply_group(
     per-epoch pool pays actor startup every epoch). The constructed
     stage is cached per worker process per epoch, mirroring actor-pool
     setup amortization."""
-    key = (lake_dir, epoch, event_schema_b64, write_mode)
+    key = (lake_dir, epoch, event_schema_b64, write_mode, update_mode)
     fn = _MERGE_CACHE.get(key)
     if fn is None:
         _MERGE_CACHE.clear()  # previous epochs' entries are dead
         fn = _MERGE_CACHE[key] = MergeApply(
-            lake_dir, epoch, active_files, event_schema_b64, write_mode, compact_files
+            lake_dir, epoch, active_files, event_schema_b64, write_mode,
+            compact_files, update_mode,
         )
     return fn(group)

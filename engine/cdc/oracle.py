@@ -20,9 +20,16 @@ from engine.cdc.verify import canonical_digest
 from engine.schemas import OPS, lake_schema_for
 
 
-def oracle_table(log_dir: str, upto_epoch: int | None = None) -> pa.Table:
+def oracle_table(
+    log_dir: str, upto_epoch: int | None = None, update_mode: str = "row"
+) -> pa.Table:
     """Replay the changelog sequentially; return the final lake-shaped
-    table (payload + content_sha256 + winning seq), sorted by key."""
+    table (payload + content_sha256 + winning seq), sorted by key.
+
+    ``update_mode="column"``: a U event's NULL payload field means
+    UNCHANGED — it merges its non-null fields onto the current row (or
+    onto an empty row if none exists, including right after a D); I and
+    D keep full-row semantics."""
     epochs = tailer.available_epochs(log_dir)
     if upto_epoch is not None:
         epochs = [e for e in epochs if e <= upto_epoch]
@@ -50,10 +57,16 @@ def oracle_table(log_dir: str, upto_epoch: int | None = None) -> pa.Table:
         if op == "D":
             state.pop(key, None)
         else:
-            rec = {n: row[n] for n in payload_names}
+            if update_mode == "column" and op == "U":
+                rec = dict(state.get(key) or {n: None for n in payload_names})
+                for n_ in payload_names:
+                    if row[n_] is not None:
+                        rec[n_] = row[n_]
+            else:
+                rec = {n: row[n] for n in payload_names}
             rec["content_sha256"] = (
-                hashlib.sha256(row["content"].encode()).hexdigest()
-                if row.get("content") is not None
+                hashlib.sha256(rec["content"].encode()).hexdigest()
+                if rec.get("content") is not None
                 else None
             )
             rec["seq"] = seq
@@ -67,5 +80,7 @@ def oracle_table(log_dir: str, upto_epoch: int | None = None) -> pa.Table:
     return pa.table(cols, schema=lake_schema)
 
 
-def oracle_state_hash(log_dir: str, upto_epoch: int | None = None) -> str:
-    return canonical_digest(oracle_table(log_dir, upto_epoch))
+def oracle_state_hash(
+    log_dir: str, upto_epoch: int | None = None, update_mode: str = "row"
+) -> str:
+    return canonical_digest(oracle_table(log_dir, upto_epoch, update_mode))

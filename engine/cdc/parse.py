@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 import uuid
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -44,6 +45,7 @@ class PrepareEvents:
         num_salts: int,
         deadletter_dir: str | None = None,
         epoch: int = 0,
+        update_mode: str = "row",
     ):
         from engine.cdc.sink import schema_from_b64
 
@@ -52,6 +54,7 @@ class PrepareEvents:
         self.num_salts = num_salts
         self.deadletter_dir = deadletter_dir
         self.epoch = epoch
+        self.update_mode = update_mode
 
     def _validate(self, batch: pa.Table) -> pa.Table:
         ok = pc.is_in(batch.column("op"), value_set=pa.array(OPS))
@@ -70,6 +73,17 @@ class PrepareEvents:
         batch = self._validate(batch)
         batch = conform_table(batch, self.target_schema)
         batch = assign_partitions(batch, self.num_partitions, self.num_salts)
+        if self.update_mode == "column":
+            # Column-level LWW is NOT associative across batch splits (a
+            # later batch's I/D barrier must invalidate patches already
+            # collapsed below it in another batch), so NO pre-shuffle
+            # collapse — only the lineage accumulators are appended; the
+            # exact per-key fold happens once, in MergeApply._apply_column.
+            n = batch.num_rows
+            batch = batch.append_column(
+                "n_events", pa.array(np.ones(n, dtype=np.int64))
+            )
+            return batch.append_column("seq_lo", batch.column("seq"))
         return lww_collapse(batch)
 
 

@@ -98,6 +98,18 @@ class ReplayConfig:
     # on both paths (tested, incl. skew + the gate fallback).
     exchange: str = "full"
     late_max_winners: int = 4_000_000
+    # Upsert semantics. "row" (default): an event's payload replaces the
+    # whole row — classic LWW by seq. "column": partial "patch" updates —
+    # a U event's NULL payload column means UNCHANGED (latest non-null
+    # value per column wins); I replaces the full row, D is a full
+    # tombstone, and patches after a barrier build on the barrier only.
+    # Column mode is NOT an associative collapse, so it skips the
+    # per-batch combiner AND the (pid, salt) sub-LWW exchange: raw
+    # events flow through ONE pid shuffle into an exact per-key fold in
+    # MergeApply._apply_column. Requires write_mode="rewrite" and
+    # exchange="full" (delta merge-on-read and the late-materialization
+    # locator path both assume row-level collapse).
+    update_mode: str = "row"
 
 
 def _cpus() -> int:
@@ -137,11 +149,21 @@ def build_winners(log, lake_dir: str, epoch: int, cfg: ReplayConfig, target_b64:
             num_salts=cfg.num_salts,
             deadletter_dir=sink.lake_paths(lake_dir)["deadletter"],
             epoch=epoch,
+            update_mode=cfg.update_mode,
         ),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         zero_copy_batch=True,
     )
+    if cfg.update_mode == "column":
+        if cfg.exchange != "full" or cfg.write_mode != "rewrite":
+            raise ValueError(
+                "update_mode='column' requires exchange='full' and "
+                "write_mode='rewrite' (see ReplayConfig)"
+            )
+        # No sub-LWW exchange: the fold is not associative; the merge's
+        # own groupby(pid) is the single all-to-all for raw events.
+        return ds
     if cfg.exchange == "late":
         return _late_winners(ds, cfg)
     # NOTE on groupby(num_partitions=...): measured WORSE at every level
@@ -275,7 +297,8 @@ def merge_and_commit(
         reports_ds = winners.groupby("pid").map_groups(
             MergeApply,
             fn_constructor_args=(
-                lake_dir, epoch, active, target_b64, cfg.write_mode, cfg.compact_files,
+                lake_dir, epoch, active, target_b64, cfg.write_mode,
+                cfg.compact_files, cfg.update_mode,
             ),
             batch_format="pyarrow",
             concurrency=merge_conc,
@@ -290,6 +313,7 @@ def merge_and_commit(
                 event_schema_b64=target_b64,
                 write_mode=cfg.write_mode,
                 compact_files=cfg.compact_files,
+                update_mode=cfg.update_mode,
             ),
             batch_format="pyarrow",
         )

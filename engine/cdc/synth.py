@@ -53,6 +53,11 @@ class SynthConfig:
     # unchanged) — exercises W4 arrival-order invariance.
     shuffle_within_epochs: bool = False
     op_mix: tuple = (60, 30, 10)  # I / U / D percent
+    # Patch-update profile (update_mode="column" replay): each U event's
+    # payload column (commit / lang / content) is independently nulled
+    # with this probability — null meaning UNCHANGED. Pure function of
+    # (seed, i, column), like every other event attribute.
+    patch_null_frac: float = 0.0
 
 
 def _load_doc_bases(sf_dir: str, max_chars: int):
@@ -110,6 +115,15 @@ def _events_for_range(cfg: SynthConfig, lo: int, hi: int, texts, langs) -> dict:
         [f"{a:016x}{b:016x}{(int(a) ^ int(b)) & 0xffffffff:08x}" for a, b in zip(u_c1, u_c2)],
         dtype=object,
     )
+    if cfg.patch_null_frac > 0:
+        is_u = op == "U"
+        lang = lang.copy()
+        for j, arr in enumerate((commit, lang, content)):
+            u_m = splitmix64(i ^ (seed * _U(0x7001B + 2 * j)))
+            nullit = is_u & (
+                (u_m % _U(1_000_000)).astype(np.float64) < cfg.patch_null_frac * 1e6
+            )
+            arr[nullit] = None
     return {
         "seq": i.astype(np.int64),
         "op": op,
