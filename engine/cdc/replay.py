@@ -517,6 +517,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--salts", type=int, default=4)
     ap.add_argument("--write-mode", choices=["rewrite", "delta"], default="rewrite")
+    ap.add_argument(
+        "--update-mode", choices=["row", "column"], default="row",
+        help="column: partial patch updates — a U event's NULL column means unchanged",
+    )
     ap.add_argument("--follow", action="store_true", help="tail the log for new epochs")
     ap.add_argument("--poll-s", type=float, default=1.0)
     ap.add_argument(
@@ -528,7 +532,8 @@ def main(argv: list[str] | None = None) -> None:
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     cfg = ReplayConfig(
-        num_partitions=args.partitions, num_salts=args.salts, write_mode=args.write_mode
+        num_partitions=args.partitions, num_salts=args.salts,
+        write_mode=args.write_mode, update_mode=args.update_mode,
     )
     summary = replay(
         args.log_dir,

@@ -86,6 +86,35 @@ def q_cdc_lsm_delta(sf_dir):
     )
 
 
+@register_query("q_cdc_patch_state")
+def q_cdc_patch_state(sf_dir):
+    """Column-level LWW (patch-update) replay end-to-end, self-checking:
+    a changelog whose U events null ~60% of payload columns (null =
+    UNCHANGED) replayed with update_mode='column'; the state hash is
+    asserted against the sequential single-process oracle with the same
+    merge semantics before returning rows. Rows-only driver check, but
+    any divergence raises."""
+    from engine.cdc.oracle import oracle_state_hash
+    from engine.cdc.verify import state_hash
+
+    work = tempfile.mkdtemp(prefix="cdc_patch_q_")
+    log = synth_changelog(
+        sf_dir, f"{work}/log",
+        SynthConfig(seed=11, n_events=6000, n_epochs=3, n_keys=1200,
+                    op_mix=(30, 60, 10), patch_null_frac=0.6),
+    )
+    lake = f"{work}/lake"
+    replay(log, lake, ReplayConfig(num_partitions=16, num_salts=2,
+                                   update_mode="column"))
+    h_eng = state_hash(lake)
+    h_ora = oracle_state_hash(log, update_mode="column")
+    if h_eng != h_ora:
+        raise AssertionError(f"patch-mode state diverged: {h_eng} != {h_ora}")
+    return read_lake(lake).select_columns(
+        ["repo", "path", "content_sha256", "seq"]
+    )
+
+
 @register_query("q_cdc_time_travel")
 def q_cdc_time_travel(sf_dir):
     """Manifest-pinned time travel, self-checking: the lake state read AT
