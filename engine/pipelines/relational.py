@@ -602,6 +602,26 @@ def q_union_all(sf_dir):
 
 
 @register_query(
+    "q_union_distinct",
+    oracle="""SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 350000
+              UNION
+              SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0""",
+)
+def q_union_distinct(sf_dir):
+    """UNION (distinct): union-all of the two sides through the exact
+    bucketed distinct — rows dedup per batch before the exchange."""
+    from engine.ops.agg import distinct
+
+    a = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    a = filter_expr(a, lambda t: pc.greater(t.column("o_totalprice"), 350000.0))
+    a = select(a, ["o_custkey"]).rename_columns({"o_custkey": "custkey"})
+    b = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    b = filter_expr(b, lambda t: pc.less(t.column("c_acctbal"), 0.0))
+    b = select(b, ["c_custkey"]).rename_columns({"c_custkey": "custkey"})
+    return distinct(union_all(a, b), ["custkey"])
+
+
+@register_query(
     "q_intersect",
     oracle="""SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
               INTERSECT

@@ -1351,3 +1351,37 @@ def test_grouped_agg_property_null_keys():
             assert got[c_].astype("int64").tolist() == ref[c_].astype("int64").tolist(), c_
 
     _check()
+
+
+def test_setops_all_property_vs_duckdb():
+    """Property test: intersect_all / except_all on random multisets
+    (duplicates + NULLs) == DuckDB's INTERSECT ALL / EXCEPT ALL."""
+    from hypothesis import given, settings, strategies as st
+
+    from engine.ops.setops import except_all, intersect_all
+
+    keys = st.lists(
+        st.one_of(st.integers(min_value=0, max_value=5), st.none()),
+        min_size=0, max_size=30,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(lk=keys, rk=keys, mode=st.booleans())
+    def _check(lk, rk, mode):
+        l = pd.DataFrame({"k": pd.array(lk, dtype="Int64")})
+        r = pd.DataFrame({"k": pd.array(rk, dtype="Int64")})
+        fn = intersect_all if mode else except_all
+        out = fn(rd.from_pandas(l), rd.from_pandas(r), ["k"]).to_pandas()
+        # Ray's to_pandas drops columns for zero-row results (documented
+        # quirk) — an empty multiset result is legitimate here.
+        got = out["k"] if "k" in out.columns else pd.Series([], dtype="Int64")
+        con = duckdb.connect()
+        con.register("l", l)
+        con.register("r", r)
+        op = "INTERSECT ALL" if mode else "EXCEPT ALL"
+        ref = [x[0] for x in con.sql(f"SELECT k FROM l {op} SELECT k FROM r").fetchall()]
+        gv = sorted((-1 if pd.isna(v) else int(v)) for v in got)
+        rv = sorted((-1 if v is None else int(v)) for v in ref)
+        assert gv == rv
+
+    _check()
