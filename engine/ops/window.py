@@ -188,6 +188,42 @@ def analytic(
                 out[name] = r.reset_index(
                     level=list(range(len(partition_by))), drop=True
                 )
+            elif fn == "range_sum":
+                # SQL RANGE frame: SUM over rows whose ORDER-BY value lies
+                # in [current - width, current] — peers (equal order value)
+                # on BOTH sides are included, per ANSI RANGE ... CURRENT
+                # ROW. ("range_sum", val_col, width) — width in the order
+                # column's units (microseconds for timestamps). Vectorized
+                # across ALL partition keys at once: each group's order
+                # values are offset into a disjoint int64 band, then two
+                # global searchsorted calls against a prefix-sum array do
+                # every window; no per-group Python. Ascending frames only.
+                if descending:
+                    raise ValueError("range_sum requires ascending order")
+                width = np.int64(spec[2])
+                ts = df[order_by[0]].to_numpy()
+                if np.issubdtype(ts.dtype, np.datetime64):
+                    ts = ts.astype("datetime64[us]").view("int64")
+                else:
+                    ts = ts.astype(np.int64)
+                gid = g.ngroup().to_numpy()
+                ts0 = ts - ts.min()
+                span = np.int64(ts0.max()) + width + np.int64(2)
+                if (int(gid.max()) + 1) * int(span) > 2**62:
+                    raise OverflowError(
+                        "range_sum: order span x group count exceeds int64 "
+                        "banding — narrow the window column or bucket finer"
+                    )
+                banded = ts0 + gid.astype(np.int64) * span
+                order2 = np.argsort(banded, kind="mergesort")
+                b = banded[order2]
+                v = df[spec[1]].to_numpy()[order2].astype(np.int64)
+                cs = np.concatenate([[0], np.cumsum(v)])
+                hi = np.searchsorted(b, b, side="right")
+                lo = np.searchsorted(b, b - width, side="left")
+                res = np.empty(len(b), dtype=np.int64)
+                res[order2] = cs[hi] - cs[lo]
+                out[name] = pd.Series(res, index=df.index)
             else:
                 raise ValueError(f"unknown analytic fn {fn!r}")
         return out.drop(columns="__bucket")

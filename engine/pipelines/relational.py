@@ -1124,6 +1124,35 @@ def q_window_lag_lead(sf_dir):
 
 
 @register_query(
+    "q_window_range",
+    oracle="""SELECT event_id, user_id, ts,
+                     CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                          PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS hour_cents
+              FROM events""",
+)
+def q_window_range(sf_dir):
+    """SQL RANGE frame (time-valued window): per-user trailing-1-hour
+    value sum. Peers (equal ts) on both sides are in-frame per ANSI.
+    The engine computes every partition's windows in ONE vectorized
+    pass per bucket (disjoint int64 banding + two global searchsorted
+    against a prefix-sum) — no per-group Python. Integer cents keep the
+    sums exact."""
+    from engine.ops.window import analytic
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    ds = with_columns(ds, {"cents": _cents("value")})
+    out = analytic(
+        ds,
+        partition_by=["user_id"],
+        order_by=["ts"],
+        specs={"hour_cents": ("range_sum", "cents", 3_600_000_000)},
+    )
+    return select(out, ["event_id", "user_id", "ts", "hour_cents"])
+
+
+@register_query(
     "q_window_moving",
     oracle="""SELECT event_id, user_id, ts,
                      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (

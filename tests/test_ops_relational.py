@@ -1385,3 +1385,35 @@ def test_setops_all_property_vs_duckdb():
         assert gv == rv
 
     _check()
+
+
+def test_range_sum_frame_peers_and_bands():
+    """RANGE frames include ALL peers of the current order value (both
+    sides), and the int64 group banding never leaks a window across
+    partition keys — checked against DuckDB on a frame with tied
+    timestamps and adjacent groups."""
+    from engine.ops.window import analytic
+
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 1, 2, 2, 2],
+        "t": pd.to_datetime([
+            "2024-01-01 00:00", "2024-01-01 00:30", "2024-01-01 00:30",
+            "2024-01-01 02:00", "2024-01-01 00:10", "2024-01-01 00:50",
+            "2024-01-01 01:05",
+        ]).astype("datetime64[us]"),
+        "v": np.array([100, 20, 3, 7, 11, 13, 17], dtype=np.int64),
+        "eid": np.arange(7, dtype=np.int64),
+    })
+    out = (
+        analytic(rd.from_pandas(df), ["u"], ["t"],
+                 {"w": ("range_sum", "v", 3_600_000_000)})
+        .to_pandas().sort_values("eid")
+    )
+    con = duckdb.connect()
+    con.register("d", df)
+    ref = con.sql("""
+        SELECT eid, SUM(v) OVER (PARTITION BY u ORDER BY t
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS w
+        FROM d ORDER BY eid
+    """).df()
+    assert out["w"].to_numpy().tolist() == ref["w"].astype("int64").tolist()
