@@ -65,6 +65,35 @@ def pivot_count(
     return grouped_agg(partial, [key], {c: ("sum", c) for c in out_cols})
 
 
+def pivot_sum(
+    ds: rd.Dataset,
+    key: str,
+    category_col: str,
+    value_col: str,
+    categories: list[str],
+    prefix: str = "",
+) -> rd.Dataset:
+    """Long→wide conditional SUM: one row per key, one int64 sum column
+    per category (pass integer-quantized values for oracle exactness).
+    Same discipline as pivot_count: a per-batch pivot_table combiner so
+    the shuffle moves one wide row per key per batch, never events."""
+    from engine.ops.agg import grouped_agg
+
+    out_cols = [f"{prefix}{c}" for c in categories]
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        pt = df.pivot_table(
+            index=key, columns=category_col, values=value_col,
+            aggfunc="sum", fill_value=0,
+        )
+        pt = pt.reindex(columns=categories, fill_value=0).astype("int64")
+        pt.columns = out_cols
+        return pt.reset_index()
+
+    partial = ds.map_batches(_partial, batch_format="pandas")
+    return grouped_agg(partial, [key], {c: ("sum", c) for c in out_cols})
+
+
 def percentile_disc_by_group(
     ds: rd.Dataset,
     keys: list[str],

@@ -1224,6 +1224,57 @@ def q_pivot(sf_dir):
 
 
 @register_query(
+    "q_pivot_sum",
+    oracle="""SELECT l_returnflag,
+                     CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_O,
+                     CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_F
+              FROM lineitem GROUP BY l_returnflag""",
+)
+def q_pivot_sum(sf_dir):
+    """Long→wide conditional SUM pivot (per-batch pivot_table combiner)."""
+    from engine.ops.reshape import pivot_sum
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    ds = with_columns(ds, {"qty": lambda t: pc.cast(t.column("l_quantity"), pa.int64())})
+    return pivot_sum(ds, "l_returnflag", "l_linestatus", "qty", ["O", "F"], prefix="qty_")
+
+
+@register_query(
+    "q_upsert_snapshot",
+    oracle="""SELECT c_custkey, acctbal_cents FROM (
+                SELECT c_custkey,
+                       CAST(ROUND(c_acctbal * 100) AS BIGINT) + 500 AS acctbal_cents
+                FROM customer WHERE c_mktsegment = 'BUILDING'
+                UNION ALL
+                SELECT c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+                FROM customer
+                WHERE c_custkey NOT IN (SELECT c_custkey FROM customer
+                                        WHERE c_mktsegment = 'BUILDING'))""",
+)
+def q_upsert_snapshot(sf_dir):
+    """Snapshot MERGE/upsert outside the CDC path: source rows replace
+    matching target rows by key, unmatched target rows survive — an
+    anti semi join (size-gated) plus a union; no full-table driver pull."""
+    import pyarrow.dataset as pads
+
+    from engine.ops.join import auto_semi_join
+
+    target = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    target = with_columns(target, {"acctbal_cents": _cents("c_acctbal")})
+    target = select(target, ["c_custkey", "acctbal_cents"])
+    source = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+        filter_expr=pads.field("c_mktsegment") == "BUILDING",
+    )
+    source = with_columns(source, {
+        "acctbal_cents": lambda t: pc.add(_cents("c_acctbal")(t), 500)
+    })
+    source = select(source, ["c_custkey", "acctbal_cents"])
+    keep = auto_semi_join(target, source, "c_custkey", anti=True)
+    return union_all(source, keep)
+
+
+@register_query(
     "q_percentile",
     oracle="""SELECT l_returnflag,
                      PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS median_price
