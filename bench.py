@@ -166,6 +166,11 @@ def run_relational_queries() -> dict:
         "q_decontaminate",
         "q_seq_chunks",
         "q_seq_pack",
+        # round-4 fourth batch
+        "q_quality_prune",
+        "q_kmeans",
+        "q_window_range",
+        "q_intersect_all",
     ]
     import ray.data as rd
 

@@ -177,28 +177,48 @@ def kmeans(
     sample = _stack_any(sample_rows, vec_col)
     cq = quantize(build_centroids(sample, k, seed=seed))
 
+    from engine.ops.agg import grouped_agg
     from engine.util.collect import pull_arrow
 
+    d = cq.shape[1]
     for _ in range(iters):
         ref = ray.put(cq)
 
         def _partial(df: pd.DataFrame) -> pd.DataFrame:
+            # Long form (cluster, dim, s, n): k x d rows per batch feed the
+            # bucketed grouped-sum exchange, so the driver pull is O(k x d)
+            # — independent of batch count, hence of corpus size (a direct
+            # partial pull would be O(k x n_batches): 6e8 rows at a 1e10-
+            # vector corpus). Integer sums keep both shapes bit-identical.
             if len(df) == 0:
                 return pd.DataFrame({"cluster": pd.Series(dtype="int64"),
-                                     "n": pd.Series(dtype="int64"),
-                                     "s": pd.Series(dtype="object")})
+                                     "dim": pd.Series(dtype="int64"),
+                                     "s": pd.Series(dtype="int64"),
+                                     "n": pd.Series(dtype="int64")})
             vq = quantize(_stack(df, vec_col))
             _, part = _kmeans_partials(vq, _cached_get(ref))
-            return part
+            kk = len(part)
+            return pd.DataFrame({
+                "cluster": np.repeat(part["cluster"].to_numpy(), d),
+                "dim": np.tile(np.arange(d, dtype=np.int64), kk),
+                "s": np.concatenate(part["s"].to_numpy()) if kk else
+                     np.array([], dtype=np.int64),
+                # n repeats per dim row; summed per (cluster, dim) it is the
+                # cluster's row count (each batch contributes once per pair).
+                "n": np.repeat(part["n"].to_numpy(), d),
+            })
 
-        tbl = pull_arrow(data.map_batches(_partial, batch_format="pandas"))
+        part_ds = data.map_batches(_partial, batch_format="pandas")
+        tbl = pull_arrow(
+            grouped_agg(part_ds, ["cluster", "dim"], {"s": ("sum", "s"), "n": ("sum", "n")})
+        )
         new = cq.copy()
         if tbl is not None and tbl.num_rows:
-            pdf = tbl.to_pandas()
+            pdf = tbl.to_pandas().sort_values(["cluster", "dim"])
             for c, grp in pdf.groupby("cluster", sort=True):
-                n = int(grp["n"].sum())
+                n = int(grp["n"].iloc[0])
                 if n:
-                    total = np.sum(np.stack(grp["s"].to_numpy()).astype(np.int64), axis=0)
+                    total = grp["s"].to_numpy().astype(np.int64)
                     new[int(c)] = np.round(total / n).astype(np.int64)
         if np.array_equal(new, cq):
             break
