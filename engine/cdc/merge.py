@@ -204,11 +204,6 @@ class MergeApply:
             raise ValueError(f"write_mode {write_mode!r}")
         if update_mode not in ("row", "column"):
             raise ValueError(f"update_mode {update_mode!r}")
-        if update_mode == "column" and write_mode != "rewrite":
-            # Merge-on-read (delta) folds row-level tombstone/upsert pairs;
-            # column-level patches would need per-column fold on every
-            # read. Documented restriction, enforced here and in replay().
-            raise ValueError("update_mode='column' requires write_mode='rewrite'")
         self.write_mode = write_mode
         self.compact_files = compact_files
         self.update_mode = update_mode
@@ -422,16 +417,55 @@ class MergeApply:
         out = pa.concat_tables([base, upsert_rows])
         out = out.sort_by([("repo", "ascending"), ("path", "ascending")])
 
+        # The exact fold coalesced every upsert against the current
+        # merge-on-read state, so the folded rows are COMPLETE — a patch
+        # epoch's delta is just complete upserts + D tombstones, and the
+        # row-level max-seq merge-on-read (live_view) stays correct. The
+        # non-associativity only forbids collapsing RAW patches.
+        prev = self.active.get(pid, [])
+        write_delta = self.write_mode == "delta" and len(prev) + 1 <= self.compact_files
         files, nbytes = [], 0
         if out.num_rows:
-            file_rel = os.path.join(
-                "data", f"part={pid}",
-                f"base-{self.epoch:05d}-{uuid.uuid4().hex[:12]}.parquet",
-            )
-            abs_path = os.path.join(self.lake_dir, file_rel)
-            os.makedirs(os.path.dirname(abs_path), exist_ok=True)
-            pq.write_table(out, abs_path)
-            files = [file_rel]
+            if write_delta:
+                gone = ~exists
+                tomb_cols: dict[str, pa.Array] = {}
+                for f in self.lake_schema:
+                    if f.name == "repo":
+                        tomb_cols[f.name] = pa.array(final["r"][gone], type=pa.string())
+                    elif f.name == "path":
+                        tomb_cols[f.name] = pa.array(final["p"][gone], type=pa.string())
+                    elif f.name == "seq":
+                        tomb_cols[f.name] = pa.array(
+                            final["s"][gone].to_numpy(), type=pa.int64()
+                        )
+                    else:
+                        tomb_cols[f.name] = pa.nulls(int(gone.sum()), f.type)
+                tombstones = pa.table(tomb_cols, schema=self.lake_schema)
+                delta = pa.concat_tables([
+                    upsert_rows.append_column(
+                        "op", pa.array(["U"] * upsert_rows.num_rows, pa.string())
+                    ),
+                    tombstones.append_column(
+                        "op", pa.array(["D"] * tombstones.num_rows, pa.string())
+                    ),
+                ])
+                file_rel = os.path.join(
+                    "data", f"part={pid}",
+                    f"delta-{self.epoch:05d}-{uuid.uuid4().hex[:12]}.parquet",
+                )
+                abs_path = os.path.join(self.lake_dir, file_rel)
+                os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+                pq.write_table(delta, abs_path)
+                files = prev + [file_rel]
+            else:
+                file_rel = os.path.join(
+                    "data", f"part={pid}",
+                    f"base-{self.epoch:05d}-{uuid.uuid4().hex[:12]}.parquet",
+                )
+                abs_path = os.path.join(self.lake_dir, file_rel)
+                os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+                pq.write_table(out, abs_path)
+                files = [file_rel]
             nbytes = os.path.getsize(abs_path)
 
         return pa.table(

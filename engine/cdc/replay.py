@@ -106,9 +106,11 @@ class ReplayConfig:
     # Column mode is NOT an associative collapse, so it skips the
     # per-batch combiner AND the (pid, salt) sub-LWW exchange: raw
     # events flow through ONE pid shuffle into an exact per-key fold in
-    # MergeApply._apply_column. Requires write_mode="rewrite" and
-    # exchange="full" (delta merge-on-read and the late-materialization
-    # locator path both assume row-level collapse).
+    # MergeApply._apply_column. Composes with write_mode="delta" (the
+    # fold emits COMPLETE rows, so delta files are ordinary upserts +
+    # tombstones and merge-on-read stays row-level max-seq). Requires
+    # exchange="full" (the late-materialization locator path assumes
+    # row-level collapse).
     update_mode: str = "row"
 
 
@@ -156,10 +158,10 @@ def build_winners(log, lake_dir: str, epoch: int, cfg: ReplayConfig, target_b64:
         zero_copy_batch=True,
     )
     if cfg.update_mode == "column":
-        if cfg.exchange != "full" or cfg.write_mode != "rewrite":
+        if cfg.exchange != "full":
             raise ValueError(
-                "update_mode='column' requires exchange='full' and "
-                "write_mode='rewrite' (see ReplayConfig)"
+                "update_mode='column' requires exchange='full' (the late-"
+                "materialization locator path assumes row-level collapse)"
             )
         # No sub-LWW exchange: the fold is not associative; the merge's
         # own groupby(pid) is the single all-to-all for raw events.

@@ -26,6 +26,14 @@ from engine.ops.join import _cached_get
 
 QUANT = 1_000_000
 
+# kmeans per-iteration reduce gate: pull the long-form partials when their
+# row count is bounded (k x d x n_batches); distributed grouped sum above.
+_KMEANS_PULL_MAX = 2_000_000
+
+# bottom-k sample finish gate: driver sort when the per-batch bottom-n
+# partials (n x n_batches rows) are pull-bounded; distributed sort above.
+_SAMPLE_PULL_MAX = 2_000_000
+
 
 def _stack(df: pd.DataFrame, vec_col: str) -> np.ndarray:
     return np.stack(df[vec_col].to_numpy())
@@ -104,7 +112,20 @@ def bottomk_sample_rows(
 
     from engine.util.collect import pull_arrow
 
-    tbl = pull_arrow(ds.map_batches(_bottom, batch_format="pandas").sort("__h").limit(n))
+    # Size-gated finish: each batch already collapsed to its bottom-n, so
+    # when the partial total is pull-bounded a driver-side sort replaces
+    # the distributed sort+limit (whose fixed exchange cost is ~3 s even
+    # on a 2k-row table). Above the bound (n x n_batches partial rows at
+    # corpus scale) the distributed sort runs. Both paths pick the same
+    # rows; the id tiebreak pins order exactly.
+    part = ds.map_batches(_bottom, batch_format="pandas").materialize()
+    if part.count() <= _SAMPLE_PULL_MAX:
+        tbl = pull_arrow(part)
+        if tbl is None or tbl.num_rows == 0:
+            return []
+        df = tbl.to_pandas().sort_values(["__h", id_col], kind="mergesort").head(n)
+        return df.drop(columns="__h").to_dict("records")
+    tbl = pull_arrow(part.sort("__h").limit(n))
     if tbl is None:
         return []
     return tbl.drop_columns(["__h"]).to_pylist()
@@ -208,13 +229,28 @@ def kmeans(
                 "n": np.repeat(part["n"].to_numpy(), d),
             })
 
-        part_ds = data.map_batches(_partial, batch_format="pandas")
-        tbl = pull_arrow(
-            grouped_agg(part_ds, ["cluster", "dim"], {"s": ("sum", "s"), "n": ("sum", "n")})
-        )
+        # Size-gated reduce, same pattern as the semi-join key-set build:
+        # when the long-form partials are pull-bounded, one driver-side
+        # pandas groupby sum replaces the grouped exchange (whose fixed
+        # per-iteration cost is pure overhead single-node); above the
+        # bound the bucketed grouped_agg runs distributed. Integer sums
+        # make both paths bit-identical.
+        part_ds = data.map_batches(_partial, batch_format="pandas").materialize()
+        if part_ds.count() <= _KMEANS_PULL_MAX:
+            tbl = pull_arrow(part_ds)
+            pdf = (
+                tbl.to_pandas().groupby(["cluster", "dim"], as_index=False)[["s", "n"]].sum()
+                if tbl is not None and tbl.num_rows
+                else None
+            )
+        else:
+            tbl = pull_arrow(
+                grouped_agg(part_ds, ["cluster", "dim"], {"s": ("sum", "s"), "n": ("sum", "n")})
+            )
+            pdf = tbl.to_pandas() if tbl is not None and tbl.num_rows else None
         new = cq.copy()
-        if tbl is not None and tbl.num_rows:
-            pdf = tbl.to_pandas().sort_values(["cluster", "dim"])
+        if pdf is not None:
+            pdf = pdf.sort_values(["cluster", "dim"])
             for c, grp in pdf.groupby("cluster", sort=True):
                 n = int(grp["n"].iloc[0])
                 if n:

@@ -69,8 +69,20 @@ def test_patch_semantics_differ_from_row_mode(tmp_path, sf_dir):
     assert state_hash(lake) != oracle_state_hash(log, update_mode="row")
 
 
-def test_patch_mode_rejects_delta_and_late(tmp_path, sf_dir):
-    with pytest.raises(ValueError, match="update_mode"):
-        _run(tmp_path, sf_dir, "bad1", replay_kw=dict(write_mode="delta"))
+def test_patch_delta_lsm_equals_rewrite(tmp_path, sf_dir):
+    # Patch mode composes with the delta-LSM write path: the exact fold
+    # emits COMPLETE rows, so deltas are ordinary upserts + tombstones
+    # and merge-on-read stays row-level. Aggressive compaction included.
+    log, lake_rw = _run(tmp_path, sf_dir, "d_rw")
+    _, lake_d = _run(
+        tmp_path, sf_dir, "d_delta",
+        replay_kw=dict(write_mode="delta", compact_files=2),
+    )
+    h = state_hash(lake_rw)
+    assert state_hash(lake_d) == h
+    assert h == oracle_state_hash(log, update_mode="column")
+
+
+def test_patch_mode_rejects_late_exchange(tmp_path, sf_dir):
     with pytest.raises(ValueError, match="update_mode"):
         _run(tmp_path, sf_dir, "bad2", replay_kw=dict(exchange="late"))
