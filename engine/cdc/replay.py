@@ -98,6 +98,21 @@ class ReplayConfig:
     # on both paths (tested, incl. skew + the gate fallback).
     exchange: str = "full"
     late_max_winners: int = 4_000_000
+    # Winners-exchange topology. "direct" (default): prepared batch-winners
+    # flow through ONE all-to-all — the merge's own groupby(pid) — and the
+    # cross-batch LWW reconciliation happens inside the merge task (it was
+    # already there as the cross-salt pass). "staged": the original
+    # two-exchange plan — a (pid, salt) sort shuffle + sub-LWW collapse
+    # feeding a second groupby(pid) of winners. Measured (4M events,
+    # same-process interleaved A/B, hash-identical): direct 10.9 s vs
+    # staged 21.5 s at 32 CPUs; 14.5 vs 29.6 s at 8; and 12.1 vs 30.2 s
+    # at 32 CPUs under 80% hot-repo skew — the per-batch combiner already
+    # collapses hot keys (few distinct keys absorb the hot volume), so the
+    # extra exchange is pure cost even in the regime salting was built
+    # for. "staged" is kept for multi-node regimes where collapsing
+    # before the wire is worth a second exchange (winners cross the
+    # network once instead of batch-winners).
+    winners_exchange: str = "direct"
     # Upsert semantics. "row" (default): an event's payload replaces the
     # whole row — classic LWW by seq. "column": partial "patch" updates —
     # a U event's NULL payload column means UNCHANGED (latest non-null
@@ -167,7 +182,15 @@ def build_winners(log, lake_dir: str, epoch: int, cfg: ReplayConfig, target_b64:
         # own groupby(pid) is the single all-to-all for raw events.
         return ds
     if cfg.exchange == "late":
+        # Late materialization IS a staged winners build — it takes
+        # precedence over winners_exchange.
         return _late_winners(ds, cfg)
+    if cfg.winners_exchange == "direct":
+        # ONE all-to-all: batch-winners go straight to the merge's
+        # groupby(pid); MergeApply's cross-salt lww_collapse is the
+        # reconciliation. See ReplayConfig.winners_exchange for the
+        # measured A/B (2-2.5x end-to-end, hash-identical, incl. skew).
+        return ds
     # NOTE on groupby(num_partitions=...): measured WORSE at every level
     # (explicit num_partitions forces a slower exchange path in Ray
     # 2.49's sort shuffle — 3x at 32 CPUs). The default (reduce count =
@@ -556,7 +579,8 @@ def main(argv: list[str] | None = None) -> None:
         from engine.cdc.oracle import oracle_state_hash
         from engine.cdc.verify import state_hash
 
-        eh, oh = state_hash(args.lake_dir), oracle_state_hash(args.log_dir)
+        eh = state_hash(args.lake_dir)
+        oh = oracle_state_hash(args.log_dir, update_mode=args.update_mode)
         print({"engine_hash": eh, "oracle_hash": oh, "match": eh == oh})
         if eh != oh:
             raise SystemExit(1)

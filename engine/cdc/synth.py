@@ -164,15 +164,25 @@ def synth_changelog(sf_dir: str, out_dir: str, cfg: SynthConfig | None = None, *
         n = hi - lo
         if cfg.evolve_at_epoch is not None and k >= cfg.evolve_at_epoch:
             wide = cfg.widen_at_epoch is None or k >= cfg.widen_at_epoch
+            # A patch event whose content is null (= unchanged) leaves
+            # size_bytes unset too — None propagates as a typed null.
             cols["size_bytes"] = np.array(
-                [len(c) for c in cols["content"]],
-                dtype=np.int64 if wide else np.int32,
+                [len(c) if c is not None else None for c in cols["content"]],
+                dtype=object,
             )
+            sb_type = pa.int64() if wide else pa.int32()
         order = np.arange(n)
         if cfg.shuffle_within_epochs:
             rng = np.random.default_rng(cfg.seed * 1_000_003 + k)
             rng.shuffle(order)
-        table = pa.table({name: pa.array(arr[order]) for name, arr in cols.items()})
+        table = pa.table(
+            {
+                name: pa.array(
+                    arr[order], type=sb_type if name == "size_bytes" else None
+                )
+                for name, arr in cols.items()
+            }
+        )
         edir = os.path.join(out_dir, f"epoch={k:05d}")
         os.makedirs(edir, exist_ok=True)
         nf = min(cfg.files_per_epoch, max(1, n))

@@ -74,15 +74,33 @@ def test_patch_delta_lsm_equals_rewrite(tmp_path, sf_dir):
     # emits COMPLETE rows, so deltas are ordinary upserts + tombstones
     # and merge-on-read stays row-level. Aggressive compaction included.
     log, lake_rw = _run(tmp_path, sf_dir, "d_rw")
+    # compact_files=2: both epochs write deltas (pure merge-on-read path);
+    # compact_files=1: epoch 1 exceeds the list bound and compacts back to
+    # one base — both shapes must equal the rewrite lake and the oracle.
     _, lake_d = _run(
         tmp_path, sf_dir, "d_delta",
         replay_kw=dict(write_mode="delta", compact_files=2),
     )
+    _, lake_c = _run(
+        tmp_path, sf_dir, "d_compact",
+        replay_kw=dict(write_mode="delta", compact_files=1),
+    )
     h = state_hash(lake_rw)
     assert state_hash(lake_d) == h
+    assert state_hash(lake_c) == h
     assert h == oracle_state_hash(log, update_mode="column")
 
 
 def test_patch_mode_rejects_late_exchange(tmp_path, sf_dir):
     with pytest.raises(ValueError, match="update_mode"):
         _run(tmp_path, sf_dir, "bad2", replay_kw=dict(exchange="late"))
+
+
+def test_patch_with_schema_evolution(tmp_path, sf_dir):
+    # Additive evolution mid-stream under patch semantics: pre-evolution
+    # rows backfill the new column as null; patches that set it propagate
+    # through the per-column fold; the sequential oracle agrees.
+    log, lake = _run(
+        tmp_path, sf_dir, "evo", synth_kw=dict(evolve_at_epoch=1)
+    )
+    assert state_hash(lake) == oracle_state_hash(log, update_mode="column")

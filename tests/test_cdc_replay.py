@@ -116,3 +116,17 @@ def test_late_exchange_gate_falls_back_to_full(tmp_path, sf_dir):
         name="lm_gate",
     )
     assert state_hash(lake) == oracle_state_hash(log)
+
+
+def test_winners_exchange_topologies_agree(tmp_path, sf_dir):
+    # "direct" (one all-to-all, default) and "staged" (two-exchange
+    # sub-LWW plan) must produce byte-identical lakes — uniform AND
+    # hot-repo skew.
+    for name, skw in (("uni", {}), ("skw", dict(hot_event_frac=0.8))):
+        _, lake_d = _run(tmp_path, sf_dir, synth_kw=skw, name=f"tx_d_{name}")
+        _, lake_s = _run(
+            tmp_path, sf_dir, synth_kw=skw,
+            replay_kw=dict(winners_exchange="staged"), name=f"tx_s_{name}",
+        )
+        assert state_hash(lake_d) == state_hash(lake_s)
+
