@@ -357,3 +357,92 @@ def word_repetition(
         )
 
     return ds.map_batches(_rep, batch_format="pyarrow", batch_size=2048)
+
+
+def _bigram_ids(texts: list, sep: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized char-bigram ids for a batch: docs joined with a NUL
+    separator, one byte view, pair ids = hi*256+lo; pairs that straddle
+    a separator are masked out. Returns (pair_ids, doc_id per pair)."""
+    enc = [(t or "").encode("utf-8", "replace") for t in texts]
+    lens = np.array([len(b) for b in enc], dtype=np.int64)
+    joined = b"\x00".join(enc)
+    if len(joined) < 2:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    arr = np.frombuffer(joined, dtype=np.uint8).astype(np.int64)
+    pairs = arr[:-1] * 256 + arr[1:]
+    # doc id per BYTE position (separators belong to the doc before them)
+    doc_of_byte = np.repeat(np.arange(len(enc), dtype=np.int64), lens + 1)[: len(arr)]
+    valid = (arr[:-1] != sep) & (arr[1:] != sep)
+    return pairs[valid], doc_of_byte[:-1][valid]
+
+
+def train_bigram_counts(ds: rd.Dataset, text_col: str = "text") -> np.ndarray:
+    """Pass 1 of the LM quality score: exact corpus-wide char-bigram
+    counts. Per-batch ``np.bincount(65536)`` combiner → one (pair, n)
+    row per OBSERVED bigram per batch crosses the bucketed grouped-sum
+    exchange → a driver pull bounded by 65,536 rows at ANY corpus size.
+    Returns the dense (65536,) int64 count vector."""
+    from engine.ops.agg import grouped_agg
+    from engine.util.collect import pull_arrow
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        pairs, _ = _bigram_ids(df[text_col].tolist())
+        counts = np.bincount(pairs, minlength=65536).astype(np.int64)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame({"pair": nz, "n": counts[nz]})
+
+    part = ds.select_columns([text_col]).map_batches(_partial, batch_format="pandas")
+    tbl = pull_arrow(grouped_agg(part, ["pair"], {"n": ("sum", "n")}))
+    dense = np.zeros(65536, dtype=np.int64)
+    if tbl is not None and tbl.num_rows:
+        pdf = tbl.to_pandas()
+        dense[pdf["pair"].to_numpy()] = pdf["n"].to_numpy()
+    return dense
+
+
+def lm_score(
+    ds: rd.Dataset,
+    counts: np.ndarray,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    out: str = "lm_logprob",
+) -> rd.Dataset:
+    """Pass 2: per-document mean char-bigram log-likelihood under the
+    corpus-trained add-one-smoothed model — the classic perplexity-proxy
+    quality signal (low scores = out-of-distribution / junk documents).
+    The 512 KiB logprob table broadcasts once via ray.put; scoring is a
+    vectorized gather + segment mean per batch. Deterministic at any
+    parallelism: the per-doc float sum is computed over the document's
+    own bigram order, which batching never changes."""
+    import ray
+
+    from engine.ops.join import _cached_get
+
+    counts = counts.astype(np.float64)
+    prefix = counts.reshape(256, 256).sum(axis=1)  # marginal count per first byte
+    logp = np.log(counts + 1.0) - np.log(np.repeat(prefix, 256) + 256.0)
+    ref = ray.put(logp)
+    keep = list(id_cols or [])
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        lp = _cached_get(ref)
+        pairs, doc_of = _bigram_ids(df[text_col].tolist())
+        sums = np.zeros(len(df), dtype=np.float64)
+        cnt = np.zeros(len(df), dtype=np.int64)
+        if len(pairs):
+            # Per-doc ordered segment sum: one doc's bigrams are
+            # contiguous and in document order, so reduceat over segment
+            # starts is exact AND avoids np.add.at (measured pathological
+            # scatter-add throughput on this box — CLAUDE.md).
+            seg_starts = np.concatenate(
+                [[0], np.flatnonzero(np.diff(doc_of)) + 1]
+            )
+            seg_docs = doc_of[seg_starts]
+            sums[seg_docs] = np.add.reduceat(lp[pairs], seg_starts)
+            cnt[seg_docs] = np.diff(np.append(seg_starts, len(pairs)))
+        out_df = df[keep].copy() if keep else pd.DataFrame(index=df.index)
+        out_df[out] = np.where(cnt > 0, sums / np.maximum(cnt, 1), 0.0)
+        out_df[f"{out}_n"] = cnt
+        return out_df
+
+    return ds.map_batches(_score, batch_format="pandas", batch_size=1024)

@@ -137,6 +137,22 @@ def q_ann_ivf(sf_dir):
                    centroids=cent, n_probe=4)
 
 
+@register_query("q_lm_score")  # corpus-trained model — rows-only
+def q_lm_score(sf_dir):
+    """Char-bigram LM quality score (perplexity proxy): pass 1 trains
+    exact corpus-wide bigram counts (bincount combiner → bucketed sum →
+    a driver pull bounded by 65,536 rows at ANY corpus size); pass 2
+    broadcasts the 512 KiB smoothed logprob table and scores each doc
+    with a vectorized gather + segment mean. The classic LM-based
+    curation signal (low = out-of-distribution / junk); engine vs
+    single-process reference asserted in tests/test_ops_content.py."""
+    from engine.ops.text import lm_score, train_bigram_counts
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    counts = train_bigram_counts(ds)
+    return lm_score(ds, counts, id_cols=["doc_id"])
+
+
 @register_query("q_kmeans")  # iterative algorithm — rows-only
 def q_kmeans(sf_dir):
     """Distributed Lloyd k-means over the full embedding table (corpus

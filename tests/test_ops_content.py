@@ -535,3 +535,41 @@ def test_kmeans_distributed_matches_single_process(sf_dir):
     assert got["cluster"].to_numpy().tolist() == ref_assign.tolist()
     # every cluster is non-trivial on the synthetic corpus
     assert got["cluster"].nunique() == k
+
+
+def test_lm_score_matches_reference():
+    """Distributed two-pass char-bigram LM score == single-process
+    reference (same smoothing, same per-doc order), incl. empty docs,
+    unicode, and a one-char doc (zero bigrams -> score 0, n 0)."""
+    from engine.ops.text import lm_score, train_bigram_counts
+
+    docs = ["the cat sat", "the the the", "", "z", "éclair déjà vu", "aaaa"]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+    ds = rd.from_pandas(df)
+    counts = train_bigram_counts(ds)
+    got = lm_score(ds, counts, id_cols=["doc_id"]).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+
+    # reference
+    ref_counts = np.zeros(65536, dtype=np.int64)
+    encs = [t.encode("utf-8", "replace") for t in docs]
+    for b in encs:
+        a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+        if len(a) >= 2:
+            np.add.at(ref_counts, a[:-1] * 256 + a[1:], 1)
+    assert (counts == ref_counts).all()
+    prefix = ref_counts.reshape(256, 256).sum(axis=1).astype(np.float64)
+    logp = np.log(ref_counts + 1.0) - np.log(np.repeat(prefix, 256) + 256.0)
+    for i, b in enumerate(encs):
+        a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+        if len(a) < 2:
+            assert got.loc[i, "lm_logprob"] == 0.0
+            assert got.loc[i, "lm_logprob_n"] == 0
+        else:
+            pairs = a[:-1] * 256 + a[1:]
+            assert np.isclose(got.loc[i, "lm_logprob"], logp[pairs].mean())
+            assert got.loc[i, "lm_logprob_n"] == len(pairs)
+    # the degenerate repeated-char doc is the most predictable string in
+    # this corpus — its self-trained logprob beats natural text
+    assert got.loc[5, "lm_logprob"] > got.loc[0, "lm_logprob"]
