@@ -380,7 +380,7 @@ class MergeApply:
                 on=["r", "p"],
                 how="left",
             )["__u"]
-            .fillna(False)
+            .notna()  # True where a U matched; avoids object-fillna downcast
             .to_numpy()
         )
         exists = ~((final["bop"] == "D").to_numpy() & ~ua)
@@ -507,7 +507,14 @@ def merge_apply_group(
     per-epoch pool pays actor startup every epoch). The constructed
     stage is cached per worker process per epoch, mirroring actor-pool
     setup amortization."""
-    key = (lake_dir, epoch, event_schema_b64, write_mode, update_mode)
+    import json
+
+    # active_files MUST key the cache: replaying into a reused lake path
+    # in one Ray session changes the manifest under the same
+    # (lake, epoch) pair, and a stale entry would read deleted files
+    # (found by a probe that rmtree'd and re-replayed the same lake).
+    active_key = hash(json.dumps(active_files, sort_keys=True, default=str))
+    key = (lake_dir, epoch, event_schema_b64, write_mode, update_mode, active_key)
     fn = _MERGE_CACHE.get(key)
     if fn is None:
         _MERGE_CACHE.clear()  # previous epochs' entries are dead

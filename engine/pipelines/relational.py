@@ -2448,6 +2448,48 @@ def q_spec_pipeline(sf_dir):
     return run_spec(SPEC_REVENUE_BY_FLAG, sf_dir)
 
 
+SPEC_CUSTOMER_ORDER_RANK = {
+    "source": {"table": "orders",
+               "columns": ["o_custkey", "o_orderkey", "o_totalprice"]},
+    "steps": [
+        {"op": "with_column", "name": "cents",
+         "expr": {"cents": {"col": "o_totalprice"}}},
+        {"op": "select", "columns": ["o_custkey", "o_orderkey", "cents"]},
+        {"op": "window", "partition_by": ["o_custkey"],
+         "order_by": ["cents", "o_orderkey"], "descending": True,
+         "functions": {"rnk": ["row_number"],
+                       "run_cents": ["cumsum", "cents"]}},
+        {"op": "filter", "column": "rnk", "cmp": "<=", "value": 3},
+    ],
+}
+
+
+@register_query(
+    "q_spec_window",
+    oracle="""SELECT o_custkey, o_orderkey, cents, rnk, run_cents FROM (
+                SELECT o_custkey, o_orderkey,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+                            PARTITION BY o_custkey
+                            ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC,
+                                     o_orderkey DESC
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC,
+                                      o_orderkey DESC))
+              WHERE rnk <= 3""",
+)
+def q_spec_window(sf_dir):
+    """Analytic windows from a DECLARATIVE spec: the 'window' step lowers
+    onto the bucketed window exchange (top-3 orders per customer with a
+    running total, then a spec-level filter on the rank)."""
+    from engine.spec import run_spec
+
+    return run_spec(SPEC_CUSTOMER_ORDER_RANK, sf_dir)
+
+
 # ---- round-4 TPC-H widening -------------------------------------------------
 
 

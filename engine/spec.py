@@ -171,6 +171,25 @@ def _lower_step(i: int, step: dict, ctx: dict | None = None) -> Step:
             return validate(ds, vrules)
 
         return Step(name, _validate, kind="dataset")
+    if op == "window":
+        _require(step, "partition_by", "order_by", "functions")
+        wpart, worder = list(step["partition_by"]), list(step["order_by"])
+        wdesc = bool(step.get("descending", False))
+        wspecs = {}
+        for out_name, fspec in dict(step["functions"]).items():
+            if not (isinstance(fspec, list) and fspec):
+                raise ValueError(
+                    f"step {i}: window function {out_name!r} must be a "
+                    f"non-empty list [fn, args...], got {fspec!r}"
+                )
+            wspecs[out_name] = tuple(fspec)
+
+        def _window(ds: rd.Dataset) -> rd.Dataset:
+            from engine.ops.window import analytic
+
+            return analytic(ds, wpart, worder, wspecs, descending=wdesc)
+
+        return Step(name, _window, kind="dataset")
     if op == "sort":
         _require(step, "by")
         by = list(step["by"])
@@ -184,7 +203,7 @@ def _lower_step(i: int, step: dict, ctx: dict | None = None) -> Step:
         return Step(name, _sort, kind="dataset")
     raise ValueError(
         f"step {i}: unknown op {op!r} (expected select/rename/filter/"
-        "with_column/join/grouped_sum/distinct/validate/sort)"
+        "with_column/join/grouped_sum/distinct/validate/window/sort)"
     )
 
 
