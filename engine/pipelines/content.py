@@ -153,6 +153,35 @@ def q_lm_score(sf_dir):
     return lm_score(ds, counts, id_cols=["doc_id"])
 
 
+@register_query("q_cluster_balanced_sample")  # iterative + sampling — rows-only
+def q_cluster_balanced_sample(sf_dir):
+    """Cluster-balanced corpus sampling: k-means the embeddings, compute
+    a deterministic per-cluster keep rate that caps every cluster at the
+    MEDIAN cluster size, then select rows by the Knuth multiplicative
+    hash of the id (mix_domains' rule, keyed on the cluster id). The
+    mixture-balancing step of embedding-based curation: over-represented
+    clusters are down-sampled, no RNG, no extra exchange beyond k-means
+    itself. Self-checked in tests against an exact recomputation."""
+    from engine.ops.ann import kmeans
+    from engine.ops.sequence import mix_domains
+    from engine.util.collect import pull_arrow
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _, assign = kmeans(ds, "embedding", "vec_id", k=8, iters=4)
+    assign = assign.materialize()  # reused: rate calc + the filtered output
+    from engine.ops.agg import grouped_agg
+
+    counts = pull_arrow(
+        grouped_agg(assign, ["cluster"], {"n": ("count", None)})
+    ).to_pandas()
+    target = int(counts["n"].median())
+    rates = {
+        int(c): min(1.0, target / int(n))
+        for c, n in zip(counts["cluster"], counts["n"])
+    }
+    return mix_domains(assign, rates, group_col="cluster", id_col="vec_id")
+
+
 @register_query("q_kmeans")  # iterative algorithm — rows-only
 def q_kmeans(sf_dir):
     """Distributed Lloyd k-means over the full embedding table (corpus
@@ -591,6 +620,29 @@ def q_redact_pii(sf_dir):
     ds = ds.map_batches(_attach, batch_format="pyarrow")
     out = redact_pii(ds, "raw", out_col="redacted")
     return select(out, ["doc_id", "redacted"])
+
+
+@register_query(
+    "q_dedup_normalized",
+    oracle=r"""WITH n AS (SELECT doc_id,
+                      trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'),
+                                          '\s+', ' ', 'g')) AS text_norm
+               FROM documents)
+               SELECT doc_id, text_norm FROM n
+               WHERE doc_id IN (SELECT MIN(doc_id) FROM n GROUP BY text_norm)""",
+)
+def q_dedup_normalized(sf_dir):
+    """Normalization-aware exact dedup — the standard pre-dedup pipeline
+    (casefold/strip-punct/collapse-ws, THEN hash-partition dedup), so
+    near-identical docs that differ only in case/punctuation/spacing
+    collapse. Composition of two existing scale-safe ops."""
+    from engine.ops.text import normalize_text
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = normalize_text(ds)
+    ds = select(ds, ["doc_id", "text_norm"])
+    out = exact_dedup(ds, ["text_norm"], tiebreak="doc_id", keep="min")
+    return select(out, ["doc_id", "text_norm"])
 
 
 @register_query(

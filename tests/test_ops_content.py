@@ -573,3 +573,32 @@ def test_lm_score_matches_reference():
     # the degenerate repeated-char doc is the most predictable string in
     # this corpus — its self-trained logprob beats natural text
     assert got.loc[5, "lm_logprob"] > got.loc[0, "lm_logprob"]
+
+
+def test_cluster_balanced_sample_deterministic(sf_dir):
+    """The kept row set equals the exact hash-threshold recomputation
+    from the (deterministic) k-means assignment, and every cluster's
+    kept count is <= its target-rate expectation bound."""
+    from engine.pipelines.content import q_cluster_balanced_sample
+    from engine.ops.sequence import _KNUTH, _MOD
+
+    kept = q_cluster_balanced_sample(sf_dir).to_pandas()
+    kept2 = q_cluster_balanced_sample(sf_dir).to_pandas()
+    a = sorted(kept["vec_id"].tolist())
+    assert a == sorted(kept2["vec_id"].tolist())  # fully deterministic
+
+    # recompute expected from the assignment + median-target rule
+    from engine.io.sources import read_table
+    from engine.ops.ann import kmeans
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _, assign = kmeans(ds, "embedding", "vec_id", k=8, iters=4)
+    adf = assign.to_pandas()
+    counts = adf.groupby("cluster").size()
+    target = int(counts.median())
+    expect = []
+    for _, row in adf.iterrows():
+        thr = int(min(1.0, target / counts[row["cluster"]]) * _MOD)
+        if (int(row["vec_id"]) * _KNUTH) % _MOD < thr:
+            expect.append(int(row["vec_id"]))
+    assert a == sorted(expect)

@@ -1417,3 +1417,44 @@ def test_range_sum_frame_peers_and_bands():
         FROM d ORDER BY eid
     """).df()
     assert out["w"].to_numpy().tolist() == ref["w"].astype("int64").tolist()
+
+
+def test_pivot_property_vs_duckdb():
+    """pivot_count / pivot_sum on random frames == DuckDB conditional
+    aggregation, including keys that never see some categories."""
+    from hypothesis import given, settings, strategies as st
+
+    from engine.ops.reshape import pivot_count, pivot_sum
+
+    @settings(max_examples=5, deadline=None)
+    @given(n=st.integers(min_value=1, max_value=60),
+           seed=st.integers(min_value=0, max_value=2**31 - 1))
+    def _check(n, seed):
+        rng = np.random.RandomState(seed)
+        df = pd.DataFrame({
+            "k": rng.randint(0, 6, n).astype("int64"),
+            "cat": rng.choice(["a", "b", "c"], n),
+            "v": rng.randint(-9, 9, n).astype("int64"),
+        })
+        cats = ["a", "b"]  # 'c' rows must not leak into the output columns
+        got_c = pivot_count(rd.from_pandas(df), "k", "cat", cats, prefix="n_")\
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        got_s = pivot_sum(rd.from_pandas(df), "k", "cat", "v", cats, prefix="s_")\
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("d", df)
+        ref = con.sql("""
+            SELECT k,
+                   SUM(CASE WHEN cat = 'a' THEN 1 ELSE 0 END) AS n_a,
+                   SUM(CASE WHEN cat = 'b' THEN 1 ELSE 0 END) AS n_b,
+                   SUM(CASE WHEN cat = 'a' THEN v ELSE 0 END) AS s_a,
+                   SUM(CASE WHEN cat = 'b' THEN v ELSE 0 END) AS s_b
+            FROM d GROUP BY k ORDER BY k
+        """).df()
+        assert got_c["k"].tolist() == ref["k"].tolist() == got_s["k"].tolist()
+        for c_ in ("n_a", "n_b"):
+            assert got_c[c_].astype("int64").tolist() == ref[c_].astype("int64").tolist()
+        for c_ in ("s_a", "s_b"):
+            assert got_s[c_].astype("int64").tolist() == ref[c_].astype("int64").tolist()
+
+    _check()
