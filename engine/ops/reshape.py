@@ -126,6 +126,30 @@ def percentile_disc_by_group(
     )
 
 
+def global_percentiles_disc(ds: rd.Dataset, col: str, qs: list[float]) -> list:
+    """Exact global PERCENTILE_DISC for SEVERAL fractions from ONE
+    value-histogram exchange (see :func:`global_percentile_disc` for the
+    semantics and the bounded-distinct-values scale contract)."""
+    from engine.ops.agg import grouped_agg
+    from engine.util.collect import pull_arrow
+
+    counts = grouped_agg(ds.select_columns([col]), [col], {"n": ("count", None)})
+    tbl = pull_arrow(counts)
+    if tbl is None or tbl.num_rows == 0:
+        raise ValueError(f"global_percentiles_disc: no rows in column {col!r}")
+    df = tbl.to_pandas().dropna(subset=[col]).sort_values(col)
+    n = int(df["n"].sum())
+    if n == 0:
+        raise ValueError(f"global_percentiles_disc: column {col!r} is all-null")
+    cum = df["n"].cumsum().to_numpy()
+    vals = df[col].to_numpy()
+    out = []
+    for q in qs:
+        rank = max(1, math.ceil(q * n))  # same convention as the grouped form
+        out.append(vals[int(np.searchsorted(cum, rank))])
+    return out
+
+
 def global_percentile_disc(ds: rd.Dataset, col: str, q: float) -> float:
     """Exact global PERCENTILE_DISC(q) returned as a driver-side scalar:
     the smallest value whose cumulative distribution >= q (ANSI
@@ -139,21 +163,7 @@ def global_percentile_disc(ds: rd.Dataset, col: str, q: float) -> float:
     columns with ~n distinct values use ``engine.ops.sketch.
     approx_percentile`` instead; this helper is for exact thresholds
     (percentile pruning) over quantized signals."""
-    from engine.ops.agg import grouped_agg
-    from engine.util.collect import pull_arrow
-
-    counts = grouped_agg(ds.select_columns([col]), [col], {"n": ("count", None)})
-    tbl = pull_arrow(counts)
-    if tbl is None or tbl.num_rows == 0:
-        raise ValueError(f"global_percentile_disc: no rows in column {col!r}")
-    df = tbl.to_pandas().dropna(subset=[col]).sort_values(col)
-    n = int(df["n"].sum())
-    if n == 0:
-        raise ValueError(f"global_percentile_disc: column {col!r} is all-null")
-    # 1-based target rank, same convention as percentile_disc_by_group.
-    rank = max(1, math.ceil(q * n))
-    cum = df["n"].cumsum().to_numpy()
-    return df[col].to_numpy()[int(np.searchsorted(cum, rank))]
+    return global_percentiles_disc(ds, col, [q])[0]
 
 
 def histogram_fixed_width(

@@ -1299,6 +1299,37 @@ def q_approx_percentile(sf_dir):
 
 
 @register_query(
+    "q_winsorize",
+    oracle="""WITH b AS (SELECT l_orderkey, l_linenumber,
+                                CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+                         FROM lineitem),
+               q AS (SELECT PERCENTILE_DISC(0.05) WITHIN GROUP (ORDER BY cents) AS lo,
+                            PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY cents) AS hi
+                     FROM b)
+              SELECT l_orderkey, l_linenumber,
+                     CAST(LEAST(GREATEST(cents, q.lo), q.hi) AS BIGINT) AS cents_w
+              FROM b, q""",
+)
+def q_winsorize(sf_dir):
+    """Winsorization (clip at the exact global p05/p95): the thresholds
+    come from the value-histogram percentile (integer cents → bounded
+    distinct values at any scale), broadcast into a pure-Arrow clamp —
+    the standard outlier-capping cleanup before training/statistics."""
+    from engine.ops.reshape import global_percentiles_disc
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    ds = with_columns(ds, {"cents": _cents("l_extendedprice")})
+    ds = select(ds, ["l_orderkey", "l_linenumber", "cents"]).materialize()
+    lo, hi = (int(v) for v in global_percentiles_disc(ds, "cents", [0.05, 0.95]))
+    out = with_columns(ds, {
+        "cents_w": lambda t: pc.min_element_wise(
+            pc.max_element_wise(t.column("cents"), lo), hi)
+    })
+    return select(out, ["l_orderkey", "l_linenumber", "cents_w"])
+
+
+@register_query(
     "q_join_left",
     oracle="""SELECT c.c_custkey, COALESCE(o.o_orderkey, -1) AS o_orderkey,
                      COALESCE(CAST(ROUND(o.o_totalprice * 100) AS BIGINT), -1) AS total_cents

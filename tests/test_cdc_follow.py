@@ -128,3 +128,51 @@ def test_follow_from_memory_source(tmp_path, sf_dir):
     assert not t.is_alive()
     assert result["out"]["epochs_run"] == [0, 1, 2, 3]
     assert state_hash(lake) == oracle_state_hash(log)
+
+
+def test_follow_patch_mode_from_memory_source(tmp_path, sf_dir):
+    """Continuous tail x column-level LWW: patch events streamed through
+    a MemorySource with replay(follow=True, update_mode='column')
+    converge to the patch-semantics sequential oracle."""
+    import pyarrow.parquet as pq
+
+    from engine.cdc.tailer import MemorySource, epoch_files
+
+    log = synth_changelog(
+        sf_dir, f"{tmp_path}/plog",
+        SynthConfig(seed=9, n_events=1600, n_epochs=3, n_keys=400,
+                    op_mix=(30, 60, 10), patch_null_frac=0.6),
+    )
+    src = MemorySource()
+    for f in epoch_files(log, 0):
+        src.append(0, pq.read_table(f))
+    src.seal(0)
+
+    lake = f"{tmp_path}/plake"
+    stop = threading.Event()
+    result = {}
+
+    def _follow():
+        result["out"] = replay(
+            src, lake,
+            ReplayConfig(num_partitions=4, num_salts=2, update_mode="column"),
+            follow=True, poll_s=0.1, stop=stop,
+        )
+
+    t = threading.Thread(target=_follow)
+    t.start()
+    try:
+        for k in (1, 2):
+            time.sleep(0.3)
+            for f in epoch_files(log, k):
+                src.append(k, pq.read_table(f))
+            src.seal(k)
+        deadline = time.time() + 120
+        while time.time() < deadline and sink.last_committed_epoch(lake) != 2:
+            time.sleep(0.2)
+        assert sink.last_committed_epoch(lake) == 2
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not t.is_alive()
+    assert state_hash(lake) == oracle_state_hash(log, update_mode="column")
