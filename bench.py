@@ -325,11 +325,46 @@ def main_scaling():
     print(json.dumps(out))
 
 
+def main_tpch():
+    """All 22 TPC-H shapes at $GRAFT_SF_DIR, one JSON line (Q1 is
+    registered as q_groupby_lineitem)."""
+    _ray_init(NUM_CPUS)
+    from engine.registry import QUERIES, load_catalog
+
+    load_catalog()
+    names = ["q_groupby_lineitem"] + sorted(
+        n for n in QUERIES if n.startswith("q_tpch_q")
+    )
+    import ray
+    import ray.data as rd
+
+    times = {}
+    t_all = time.monotonic()
+    for name in names:
+        t0 = time.monotonic()
+        res = QUERIES[name](SF_DIR)
+        if isinstance(res, rd.Dataset):
+            res.count()
+        times[name] = round(time.monotonic() - t0, 3)
+    out = {
+        "metric": "tpch_suite_seconds",
+        "value": round(time.monotonic() - t_all, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--scaling" in sys.argv:
         main_scaling()
     elif "--cdc-only" in sys.argv:
         main_cdc_only()
+    elif "--tpch" in sys.argv:
+        main_tpch()
     else:
         main_single()

@@ -104,3 +104,9 @@ def test_patch_with_schema_evolution(tmp_path, sf_dir):
         tmp_path, sf_dir, "evo", synth_kw=dict(evolve_at_epoch=1)
     )
     assert state_hash(lake) == oracle_state_hash(log, update_mode="column")
+    # and with int32 -> int64 type widening mid-stream on the evolved column
+    log2, lake2 = _run(
+        tmp_path, sf_dir, "widen",
+        synth_kw=dict(evolve_at_epoch=0, widen_at_epoch=1),
+    )
+    assert state_hash(lake2) == oracle_state_hash(log2, update_mode="column")
