@@ -355,7 +355,13 @@ def merge_and_commit(
         reports,
         target,
         prev_manifest,
-        extra={"wall_s": time.monotonic() - t0, "summary_file": summary_rel},
+        extra={
+            "wall_s": time.monotonic() - t0,
+            "summary_file": summary_rel,
+            # Pins the lake's partitioning so readers can key-prune:
+            # pid = stable_hash(repo) % num_partitions (verify.lake_lookup).
+            "num_partitions": cfg.num_partitions,
+        },
     )
     _write_lineage(lake_dir, epoch, reports)
     return manifest

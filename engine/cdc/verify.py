@@ -86,3 +86,34 @@ def read_lake(lake_dir: str, epoch: int | None = None) -> rd.Dataset:
 
 def state_hash(lake_dir: str, epoch: int | None = None) -> str:
     return canonical_digest(lake_table(lake_dir, epoch))
+
+
+def lake_lookup(
+    lake_dir: str, repo: str, path: str | None = None, epoch: int | None = None
+) -> pa.Table:
+    """O(1) key-pruned point read: a repo's rows live in exactly ONE lake
+    partition (``pid = stable_hash(repo) % num_partitions``, with
+    ``num_partitions`` pinned in the committed manifest), so the lookup
+    opens only that partition's active files — never the lake. Epoch
+    pinning composes (time-travel point reads). Falls back to the full
+    merge-on-read scan for manifests that predate the pinned field."""
+    import pyarrow.compute as pc
+
+    from engine.cdc.merge import live_view
+    from engine.util.hashing import stable_hash_column
+
+    manifest = sink.read_manifest(lake_dir, epoch)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed manifest under {lake_dir}")
+    num_partitions = manifest.get("num_partitions")
+    if num_partitions:
+        schema = lake_schema_for(sink.schema_from_b64(manifest["schema_b64"]))
+        pid = int(stable_hash_column(pa.array([repo]), int(num_partitions))[0])
+        rels = sink.active_files(manifest).get(pid, [])
+        t = live_view(lake_dir, rels, schema)
+    else:
+        t = lake_table(lake_dir, epoch)
+    t = t.filter(pc.equal(t.column("repo"), repo))
+    if path is not None:
+        t = t.filter(pc.equal(t.column("path"), path))
+    return t

@@ -130,3 +130,26 @@ def test_winners_exchange_topologies_agree(tmp_path, sf_dir):
         )
         assert state_hash(lake_d) == state_hash(lake_s)
 
+
+
+def test_lake_lookup_key_pruned(tmp_path, sf_dir):
+    """Point reads open only the key's own partition and agree with the
+    full-state scan — current AND time-travel epoch, present AND absent
+    keys, repo-only AND (repo, path) lookups."""
+    from engine.cdc.verify import lake_lookup, lake_table
+
+    _, lake = _run(tmp_path, sf_dir, name="lkp")
+    full = lake_table(lake).to_pandas()
+    some = full.iloc[0]
+    got = lake_lookup(lake, some["repo"]).to_pandas()
+    ref = full[full["repo"] == some["repo"]]
+    assert len(got) == len(ref) and set(got["path"]) == set(ref["path"])
+    one = lake_lookup(lake, some["repo"], some["path"]).to_pandas()
+    assert len(one) == 1
+    assert one["content_sha256"].iloc[0] == some["content_sha256"]
+    assert len(lake_lookup(lake, "repo-does-not-exist").to_pandas()) == 0
+    # time travel: epoch-0 lookup equals the epoch-0 state
+    full0 = lake_table(lake, epoch=0).to_pandas()
+    r0 = full0["repo"].iloc[0]
+    got0 = lake_lookup(lake, r0, epoch=0).to_pandas()
+    assert set(got0["path"]) == set(full0[full0["repo"] == r0]["path"])
