@@ -134,19 +134,30 @@ def _key_array(table: pa.Table) -> pa.Array:
     return joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) else joined
 
 
-def live_view(lake_dir: str, rels: list[str], lake_schema: pa.Schema) -> pa.Table:
+def live_view(
+    lake_dir: str,
+    rels: list[str],
+    lake_schema: pa.Schema,
+    filters: list | None = None,
+) -> pa.Table:
     """Merge-on-read of one partition's active file list — the LSM read
     path (C5). The list is one base file (no ``op`` column) plus zero or
     more per-epoch delta files (lake columns + ``op``, including ``D``
     tombstones). Later files carry strictly larger ``seq``, but the merge
     doesn't rely on list order: max-``seq`` per (repo, path) wins, then
     tombstones drop out. Returns live rows in lake schema, sorted by key
-    (byte-identical to what rewrite-on-touch would have produced)."""
+    (byte-identical to what rewrite-on-touch would have produced).
+
+    ``filters`` (pyarrow.parquet DNF) push row-group/page pruning into
+    the file reads — sound for KEY-scoped predicates (e.g. repo
+    equality): every row of a key, tombstones included, satisfies the
+    same key predicate, so the per-key max-seq merge below sees complete
+    keys."""
     if not rels:
         return lake_schema.empty_table()
     parts = []
     for rel in rels:
-        t = pq.read_table(os.path.join(lake_dir, rel))
+        t = pq.read_table(os.path.join(lake_dir, rel), filters=filters)
         if "op" in t.schema.names:
             op = t.column("op")
             t = conform_table(t.drop_columns(["op"]), lake_schema)

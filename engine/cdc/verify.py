@@ -110,7 +110,7 @@ def lake_lookup(
         schema = lake_schema_for(sink.schema_from_b64(manifest["schema_b64"]))
         pid = int(stable_hash_column(pa.array([repo]), int(num_partitions))[0])
         rels = sink.active_files(manifest).get(pid, [])
-        t = live_view(lake_dir, rels, schema)
+        t = live_view(lake_dir, rels, schema, filters=[("repo", "=", repo)])
     else:
         t = lake_table(lake_dir, epoch)
     t = t.filter(pc.equal(t.column("repo"), repo))

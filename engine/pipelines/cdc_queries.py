@@ -115,6 +115,34 @@ def q_cdc_patch_state(sf_dir):
     )
 
 
+@register_query("q_cdc_point_lookup")
+def q_cdc_point_lookup(sf_dir):
+    """O(1) key-pruned lake point reads, self-checking: for ten repos the
+    manifest-pinned-P lookup (one partition's files + a pushed-down repo
+    filter) must equal the full merge-on-read scan filtered to the repo —
+    any divergence raises. Returns the looked-up rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from engine.cdc.verify import lake_lookup, lake_table
+
+    work = _replayed_lake(sf_dir)
+    lake = f"{work}/lake"
+    full = lake_table(lake)
+    repos = sorted(set(full.column("repo").to_pylist()))[:10]
+    outs = []
+    for r in repos:
+        got = lake_lookup(lake, r).sort_by([("path", "ascending")])
+        ref = full.filter(pc.equal(full.column("repo"), r)).sort_by(
+            [("path", "ascending")]
+        )
+        if got.to_pydict() != ref.select(got.column_names).to_pydict():
+            raise AssertionError(f"point lookup diverged for {r!r}")
+        outs.append(got)
+    out = pa.concat_tables(outs)
+    return rd.from_arrow(out.select(["repo", "path", "content_sha256", "seq"]))
+
+
 @register_query("q_cdc_time_travel")
 def q_cdc_time_travel(sf_dir):
     """Manifest-pinned time travel, self-checking: the lake state read AT
