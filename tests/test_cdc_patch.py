@@ -110,3 +110,55 @@ def test_patch_with_schema_evolution(tmp_path, sf_dir):
         synth_kw=dict(evolve_at_epoch=0, widen_at_epoch=1),
     )
     assert state_hash(lake2) == oracle_state_hash(log2, update_mode="column")
+
+
+def test_patch_property_random_streams(tmp_path, sf_dir):
+    """Hypothesis over the patch fold: random I/U/D streams with random
+    per-column null masks, split randomly into two epochs, must replay to
+    the sequential oracle's state — any interleaving of barriers and
+    patches, any key reuse pattern."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import given, settings, strategies as st
+
+    events = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),                 # key id
+            st.sampled_from(["I", "U", "D"]),
+            st.one_of(st.none(), st.sampled_from(["c1", "c2"])),   # commit
+            st.one_of(st.none(), st.sampled_from(["en", "fr"])),   # lang
+            st.one_of(st.none(), st.sampled_from(["x", "yy"])),    # content
+        ),
+        min_size=1, max_size=24,
+    )
+
+    case = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(evs=events, split=st.integers(min_value=0, max_value=24))
+    def _check(evs, split):
+        case[0] += 1
+        log = f"{tmp_path}/fz_{case[0]}/log"
+        rows = {
+            "seq": list(range(len(evs))),
+            "op": [e[1] for e in evs],
+            "repo": [f"r{e[0] % 2}" for e in evs],
+            "path": [f"p{e[0]}" for e in evs],
+            "commit": [e[2] if e[1] == "U" else (e[2] or "c0") for e in evs],
+            "lang": [e[3] if e[1] == "U" else (e[3] or "en") for e in evs],
+            "content": [e[4] if e[1] == "U" else (e[4] or "x") for e in evs],
+        }
+        t = pa.table(rows)
+        cut = min(split, len(evs))
+        for k, tbl in enumerate((t.slice(0, cut), t.slice(cut))):
+            d = f"{log}/epoch={k:05d}"
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(tbl, f"{d}/part-0000.parquet")
+        lake = f"{tmp_path}/fz_{case[0]}/lake"
+        replay(log, lake, ReplayConfig(num_partitions=2, num_salts=2,
+                                       update_mode="column"))
+        assert state_hash(lake) == oracle_state_hash(log, update_mode="column")
+
+    _check()
