@@ -1458,3 +1458,55 @@ def test_pivot_property_vs_duckdb():
             assert got_s[c_].astype("int64").tolist() == ref[c_].astype("int64").tolist()
 
     _check()
+
+
+def test_asof_join_property_vs_merge_asof():
+    """Property test over the bucketed as-of exchange: random frames
+    (duplicate by-keys, tied timestamps, keys on one side only) ==
+    pandas merge_asof on both directions — the exchange must never split
+    a by-group or reorder within it."""
+    from hypothesis import given, settings, strategies as st
+
+    from engine.ops.join import asof_join
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        nl=st.integers(min_value=1, max_value=30),
+        nr=st.integers(min_value=0, max_value=30),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        forward=st.booleans(),
+    )
+    def _check(nl, nr, seed, forward):
+        rng = np.random.RandomState(seed)
+        left = pd.DataFrame({
+            "u": rng.randint(0, 4, nl),
+            "t": pd.to_datetime(rng.randint(0, 20, nl), unit="s").astype("datetime64[us]"),
+            "x": np.arange(nl, dtype=np.int64),
+        })
+        right = pd.DataFrame({
+            "u": rng.randint(0, 4, nr),
+            "t2": pd.to_datetime(rng.randint(0, 20, nr), unit="s").astype("datetime64[us]"),
+            "y": np.arange(nr, dtype=np.int64) * 10,
+        })
+        # merge_asof allows only ONE right row per (u, t2) to be
+        # deterministic under ties — dedup right to the max-y per (u, t2)
+        right = (right.sort_values("y").drop_duplicates(["u", "t2"], keep="last")
+                 .reset_index(drop=True))
+        direction = "forward" if forward else "backward"
+        got = (
+            asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                      on="t", by="u", right_on="t2", right_by="u",
+                      direction=direction)
+            .to_pandas().sort_values(["u", "t", "x"]).reset_index(drop=True)
+        )
+        ref = pd.merge_asof(
+            left.sort_values("t", kind="mergesort"),
+            right.sort_values("t2", kind="mergesort"),
+            left_on="t", right_on="t2", by="u", direction=direction,
+        ).sort_values(["u", "t", "x"]).reset_index(drop=True)
+        assert len(got) == len(ref)
+        gy = got["y"].fillna(-1).astype("int64").tolist()
+        ry = ref["y"].fillna(-1).astype("int64").tolist()
+        assert gy == ry
+
+    _check()
