@@ -58,6 +58,11 @@ class SynthConfig:
     # with this probability — null meaning UNCHANGED. Pure function of
     # (seed, i, column), like every other event attribute.
     patch_null_frac: float = 0.0
+    # Malformed-event injection (validator/dead-letter exercise): this
+    # fraction of events is corrupted deterministically — half get an
+    # unknown op 'X', half a NULL repo key. The engine must dead-letter
+    # them; the sequential oracle skips them by the same rule.
+    bad_event_frac: float = 0.0
 
 
 def _load_doc_bases(sf_dir: str, max_chars: int):
@@ -115,6 +120,14 @@ def _events_for_range(cfg: SynthConfig, lo: int, hi: int, texts, langs) -> dict:
         [f"{a:016x}{b:016x}{(int(a) ^ int(b)) & 0xffffffff:08x}" for a, b in zip(u_c1, u_c2)],
         dtype=object,
     )
+    if cfg.bad_event_frac > 0:
+        u_bad = splitmix64(i ^ (seed * _U(0x90021)))
+        bad = (u_bad % _U(1_000_000)).astype(np.float64) < cfg.bad_event_frac * 1e6
+        which = (u_bad >> _U(32)) % _U(2) == 0
+        op = op.copy()
+        repo = repo.astype(object)
+        op[bad & which] = "X"          # unknown op
+        repo[bad & ~which] = None      # null key
     if cfg.patch_null_frac > 0:
         is_u = op == "U"
         lang = lang.copy()

@@ -153,3 +153,36 @@ def test_lake_lookup_key_pruned(tmp_path, sf_dir):
     r0 = full0["repo"].iloc[0]
     got0 = lake_lookup(lake, r0, epoch=0).to_pandas()
     assert set(got0["path"]) == set(full0[full0["repo"] == r0]["path"])
+
+
+def test_bad_events_deadlettered_not_applied(tmp_path, sf_dir):
+    """Malformed events (unknown op, null key) must be routed to the
+    dead-letter directory and excluded from state — engine hash equals
+    the oracle (which skips them by the same validation rule), and the
+    dead-letter files account for every corrupted row."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    log, lake = _run(
+        tmp_path, sf_dir, synth_kw=dict(bad_event_frac=0.05), name="bad"
+    )
+    assert state_hash(lake) == oracle_state_hash(log)
+    # count corrupted rows in the log
+    n_bad = 0
+    for root, _, files in os.walk(log):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(root, f), columns=["op", "repo"])
+            ops = t.column("op").to_pylist()
+            repos = t.column("repo").to_pylist()
+            n_bad += sum(1 for o, r in zip(ops, repos)
+                         if o not in ("I", "U", "D") or r is None)
+    assert n_bad > 0, "fixture should contain corrupted events"
+    dl_root = f"{lake}/deadletter"
+    dl = 0
+    for root, _, files in os.walk(dl_root):
+        for f in files:
+            dl += pq.read_table(os.path.join(root, f)).num_rows
+    assert dl == n_bad
