@@ -162,3 +162,16 @@ def test_patch_property_random_streams(tmp_path, sf_dir):
         assert state_hash(lake) == oracle_state_hash(log, update_mode="column")
 
     _check()
+
+
+def test_patch_summary_matches_recompute(tmp_path, sf_dir):
+    # The incremental per-repo summary (materialized view) must stay
+    # exact under column-LWW deltas too: _apply_column's summary_delta
+    # accounts for inherited-column rows the same as replaced ones.
+    from engine.cdc.summary import read_summary, recompute_summary
+
+    _, lake = _run(tmp_path, sf_dir, "sum")
+    for epoch in (0, 1):
+        inc = read_summary(lake, epoch)
+        full = recompute_summary(lake, epoch)
+        assert inc.equals(full), f"epoch {epoch}: incremental != recompute"
