@@ -152,14 +152,35 @@ def list_slice(a, start: int, stop: int):
 # ---- json ------------------------------------------------------------------
 
 
-def _json_get_loop(values: list, key: str) -> list:
+def _json_coerce(v, as_type: pa.DataType):
+    """TRY_CAST semantics for parsed JSON values: a value whose JSON type
+    does not match the declared extraction type is NULL, never an error
+    (e.g. asking for int64 where the field holds a string)."""
+    if v is None:
+        return None
+    if pa.types.is_integer(as_type):
+        return v if isinstance(v, int) and not isinstance(v, bool) else None
+    if pa.types.is_floating(as_type):
+        return float(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else None
+    if pa.types.is_string(as_type) or pa.types.is_large_string(as_type):
+        return v if isinstance(v, str) else None
+    if pa.types.is_boolean(as_type):
+        return v if isinstance(v, bool) else None
+    try:
+        pa.scalar(v, type=as_type)
+        return v
+    except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+        return None
+
+
+def _json_get_loop(values: list, key: str, as_type: pa.DataType) -> list:
     out = []
     for s in values:
         if s is None:
             out.append(None)
             continue
         try:
-            out.append(json.loads(s).get(key))
+            out.append(_json_coerce(json.loads(s).get(key), as_type))
         except (ValueError, AttributeError):
             out.append(None)
     return out
@@ -191,7 +212,7 @@ def json_get(a, key: str, as_type: pa.DataType = pa.int64()):
     else:
         pat = None
     if pat is None or len(a) == 0:
-        return pa.array(_json_get_loop(a.to_pylist(), key), type=as_type)
+        return pa.array(_json_get_loop(a.to_pylist(), key, as_type), type=as_type)
 
     fast = pc.struct_field(pc.extract_regex(a, pat), "v")
     if not pa.types.is_string(as_type) and not pa.types.is_large_string(as_type):
@@ -205,7 +226,7 @@ def json_get(a, key: str, as_type: pa.DataType = pa.int64()):
         return fast
     idx = np.nonzero(slow.to_numpy(zero_copy_only=False))[0]
     out = fast.to_pylist()
-    parsed = _json_get_loop([a[int(i)].as_py() for i in idx], key)
+    parsed = _json_get_loop([a[int(i)].as_py() for i in idx], key, as_type)
     for i, v in zip(idx, parsed):
         out[int(i)] = v
     return pa.array(out, type=as_type)

@@ -602,3 +602,47 @@ def test_cluster_balanced_sample_deterministic(sf_dir):
         if (int(row["vec_id"]) * _KNUTH) % _MOD < thr:
             expect.append(int(row["vec_id"]))
     assert a == sorted(expect)
+
+
+def test_json_get_property_random_documents():
+    """Fuzz the json_get fast-path/fallback boundary: random JSON docs
+    (nested objects repeating the key, escaped quotes embedding fake
+    '"k": 9' fragments in string values, bools/nulls/arrays, unicode,
+    missing keys, malformed rows) vs json.loads ground truth."""
+    import json
+
+    from hypothesis import given, settings, strategies as st
+
+    from engine.ops.scalar import json_get
+
+    values = st.one_of(
+        st.integers(min_value=-10**6, max_value=10**6),
+        st.sampled_from(['"k": 9,', 'a"b\\c', "éclair", "", "plain"]),
+        st.booleans(), st.none(), st.lists(st.integers(0, 3), max_size=2),
+        st.fixed_dictionaries({"k": st.integers(0, 99)}),  # nested repeat of the key
+    )
+    docs = st.lists(
+        st.one_of(
+            st.none(),
+            st.just("not json at all"),
+            st.dictionaries(st.sampled_from(["k", "x", "y"]), values, max_size=3),
+        ),
+        min_size=1, max_size=20,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(ds=docs)
+    def _check(ds):
+        raw, want = [], []
+        for d in ds:
+            if d is None or isinstance(d, str):
+                raw.append(d)
+                want.append(None)
+            else:
+                raw.append(json.dumps(d))
+                v = d.get("k")
+                want.append(v if isinstance(v, int) and not isinstance(v, bool) else None)
+        got = json_get(pa.array(raw, pa.string()), "k").to_pylist()
+        assert got == want
+
+    _check()
