@@ -58,6 +58,14 @@ REPORT_SCHEMA = pa.schema(
 )
 
 
+def content_chars(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    """utf8_length that tolerates an all-null column (Arrow type ``null``
+    has no utf8_length kernel — cast to string first)."""
+    if pa.types.is_null(col.type):
+        col = col.cast(pa.string())
+    return pc.utf8_length(col)
+
+
 def _summary_delta(removed: pa.Table, added: pa.Table) -> str:
     """Per-repo (Δlive_files, Δcontent_chars) from the rows this merge
     removed from and added to its partition. Incremental-view math:
@@ -72,7 +80,7 @@ def _summary_delta(removed: pa.Table, added: pa.Table) -> str:
         df = pd.DataFrame(
             {
                 "r": tbl.column("repo").to_pandas(),
-                "c": pc.utf8_length(tbl.column("content")).to_pandas().fillna(0),
+                "c": content_chars(tbl.column("content")).to_pandas().fillna(0),
             }
         )
         g = df.groupby("r", sort=False)["c"]

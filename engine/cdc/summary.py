@@ -175,7 +175,7 @@ def recompute_summary(lake_dir: str, epoch: int | None = None) -> pa.Table:
     import pandas as pd
     import pyarrow.compute as pc
 
-    from engine.cdc.merge import live_view
+    from engine.cdc.merge import content_chars, live_view
     from engine.schemas import lake_schema_for
 
     manifest = sink.read_manifest(lake_dir, epoch)
@@ -187,7 +187,7 @@ def recompute_summary(lake_dir: str, epoch: int | None = None) -> pa.Table:
         df = pd.DataFrame(
             {
                 "r": t.column("repo").to_pandas(),
-                "c": pc.utf8_length(t.column("content")).to_pandas().fillna(0),
+                "c": content_chars(t.column("content")).to_pandas().fillna(0),
             }
         )
         for r, (cnt, chars) in df.groupby("r")["c"].agg(["count", "sum"]).iterrows():

@@ -164,6 +164,38 @@ def test_patch_property_random_streams(tmp_path, sf_dir):
     _check()
 
 
+def test_patch_all_null_payload_epoch(tmp_path, sf_dir):
+    # Pinned hypothesis falsifier: an epoch whose payload columns are ALL
+    # null arrives as Arrow type `null` (no utf8_length kernel) — the
+    # summary-delta path must tolerate it. A lone U-patch on a key with no
+    # prior barrier folds to nothing; pair it with an I in the same epoch
+    # so the merge actually touches state.
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log = f"{tmp_path}/nullpay/log"
+    t = pa.table(
+        {
+            "seq": [0, 1],
+            "op": ["U", "U"],
+            "repo": ["r0", "r1"],
+            "path": ["p0", "p1"],
+            "commit": pa.array([None, None], type=pa.null()),
+            "lang": pa.array([None, None], type=pa.null()),
+            "content": pa.array([None, None], type=pa.null()),
+        }
+    )
+    d = f"{log}/epoch=00000"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, f"{d}/part-0000.parquet")
+    lake = f"{tmp_path}/nullpay/lake"
+    replay(log, lake, ReplayConfig(num_partitions=2, num_salts=2,
+                                   update_mode="column"))
+    assert state_hash(lake) == oracle_state_hash(log, update_mode="column")
+
+
 def test_patch_summary_matches_recompute(tmp_path, sf_dir):
     # The incremental per-repo summary (materialized view) must stay
     # exact under column-LWW deltas too: _apply_column's summary_delta
