@@ -1,0 +1,207 @@
+"""Snapshot bootstrap (initial full load) and changefeed export (CDC-out).
+
+Two lifecycle endpoints the replay loop itself doesn't cover:
+
+- :func:`bootstrap` — the classic CDC onboarding path: load a FULL
+  snapshot of the source (e.g. a consistent table export) into an empty
+  lake as one committed epoch, then ``replay(log, lake)`` applies only
+  the changelog epochs after it (the ordinary C4 resume logic skips
+  everything at or below the bootstrap epoch). The snapshot flows
+  through the standard epoch machinery — prepare → (pid) exchange →
+  merge-apply → two-phase manifest commit — as a streaming Dataset via
+  :class:`engine.cdc.tailer.DatasetSource`, so a 100-TB initial load
+  streams and shuffles exactly like a huge epoch; nothing is pulled to
+  the driver.
+
+- :func:`changefeed` — the inverse: export the delta between two
+  committed lake epochs as insert/update/delete change events (the
+  downstream changelog, à la Delta Lake's change data feed). Both
+  epochs' states are partitioned by the SAME ``pid = hash(repo) % P``
+  (P is pinned in the manifest), so the diff is computed per partition
+  with ZERO shuffle: one task per pid merge-on-reads both epochs' file
+  lists and diffs locally. Round-trip contract (tested): applying the
+  feed onto the older state reproduces the newer state byte-identically
+  (same canonical state hash, including per-row winning ``seq``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from engine.cdc import sink, tailer
+from engine.cdc.replay import ReplayConfig, run_epoch
+from engine.cdc.schema import conform_table
+from engine.schemas import META_COLS
+
+
+def _event_schema_for(payload_schema: pa.Schema) -> pa.Schema:
+    """Event schema (seq, op, payload…) from a payload or lake schema —
+    meta and computed columns (content_sha256) never ride in events."""
+    skip = set(META_COLS) | {"content_sha256"}
+    fields = [pa.field("seq", pa.int64()), pa.field("op", pa.string())]
+    fields += [payload_schema.field(n) for n in payload_schema.names if n not in skip]
+    return pa.schema(fields)
+
+
+def bootstrap(
+    snapshot: "rd.Dataset | pa.Table",
+    lake_dir: str,
+    cfg: ReplayConfig | None = None,
+    epoch: int = 0,
+    schema: pa.Schema | None = None,
+    base_seq: int = -1,
+) -> dict:
+    """Load a full snapshot into an empty lake as committed ``epoch``.
+
+    ``snapshot`` holds the lake payload columns (e.g. repo, path, commit,
+    lang, content). An optional ``seq`` column is honored (re-seeding
+    from another lake's state keeps each row's winning seq, so later
+    changelog events LWW against it exactly); absent, every row gets the
+    constant ``base_seq`` — sound because a snapshot is key-unique by
+    definition (one row per (repo, path)), so no LWW tie can arise, and
+    the default -1 ranks below changelog seqs (which start at 0). A
+    ``content_sha256`` column, if present (lake re-seed), is dropped —
+    the merge stage recomputes it from ``content``.
+
+    Idempotent: if ``epoch`` is already committed the call is a no-op
+    returning the existing manifest. After bootstrapping at epoch B,
+    ``replay(log, lake)`` skips changelog epochs ≤ B and applies the
+    rest — the snapshot must have been taken at that changelog position
+    (the producer's responsibility, as with any CDC initial load).
+    """
+    cfg = cfg or ReplayConfig()
+    sink.init_lake(lake_dir)
+    if sink.is_committed(lake_dir, epoch):
+        return sink.read_manifest(lake_dir, epoch)
+    last = sink.last_committed_epoch(lake_dir)
+    if last is not None:
+        raise RuntimeError(
+            f"bootstrap requires an empty lake (epoch {last} already committed "
+            f"under {lake_dir})"
+        )
+
+    if isinstance(snapshot, pa.Table):
+        if schema is None:
+            schema = snapshot.schema
+        snapshot = rd.from_arrow(snapshot)
+    if schema is None:
+        # Sound only for materialized / read-rooted datasets; a lazy map
+        # chain should pass schema= explicitly (CLAUDE.md: schema() on a
+        # lazy chain executes the upstream plan).
+        s = snapshot.schema()
+        schema = pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
+    drop = [c for c in ("content_sha256", "op") if c in schema.names]
+    event_schema = _event_schema_for(schema)
+
+    def _to_events(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([c for c in drop if c in t.column_names])
+        if "seq" not in t.column_names:
+            t = t.append_column(
+                "seq", pa.array(np.full(t.num_rows, base_seq, dtype=np.int64))
+            )
+        t = t.append_column("op", pa.nulls(t.num_rows, pa.string()).fill_null("I"))
+        return conform_table(t, event_schema)
+
+    events = snapshot.map_batches(_to_events, batch_format="pyarrow")
+    src = tailer.DatasetSource(epoch, events, event_schema)
+    return run_epoch(src, lake_dir, epoch, cfg, prev_manifest=None)
+
+
+def changefeed(
+    lake_dir: str, from_epoch: int, to_epoch: int | None = None
+) -> rd.Dataset:
+    """Change events that transform committed state ``from_epoch`` into
+    committed state ``to_epoch`` (default: latest). One I/U/D event per
+    changed key; I/U carry the new row's full payload AND its winning
+    ``seq`` (so applying the feed reproduces the target state's seq
+    column byte-exactly); D events carry the key with null payload and
+    ``old seq + 1`` (any seq above the old row's wins the delete — per-key
+    LWW needs no global uniqueness inside one feed).
+
+    A row counts as changed iff its winning ``seq`` differs — seqs are
+    unique per key and monotone under LWW, so equal seq ⇔ identical row
+    (in patch mode a no-op patch may bump seq and emit a redundant U;
+    harmless, the round-trip stays exact). Zero-shuffle: both epochs
+    share the manifest-pinned partitioning, so each pid diffs locally.
+    """
+    from engine.cdc.merge import live_view
+    from engine.cdc.verify import lake_files
+
+    parts_old, schema_old = lake_files(lake_dir, from_epoch)
+    parts_new, schema_new = lake_files(lake_dir, to_epoch)
+    m_old = sink.read_manifest(lake_dir, from_epoch)
+    m_new = sink.read_manifest(lake_dir, to_epoch)
+    if m_old.get("num_partitions") != m_new.get("num_partitions"):
+        raise ValueError(
+            "changefeed requires both epochs under the same lake partitioning"
+        )
+    # Additive evolution: conform the old state to the new lake schema
+    # (backfilled columns are null on both sides for untouched rows).
+    event_schema = _event_schema_for(schema_new)
+    pids = sorted(set(parts_old) | set(parts_new))
+    if not pids:
+        return rd.from_arrow(event_schema.empty_table())
+    items = [
+        {"old": list(parts_old.get(p, [])), "new": list(parts_new.get(p, []))}
+        for p in pids
+    ]
+
+    def _diff(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        out = []
+        for old_rels, new_rels in zip(
+            batch.column("old").to_pylist(), batch.column("new").to_pylist()
+        ):
+            old = conform_table(
+                live_view(lake_dir, old_rels, schema_old), schema_new
+            )
+            new = live_view(lake_dir, new_rels, schema_new)
+            okey = pd.MultiIndex.from_arrays(
+                [old.column("repo").to_pandas(), old.column("path").to_pandas()]
+            )
+            nkey = pd.MultiIndex.from_arrays(
+                [new.column("repo").to_pandas(), new.column("path").to_pandas()]
+            )
+            oseq = pd.Series(old.column("seq").to_pandas().to_numpy(), index=okey)
+            nseq = pd.Series(new.column("seq").to_pandas().to_numpy(), index=nkey)
+            aligned_old = oseq.reindex(nkey)
+            is_ins = aligned_old.isna().to_numpy()
+            is_upd = (~is_ins) & (aligned_old.to_numpy() != nseq.to_numpy())
+            gone = ~np.asarray(okey.isin(nkey), dtype=bool)
+
+            payload_names = [n for n in schema_new.names if n != "content_sha256"]
+            changed = new.select(payload_names).filter(pa.array(is_ins | is_upd))
+            op = np.where(is_ins[is_ins | is_upd], "I", "U")
+            ev = changed.append_column("op", pa.array(op, type=pa.string()))
+
+            dels = old.filter(pa.array(gone))
+            if dels.num_rows:
+                dcols = {
+                    "repo": dels.column("repo"),
+                    "path": dels.column("path"),
+                    "seq": pa.array(
+                        dels.column("seq").to_pandas().to_numpy() + 1,
+                        type=pa.int64(),
+                    ),
+                }
+                dtab = pa.table(dcols)
+                for n in payload_names:
+                    if n not in dtab.column_names:
+                        dtab = dtab.append_column(
+                            n, pa.nulls(dtab.num_rows, schema_new.field(n).type)
+                        )
+                dtab = dtab.append_column(
+                    "op", pa.nulls(dtab.num_rows, pa.string()).fill_null("D")
+                )
+                out.append(conform_table(dtab, event_schema))
+            out.append(conform_table(ev, event_schema))
+        return (
+            pa.concat_tables(out) if out else event_schema.empty_table()
+        )
+
+    return rd.from_items(items).map_batches(
+        _diff, batch_format="pyarrow", batch_size=1
+    )

@@ -134,6 +134,45 @@ class MemorySource:
         return f"MemorySource(sealed={len(self._sealed)})"
 
 
+class DatasetSource:
+    """A single sealed epoch backed by an existing ``ray.data.Dataset``
+    (streaming — the dataset is never pulled to the driver). Used by the
+    snapshot bootstrap (engine/cdc/bootstrap.py) to feed a full initial
+    load through the ordinary epoch machinery, and usable by any embedder
+    that already has its change events as a Dataset.
+
+    ``schema`` must be supplied when the dataset is a lazy map chain —
+    ``Dataset.schema()`` on such a chain executes the upstream plan
+    (CLAUDE.md measured fact), so this source never calls it implicitly
+    unless no schema was given."""
+
+    def __init__(self, epoch: int, ds: rd.Dataset, schema: pa.Schema | None = None):
+        self._epoch = int(epoch)
+        self._ds = ds
+        self._schema = schema
+
+    def available_epochs(self) -> list[int]:
+        return [self._epoch]
+
+    def epoch_schema(self, epoch: int) -> pa.Schema:
+        if epoch != self._epoch:
+            raise KeyError(f"DatasetSource holds only epoch {self._epoch}, not {epoch}")
+        if self._schema is None:
+            s = self._ds.schema()
+            self._schema = pa.schema(
+                [pa.field(n, t) for n, t in zip(s.names, s.types)]
+            )
+        return self._schema
+
+    def read_epoch(self, epoch: int, parallelism_hint: int | None = None) -> rd.Dataset:
+        if epoch != self._epoch:
+            raise KeyError(f"DatasetSource holds only epoch {self._epoch}, not {epoch}")
+        return self._ds
+
+    def __repr__(self) -> str:
+        return f"DatasetSource(epoch={self._epoch})"
+
+
 def as_source(log: "str | DirectorySource | MemorySource"):
     """Normalize replay()'s log argument: a path string becomes the
     directory tailer; anything exposing the source trio passes through."""

@@ -163,6 +163,41 @@ def q_cdc_time_travel(sf_dir):
     )
 
 
+@register_query("q_cdc_changefeed")
+def q_cdc_changefeed(sf_dir):
+    """Snapshot bootstrap + changefeed export end-to-end, self-checking:
+    (a) a new lake bootstrapped from the epoch-0 state must hash-equal
+    epoch 0; (b) applying the exported changefeed(0→latest) onto it as
+    one epoch must hash-equal the latest state (the CDC-out round-trip,
+    engine/cdc/bootstrap.py). Any divergence raises; returns the feed's
+    change events (op, seq, key)."""
+    import ray.data as rd
+
+    from engine.cdc import tailer
+    from engine.cdc.bootstrap import bootstrap, changefeed
+    from engine.cdc.verify import lake_table, state_hash
+    from engine.util.collect import pull_arrow
+
+    work = _replayed_lake(sf_dir)
+    lake = f"{work}/lake"
+    cf = pull_arrow(changefeed(lake, from_epoch=0))
+    lake_c = f"{work}/lake_cf"
+    cfg = ReplayConfig(num_partitions=16, num_salts=2)
+    bootstrap(lake_table(lake, epoch=0), lake_c, cfg, epoch=0)
+    if state_hash(lake_c) != state_hash(lake, epoch=0):
+        raise AssertionError("bootstrap state diverged from epoch-0 state")
+    src = tailer.MemorySource()
+    src.append(1, cf)
+    src.seal(1)
+    replay(src, lake_c, cfg)
+    h_rt, h_ref = state_hash(lake_c), state_hash(lake)
+    if h_rt != h_ref:
+        raise AssertionError(f"changefeed round-trip diverged: {h_rt} != {h_ref}")
+    return rd.from_arrow(cf.select(["repo", "path", "op", "seq"])).sort(
+        ["repo", "path"]
+    )
+
+
 @register_query("q_cdc_lineage")
 def q_cdc_lineage(sf_dir):
     """Per-partition lineage records (event-range, epoch, row counts)."""

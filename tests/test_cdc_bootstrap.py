@@ -1,0 +1,129 @@
+"""Snapshot bootstrap + changefeed export (engine/cdc/bootstrap.py) and
+at-least-once delivery idempotence.
+
+The round-trip contracts under test:
+- bootstrap(state@B) then replay(log) == full replay (byte-identical hash);
+- state@A + changefeed(A→B) applied as one epoch == state@B;
+- delivering every event TWICE (at-least-once transport) converges to the
+  exactly-once state hash (LWW on unique seq is delivery-idempotent).
+"""
+
+import pyarrow as pa
+import pytest
+
+from engine.cdc import tailer
+from engine.cdc.bootstrap import bootstrap, changefeed
+from engine.cdc.replay import ReplayConfig, replay
+from engine.cdc.synth import SynthConfig, synth_changelog, epoch_dirs
+from engine.cdc.verify import lake_table, state_hash
+from engine.util.collect import pull_arrow
+
+CFG = dict(num_partitions=8, num_salts=2)
+
+
+@pytest.fixture(scope="module")
+def replayed(tmp_path_factory, sf_dir):
+    """One 3-epoch changelog (schema evolves at epoch 2) fully replayed."""
+    tmp = str(tmp_path_factory.mktemp("boot"))
+    log = synth_changelog(
+        sf_dir, f"{tmp}/log",
+        SynthConfig(seed=11, n_events=4000, n_epochs=3, n_keys=700, evolve_at_epoch=2),
+    )
+    lake = f"{tmp}/lake"
+    replay(log, lake, ReplayConfig(**CFG))
+    return tmp, log, lake
+
+
+def test_bootstrap_then_incremental_equals_full_replay(replayed):
+    tmp, log, lake = replayed
+    snap = lake_table(lake, epoch=1)  # consistent snapshot at changelog pos 1
+    lake_b = f"{tmp}/lake_boot"
+    bootstrap(snap, lake_b, ReplayConfig(**CFG), epoch=1)
+    assert state_hash(lake_b) == state_hash(lake, epoch=1)
+    out = replay(log, lake_b, ReplayConfig(**CFG))
+    assert out["epochs_run"] == [2] and out["epochs_skipped"] == [0, 1]
+    assert state_hash(lake_b) == state_hash(lake)
+
+
+def test_bootstrap_idempotent_and_refuses_nonempty(replayed):
+    tmp, log, lake = replayed
+    snap = lake_table(lake, epoch=0)
+    lake_b = f"{tmp}/lake_idem"
+    m1 = bootstrap(snap, lake_b, ReplayConfig(**CFG), epoch=0)
+    m2 = bootstrap(snap, lake_b, ReplayConfig(**CFG), epoch=0)  # no-op
+    assert m1["active_files"] == m2["active_files"]
+    with pytest.raises(RuntimeError, match="empty lake"):
+        bootstrap(snap, lake, ReplayConfig(**CFG), epoch=7)
+
+
+def test_bootstrap_without_seq_ranks_below_changelog(replayed, sf_dir):
+    # A source-export snapshot (payload only, no seq column): constant
+    # seq=-1 must lose LWW to every changelog event that later touches
+    # the key, and win (persist) where no event does.
+    tmp, log, lake = replayed
+    snap = lake_table(lake, epoch=0).drop_columns(["seq", "content_sha256"])
+    lake_b = f"{tmp}/lake_noseq"
+    bootstrap(snap, lake_b, ReplayConfig(**CFG), epoch=0)
+    replay(log, lake_b, ReplayConfig(**CFG))
+    # Rebuild the reference: epoch-0 state WITH its real seqs + epochs 1-2
+    # gives the canonical state; the payload must match per key except the
+    # seq column (untouched keys keep seq=-1 instead of their original).
+    eng = {
+        (r["repo"], r["path"]): r["content_sha256"]
+        for r in lake_table(lake_b).to_pylist()
+    }
+    ora = {
+        (r["repo"], r["path"]): r["content_sha256"]
+        for r in lake_table(lake).to_pylist()
+    }
+    assert eng == ora
+
+
+def test_changefeed_roundtrip(replayed):
+    tmp, log, lake = replayed
+    cf = pull_arrow(changefeed(lake, from_epoch=0, to_epoch=2))
+    assert cf.num_rows > 0 and set(cf.column("op").to_pylist()) <= {"I", "U", "D"}
+    lake_c = f"{tmp}/lake_cf"
+    bootstrap(lake_table(lake, epoch=0), lake_c, ReplayConfig(**CFG), epoch=0)
+    src = tailer.MemorySource()
+    src.append(1, cf)
+    src.seal(1)
+    replay(src, lake_c, ReplayConfig(**CFG))
+    assert state_hash(lake_c) == state_hash(lake, epoch=2)
+
+
+def test_changefeed_empty_and_adjacent(replayed):
+    tmp, log, lake = replayed
+    assert pull_arrow(changefeed(lake, from_epoch=2, to_epoch=2)) is None
+    # Adjacent epochs compose: (0→1 then 1→2) == 0→2 final state.
+    cf01 = pull_arrow(changefeed(lake, from_epoch=0, to_epoch=1))
+    cf12 = pull_arrow(changefeed(lake, from_epoch=1, to_epoch=2))
+    lake_c = f"{tmp}/lake_cf2"
+    bootstrap(lake_table(lake, epoch=0), lake_c, ReplayConfig(**CFG), epoch=0)
+    src = tailer.MemorySource()
+    src.append(1, cf01)
+    src.seal(1)
+    src.append(2, cf12)
+    src.seal(2)
+    replay(src, lake_c, ReplayConfig(**CFG))
+    assert state_hash(lake_c) == state_hash(lake)
+
+
+def test_duplicate_delivery_idempotent(replayed):
+    # At-least-once transport: every epoch's events delivered twice
+    # (duplicated rows) must converge to the exactly-once state — LWW on
+    # seq is insensitive to duplicates by construction.
+    import pyarrow.parquet as pq
+
+    tmp, log, lake = replayed
+    src = tailer.MemorySource()
+    for epoch, d in epoch_dirs(log):
+        t = pa.concat_tables(
+            [pq.read_table(f) for f in tailer.epoch_files(log, epoch)]
+        )
+        src.append(epoch, t)
+        src.append(epoch, t)  # the duplicate delivery
+        src.seal(epoch)
+    lake_d = f"{tmp}/lake_dup"
+    replay(src, lake_d, ReplayConfig(**CFG))
+    assert state_hash(lake_d) == state_hash(lake)
