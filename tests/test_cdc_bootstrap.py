@@ -109,6 +109,26 @@ def test_changefeed_empty_and_adjacent(replayed):
     assert state_hash(lake_c) == state_hash(lake)
 
 
+def test_bootstrap_crash_retry_converges(replayed):
+    # A bootstrap attempt that crashed between phase 1 (data files
+    # written) and phase 2 (manifest commit) leaves orphans; the retry
+    # must ignore them and converge to the clean-bootstrap state.
+    import os
+
+    import pyarrow.parquet as pq
+
+    tmp, log, lake = replayed
+    snap = lake_table(lake, epoch=0)
+    lake_b = f"{tmp}/lake_crash"
+    orphan_dir = os.path.join(lake_b, "data", "part=3")
+    os.makedirs(orphan_dir, exist_ok=True)
+    pq.write_table(
+        snap.slice(0, 5), os.path.join(orphan_dir, "base-00000-deadbeef.parquet")
+    )
+    bootstrap(snap, lake_b, ReplayConfig(**CFG), epoch=0)
+    assert state_hash(lake_b) == state_hash(lake, epoch=0)
+
+
 def test_duplicate_delivery_idempotent(replayed):
     # At-least-once transport: every epoch's events delivered twice
     # (duplicated rows) must converge to the exactly-once state — LWW on
