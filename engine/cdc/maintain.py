@@ -1,0 +1,177 @@
+"""Maintenance commits: backfill (ALTER-style column rewrite) and compact
+(OPTIMIZE) as first-class lake versions.
+
+A maintenance commit rewrites partition data WITHOUT consuming changelog
+events: it allocates the next manifest version but carries the previous
+``changelog_pos`` forward, so a following ``replay()`` still applies
+exactly the changelog epochs the lake hasn't folded yet (the version
+chain interleaves data and maintenance commits, like any real lakehouse
+log). Both ops are per-partition rewrites with ZERO shuffle — one task
+per pid merge-on-reads its active file list and writes one new base —
+and go through the same two-phase manifest protocol as the merge
+(orphans on crash, atomic commit, time travel to every prior version).
+
+- :func:`backfill` — populate (or recompute) one column across the whole
+  lake from each row's existing columns: the "backfill the nulls after
+  additive schema evolution" maintenance job the north star's evolution
+  rule implies. A NEW column extends the event schema additively, so
+  later change events simply carry (or null-backfill) it.
+- :func:`compact` — force every partition's LSM file list (base + delta
+  files) back to a single sorted base; read-amplification reset for
+  delta-mode lakes, byte-identical live state.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from engine.cdc import sink
+from engine.cdc.merge import live_view
+from engine.schemas import lake_schema_for
+from engine.util.collect import pull_arrow
+
+
+def _maintenance_commit(
+    lake_dir: str,
+    transform,
+    new_event_schema: pa.Schema | None = None,
+    only_pids: list[int] | None = None,
+    label: str = "maintenance",
+) -> dict:
+    """Shared core: rewrite selected partitions through ``transform``
+    (pa.Table → pa.Table, already in the NEW lake schema) and commit the
+    next version. Untouched partitions carry forward by manifest
+    reference — their files are not rewritten or re-listed."""
+    prev = sink.read_manifest(lake_dir)
+    if prev is None:
+        raise FileNotFoundError(f"no committed manifest under {lake_dir}")
+    t0 = time.monotonic()
+    version = int(prev["epoch"]) + 1
+    old_event_schema = sink.schema_from_b64(prev["schema_b64"])
+    old_lake_schema = lake_schema_for(old_event_schema)
+    event_schema = new_event_schema or old_event_schema
+    lake_schema = lake_schema_for(event_schema)
+    parts = sink.active_files(prev)
+    pids = sorted(parts) if only_pids is None else sorted(only_pids)
+    if pids:
+        items = [{"pid": p, "rels": list(parts[p])} for p in pids]
+
+        def _rewrite(batch: pa.Table) -> pa.Table:
+            rows = []
+            for pid, rels in zip(
+                batch.column("pid").to_pylist(), batch.column("rels").to_pylist()
+            ):
+                tp = time.monotonic()
+                t = transform(live_view(lake_dir, list(rels), old_lake_schema))
+                if t.schema != lake_schema:
+                    t = t.select(lake_schema.names).cast(lake_schema)
+                rel = os.path.join(
+                    "data", f"part={pid}",
+                    f"base-{version:05d}-{uuid.uuid4().hex[:12]}.parquet",
+                )
+                abs_path = os.path.join(lake_dir, rel)
+                os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+                pq.write_table(t, abs_path)
+                seqs = t.column("seq")
+                rows.append(
+                    {
+                        "pid": pid,
+                        "epoch": version,
+                        "files": [rel],
+                        "seq_lo": int(pc.min(seqs).as_py()) if t.num_rows else -1,
+                        "seq_hi": int(pc.max(seqs).as_py()) if t.num_rows else -1,
+                        "events_in": 0,
+                        "upserts": 0,
+                        "deletes": 0,
+                        "rows_out": t.num_rows,
+                        "bytes_written": os.path.getsize(abs_path),
+                        "duration_s": time.monotonic() - tp,
+                    }
+                )
+            return pa.Table.from_pylist(rows)
+
+        got = pull_arrow(
+            rd.from_items(items).map_batches(
+                _rewrite, batch_format="pyarrow", batch_size=1
+            )
+        )
+        reports = got.to_pylist() if got is not None else []
+    else:
+        reports = []
+    manifest = sink.commit_epoch(
+        lake_dir,
+        version,
+        reports,
+        event_schema,
+        prev,
+        extra={
+            "wall_s": time.monotonic() - t0,
+            "summary_file": prev.get("summary_file"),  # content untouched
+            "num_partitions": prev.get("num_partitions"),
+            "changelog_pos": sink.changelog_pos(prev),
+            "maintenance": label,
+        },
+    )
+    from engine.cdc.replay import _write_lineage
+
+    _write_lineage(lake_dir, version, reports)
+    return manifest
+
+
+def backfill(lake_dir: str, column: str, fn, dtype: pa.DataType | None = None) -> dict:
+    """Rewrite ``column`` for every live row as ``fn(partition_table)``
+    (a vectorized pa.Table → pa.Array over the row's OTHER columns). A
+    column the lake doesn't have yet requires ``dtype`` and extends the
+    event schema additively (later events may carry it; events that
+    don't null it for the rows they touch — the documented
+    backfill-as-null evolution rule). Commits one maintenance version;
+    changelog resume is unaffected."""
+    prev = sink.read_manifest(lake_dir)
+    if prev is None:
+        raise FileNotFoundError(f"no committed manifest under {lake_dir}")
+    if column in ("content_sha256", "seq", "op", "repo", "path"):
+        raise ValueError(f"column {column!r} is engine-managed (or the key)")
+    event_schema = sink.schema_from_b64(prev["schema_b64"])
+    new_event_schema = None
+    if column not in event_schema.names:
+        if dtype is None:
+            raise ValueError(f"new column {column!r} requires dtype=")
+        new_event_schema = event_schema.append(pa.field(column, dtype))
+    target_lake = lake_schema_for(new_event_schema or event_schema)
+
+    def _transform(t: pa.Table) -> pa.Table:
+        arr = fn(t)
+        if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+            arr = pa.array(arr)
+        idx = target_lake.get_field_index(column)
+        if column in t.column_names:
+            t = t.set_column(idx, target_lake.field(column), arr)
+        else:
+            t = t.add_column(idx, target_lake.field(column), arr)
+        return t
+
+    return _maintenance_commit(
+        lake_dir, _transform, new_event_schema, label=f"backfill:{column}"
+    )
+
+
+def compact(lake_dir: str) -> dict:
+    """Force-compact every multi-file partition (base + LSM deltas) to a
+    single sorted base file; the live state is byte-identical (live_view
+    is the same merge the readers apply). Single-file partitions carry
+    forward untouched. One maintenance version; no-op manifest (version
+    bump only) when nothing needs compacting."""
+    prev = sink.read_manifest(lake_dir)
+    if prev is None:
+        raise FileNotFoundError(f"no committed manifest under {lake_dir}")
+    multi = [p for p, rels in sink.active_files(prev).items() if len(rels) > 1]
+    return _maintenance_commit(
+        lake_dir, lambda t: t, only_pids=multi, label="compact"
+    )

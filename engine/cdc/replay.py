@@ -311,10 +311,13 @@ def merge_and_commit(
     cfg: ReplayConfig,
     prev_manifest: dict | None,
     t0: float,
+    changelog_pos: int | None = None,
 ) -> dict:
     """The commit-dependent half: reconcile salted winners per pid against
     the base files named by the PREVIOUS manifest, write new partition
-    files, then the two-phase manifest commit."""
+    files, then the two-phase manifest commit. ``epoch`` is the lake
+    VERSION being committed; ``changelog_pos`` the changelog epoch it
+    folds (equal unless maintenance commits interleaved — sink.changelog_pos)."""
     target_b64 = sink.schema_to_b64(target)
     active = sink.active_files(prev_manifest)
     if cfg.merge_compute == "actors":
@@ -361,6 +364,7 @@ def merge_and_commit(
             # Pins the lake's partitioning so readers can key-prune:
             # pid = stable_hash(repo) % num_partitions (verify.lake_lookup).
             "num_partitions": cfg.num_partitions,
+            "changelog_pos": int(changelog_pos if changelog_pos is not None else epoch),
         },
     )
     _write_lineage(lake_dir, epoch, reports)
@@ -373,8 +377,11 @@ def run_epoch(
     epoch: int,
     cfg: ReplayConfig,
     prev_manifest: dict | None,
+    version: int | None = None,
 ) -> dict:
-    """Run + commit one epoch serially; returns the committed manifest."""
+    """Run + commit one epoch serially; returns the committed manifest.
+    ``version`` is the lake version to commit as (default: the changelog
+    epoch itself — they diverge only after maintenance commits)."""
     t0 = time.monotonic()
     src = tailer.as_source(log)
     prev_schema = (
@@ -382,7 +389,10 @@ def run_epoch(
     )
     target = negotiate(prev_schema, src.epoch_schema(epoch))  # M11
     winners = build_winners(src, lake_dir, epoch, cfg, sink.schema_to_b64(target))
-    return merge_and_commit(lake_dir, epoch, winners, target, cfg, prev_manifest, t0)
+    v = version if version is not None else epoch
+    return merge_and_commit(
+        lake_dir, v, winners, target, cfg, prev_manifest, t0, changelog_pos=epoch
+    )
 
 
 def _write_lineage(lake_dir: str, epoch: int, reports: list[dict]) -> None:
@@ -475,19 +485,23 @@ def _replay_available(
     if max_epoch is not None:
         epochs = [e for e in epochs if e <= max_epoch]
     manifest = sink.read_manifest(lake_dir)
-    ran, skipped = [], []
+    ran, ran_versions, skipped = [], [], []
     t0 = time.monotonic()
     todo = []
-    # C4 resume: epochs commit strictly in order, so anything at or below
-    # the highest committed epoch is done — even if its own manifest was
-    # pruned by vacuum's retention policy (re-running an old epoch against
-    # a newer base would corrupt the lake).
-    last = sink.last_committed_epoch(lake_dir)
+    # C4 resume: epochs fold strictly in order, so anything at or below
+    # the latest manifest's changelog position is done — even if that
+    # epoch's own manifest was pruned by vacuum's retention policy
+    # (re-running an old epoch against a newer base would corrupt the
+    # lake). The position, not the version number, is authoritative:
+    # maintenance commits (backfill/compact) advance versions without
+    # consuming changelog epochs.
+    last = sink.changelog_pos(manifest)
     for k in epochs:
         if last is not None and k <= last:
             skipped.append(k)
             continue
         todo.append(k)
+    last_version = sink.last_committed_epoch(lake_dir)
 
     restore = _shuffle_ctx(cfg)
     try:
@@ -517,17 +531,23 @@ def _replay_available(
                 if cfg.pipeline_epochs and i + 1 < len(todo):
                     nxt = todo[i + 1]
                     pending = (nxt, pool.submit(_prefetch, nxt))
+                v = k if last_version is None else last_version + 1
                 manifest = merge_and_commit(
-                    lake_dir, k, winners, targets[k], cfg, manifest, tk
+                    lake_dir, v, winners, targets[k], cfg, manifest, tk,
+                    changelog_pos=k,
                 )
+                last_version = v
                 ran.append(k)
+                ran_versions.append(v)
             if pending is not None:  # max_epoch edge: drop unused prefetch
                 pending[1].cancel()
     finally:
         restore()
 
     events = sum(
-        r["events_in"] for k in ran for r in sink.read_manifest(lake_dir, k)["lineage"]
+        r["events_in"]
+        for v in ran_versions
+        for r in sink.read_manifest(lake_dir, v)["lineage"]
     )
     return {
         "epochs_run": ran,

@@ -77,6 +77,18 @@ def last_committed_epoch(lake_dir: str) -> int | None:
     return max(epochs) if epochs else None
 
 
+def changelog_pos(manifest: dict | None) -> int | None:
+    """Highest changelog epoch folded into this manifest's state. Replay
+    commits record it explicitly; maintenance commits (backfill/compact,
+    engine/cdc/maintain.py) carry it forward unchanged, so lake VERSIONS
+    (manifest numbers) and changelog EPOCHS may diverge — resume reads
+    this field, never the version number. Manifests written before the
+    field existed were always 1:1 (version == epoch)."""
+    if manifest is None:
+        return None
+    return int(manifest.get("changelog_pos", manifest["epoch"]))
+
+
 def read_manifest(lake_dir: str, epoch: int | None = None) -> dict | None:
     if epoch is None:
         epoch = last_committed_epoch(lake_dir)

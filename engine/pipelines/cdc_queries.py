@@ -198,6 +198,44 @@ def q_cdc_changefeed(sf_dir):
     )
 
 
+@register_query("q_cdc_backfill")
+def q_cdc_backfill(sf_dir):
+    """Maintenance commits end-to-end, self-checking: replay part of the
+    changelog, BACKFILL a derived column (one interleaved maintenance
+    version; changelog position unchanged), resume the replay (the next
+    changelog epoch must still apply), then COMPACT — asserting at each
+    step that the non-backfilled state stays hash-identical to the
+    uninterrupted replay (engine/cdc/maintain.py). Returns the final
+    per-row state with the backfilled column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from engine.cdc.maintain import backfill, compact
+    from engine.cdc.verify import canonical_digest, lake_table, read_lake
+
+    work = _replayed_lake(sf_dir)
+    lake_m = f"{work}/lake_maint"
+    cfg = ReplayConfig(num_partitions=16, num_salts=2)
+    if not os.path.exists(lake_m):
+        replay(f"{work}/log", lake_m, cfg, max_epoch=1)
+        backfill(
+            lake_m, "n_chars",
+            lambda t: pc.utf8_length(t.column("content")).cast(pa.int64()),
+            dtype=pa.int64(),
+        )
+        out = replay(f"{work}/log", lake_m, cfg)
+        if out["epochs_run"] != [2]:
+            raise AssertionError(f"resume after backfill ran {out['epochs_run']}")
+        compact(lake_m)
+    got = canonical_digest(lake_table(lake_m), exclude=("content", "n_chars"))
+    ref = canonical_digest(lake_table(f"{work}/lake"))
+    if got != ref:
+        raise AssertionError(f"maintenance lake diverged: {got} != {ref}")
+    return read_lake(lake_m).select_columns(
+        ["repo", "path", "content_sha256", "seq", "n_chars"]
+    )
+
+
 @register_query("q_cdc_lineage")
 def q_cdc_lineage(sf_dir):
     """Per-partition lineage records (event-range, epoch, row counts)."""

@@ -1,0 +1,122 @@
+"""Maintenance commits (engine/cdc/maintain.py): backfill + compact as
+interleaved lake versions, and the version/changelog_pos decoupling that
+keeps replay resume exact across them."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from engine.cdc import sink
+from engine.cdc.maintain import backfill, compact
+from engine.cdc.replay import ReplayConfig, replay
+from engine.cdc.synth import SynthConfig, synth_changelog
+from engine.cdc.verify import canonical_digest, lake_table, state_hash
+
+CFG = dict(num_partitions=8, num_salts=2)
+
+
+def _log(tmp, sf_dir, name="log", **kw):
+    return synth_changelog(
+        sf_dir, f"{tmp}/{name}",
+        SynthConfig(seed=21, n_events=3000, n_epochs=3, n_keys=600, **kw),
+    )
+
+
+def test_backfill_new_column_and_replay_resume(tmp_path, sf_dir):
+    log = _log(tmp_path, sf_dir)
+    lake, lake_ref = f"{tmp_path}/lake", f"{tmp_path}/lake_ref"
+    replay(log, lake_ref, ReplayConfig(**CFG))  # uninterrupted reference
+    replay(log, lake, ReplayConfig(**CFG), max_epoch=1)
+    h_before = canonical_digest(lake_table(lake))
+
+    m = backfill(
+        lake, "n_chars",
+        lambda t: pc.utf8_length(t.column("content")).cast(pa.int64()),
+        dtype=pa.int64(),
+    )
+    # Version advanced, changelog position did not.
+    assert m["epoch"] == 2 and sink.changelog_pos(m) == 1
+    assert m["maintenance"] == "backfill:n_chars"
+    t = lake_table(lake)
+    assert t.column("n_chars").to_pylist() == pc.utf8_length(
+        t.column("content")
+    ).cast(pa.int64()).to_pylist()
+    # Everything except the new column is untouched.
+    assert canonical_digest(t, exclude=("content", "n_chars")) == h_before
+
+    # Resume must apply changelog epoch 2 (as version 3), NOT skip it
+    # because version 2 is committed.
+    out = replay(log, lake, ReplayConfig(**CFG))
+    assert out["epochs_run"] == [2] and out["epochs_skipped"] == [0, 1]
+    assert sink.last_committed_epoch(lake) == 3
+    assert sink.changelog_pos(sink.read_manifest(lake)) == 2
+    final = lake_table(lake)
+    assert canonical_digest(final, exclude=("content", "n_chars")) == state_hash(
+        lake_ref
+    )
+    # Backfill-as-null evolution semantics: rows rewritten by epoch-2
+    # events carry null (their events had no n_chars); untouched rows
+    # keep the backfilled value, which still matches their content.
+    n = final.column("n_chars")
+    filled = final.filter(pc.is_valid(n))
+    assert 0 < filled.num_rows < final.num_rows
+    assert filled.column("n_chars").to_pylist() == pc.utf8_length(
+        filled.column("content")
+    ).cast(pa.int64()).to_pylist()
+
+
+def test_backfill_existing_column_values(tmp_path, sf_dir):
+    log = _log(tmp_path, sf_dir, name="log_e")
+    lake = f"{tmp_path}/lake_e"
+    replay(log, lake, ReplayConfig(**CFG))
+    h_before = canonical_digest(lake_table(lake), exclude=("content", "lang"))
+    backfill(lake, "lang", lambda t: pc.utf8_upper(t.column("lang")))
+    t = lake_table(lake)
+    assert canonical_digest(t, exclude=("content", "lang")) == h_before
+    langs = [v for v in t.column("lang").to_pylist() if v is not None]
+    assert langs and all(v == v.upper() for v in langs)
+
+
+def test_backfill_requires_dtype_and_rejects_managed(tmp_path, sf_dir):
+    log = _log(tmp_path, sf_dir, name="log_g")
+    lake = f"{tmp_path}/lake_g"
+    replay(log, lake, ReplayConfig(**CFG), max_epoch=0)
+    with pytest.raises(ValueError, match="requires dtype"):
+        backfill(lake, "brand_new", lambda t: t.column("seq"))
+    with pytest.raises(ValueError, match="engine-managed"):
+        backfill(lake, "seq", lambda t: t.column("seq"))
+
+
+def test_compact_is_byte_identical_and_resets_lsm(tmp_path, sf_dir):
+    log = _log(tmp_path, sf_dir, name="log_c")
+    lake = f"{tmp_path}/lake_c"
+    # Delta mode with a high threshold so deltas pile up uncompacted.
+    replay(log, lake, ReplayConfig(write_mode="delta", compact_files=10, **CFG))
+    before = sink.active_files(sink.read_manifest(lake))
+    assert any(len(rels) > 1 for rels in before.values())
+    h = state_hash(lake)
+    v_prev = sink.last_committed_epoch(lake)
+
+    m = compact(lake)
+    assert m["maintenance"] == "compact" and m["epoch"] == v_prev + 1
+    after = sink.active_files(m)
+    assert set(after) == set(before)
+    assert all(len(rels) == 1 for rels in after.values())
+    assert state_hash(lake) == h
+    # Time travel to the pre-compact version still works.
+    assert state_hash(lake, epoch=v_prev) == h
+    # And a second compact is a version bump with zero rewrites.
+    m2 = compact(lake)
+    assert sink.active_files(m2) == after
+
+
+def test_replay_continues_after_compact_in_delta_mode(tmp_path, sf_dir):
+    log = _log(tmp_path, sf_dir, name="log_d")
+    lake, lake_ref = f"{tmp_path}/lake_d", f"{tmp_path}/lake_dref"
+    cfg = ReplayConfig(write_mode="delta", compact_files=10, **CFG)
+    replay(log, lake_ref, cfg)
+    replay(log, lake, cfg, max_epoch=1)
+    compact(lake)
+    out = replay(log, lake, cfg)
+    assert out["epochs_run"] == [2]
+    assert state_hash(lake) == state_hash(lake_ref)
