@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from engine.cdc import sink
-from engine.cdc.merge import live_view
+from engine.cdc.merge import _summary_delta, live_view
 from engine.schemas import lake_schema_for
 from engine.util.collect import pull_arrow
 
@@ -44,11 +44,18 @@ def _maintenance_commit(
     new_event_schema: pa.Schema | None = None,
     only_pids: list[int] | None = None,
     label: str = "maintenance",
+    track_summary: bool = False,
 ) -> dict:
     """Shared core: rewrite selected partitions through ``transform``
     (pa.Table → pa.Table, already in the NEW lake schema) and commit the
     next version. Untouched partitions carry forward by manifest
-    reference — their files are not rewritten or re-listed."""
+    reference — their files are not rewritten or re-listed.
+
+    ``track_summary=True`` is for transforms that DROP rows (purge):
+    ``transform`` then returns ``(kept, removed)`` and the per-repo
+    incremental summary is folded forward exactly like a merge epoch
+    (so summary == full recompute stays true at every version); the
+    default carries the previous summary file (rows untouched)."""
     prev = sink.read_manifest(lake_dir)
     if prev is None:
         raise FileNotFoundError(f"no committed manifest under {lake_dir}")
@@ -70,6 +77,9 @@ def _maintenance_commit(
             ):
                 tp = time.monotonic()
                 t = transform(live_view(lake_dir, list(rels), old_lake_schema))
+                removed = None
+                if track_summary:
+                    t, removed = t
                 if t.schema != lake_schema:
                     t = t.select(lake_schema.names).cast(lake_schema)
                 rel = os.path.join(
@@ -89,10 +99,15 @@ def _maintenance_commit(
                         "seq_hi": int(pc.max(seqs).as_py()) if t.num_rows else -1,
                         "events_in": 0,
                         "upserts": 0,
-                        "deletes": 0,
                         "rows_out": t.num_rows,
                         "bytes_written": os.path.getsize(abs_path),
                         "duration_s": time.monotonic() - tp,
+                        "deletes": int(removed.num_rows) if removed is not None else 0,
+                        "summary_delta": _summary_delta(
+                            removed, removed.slice(0, 0)
+                        )
+                        if removed is not None
+                        else "{}",
                     }
                 )
             return pa.Table.from_pylist(rows)
@@ -105,6 +120,12 @@ def _maintenance_commit(
         reports = got.to_pylist() if got is not None else []
     else:
         reports = []
+    if track_summary:
+        from engine.cdc.summary import fold_summary
+
+        summary_rel = fold_summary(lake_dir, prev, reports, version)
+    else:
+        summary_rel = prev.get("summary_file")  # content untouched
     manifest = sink.commit_epoch(
         lake_dir,
         version,
@@ -113,7 +134,7 @@ def _maintenance_commit(
         prev,
         extra={
             "wall_s": time.monotonic() - t0,
-            "summary_file": prev.get("summary_file"),  # content untouched
+            "summary_file": summary_rel,
             "num_partitions": prev.get("num_partitions"),
             "changelog_pos": sink.changelog_pos(prev),
             "maintenance": label,
@@ -159,6 +180,30 @@ def backfill(lake_dir: str, column: str, fn, dtype: pa.DataType | None = None) -
 
     return _maintenance_commit(
         lake_dir, _transform, new_event_schema, label=f"backfill:{column}"
+    )
+
+
+def purge(lake_dir: str, predicate) -> dict:
+    """Retention / right-to-be-forgotten delete: drop every live row for
+    which ``predicate(partition_table) -> bool mask`` is true, as one
+    maintenance version. Point-in-time by design — a later change event
+    can lawfully re-insert the key (that's new data, not a resurrection).
+    The per-repo incremental summary is folded with the removed rows'
+    negative deltas, so summary == full recompute still holds at every
+    version; partitions emptied by the purge drop out of the active set.
+    Note vacuum retention governs when the PRE-purge versions' files
+    (which still contain the purged rows) are physically reclaimed —
+    a compliance purge is complete once retention has lapsed."""
+
+    def _transform(t: pa.Table):
+        mask = predicate(t)
+        if not isinstance(mask, (pa.Array, pa.ChunkedArray)):
+            mask = pa.array(mask, type=pa.bool_())
+        mask = pc.fill_null(mask, False)
+        return t.filter(pc.invert(mask)), t.filter(mask)
+
+    return _maintenance_commit(
+        lake_dir, _transform, label="purge", track_summary=True
     )
 
 

@@ -110,6 +110,50 @@ def test_compact_is_byte_identical_and_resets_lsm(tmp_path, sf_dir):
     assert sink.active_files(m2) == after
 
 
+def test_purge_removes_rows_and_keeps_summary_exact(tmp_path, sf_dir):
+    from engine.cdc.maintain import purge
+    from engine.cdc.summary import read_summary, recompute_summary
+
+    log = _log(tmp_path, sf_dir, name="log_p")
+    lake = f"{tmp_path}/lake_p"
+    replay(log, lake, ReplayConfig(**CFG))
+    t0 = lake_table(lake)
+    victim = t0.column("repo")[0].as_py()
+    n_victim = pc.sum(
+        pc.cast(pc.equal(t0.column("repo"), victim), pa.int64())
+    ).as_py()
+    assert n_victim > 0
+    h_keep = canonical_digest(
+        t0.filter(pc.invert(pc.equal(t0.column("repo"), victim)))
+    )
+
+    m = purge(lake, lambda t: pc.equal(t.column("repo"), victim))
+    assert m["maintenance"] == "purge"
+    assert sum(r["deletes"] for r in m["lineage"]) == n_victim
+    t1 = lake_table(lake)
+    assert pc.sum(
+        pc.cast(pc.equal(t1.column("repo"), victim), pa.int64())
+    ).as_py() in (0, None)
+    assert canonical_digest(t1) == h_keep  # survivors byte-identical
+    # Incremental summary folded with the negative deltas == recompute.
+    assert read_summary(lake).equals(recompute_summary(lake))
+    assert victim not in read_summary(lake).column("repo").to_pylist()
+    # Replay after the purge is a no-op (changelog fully consumed).
+    out = replay(log, lake, ReplayConfig(**CFG))
+    assert out["epochs_run"] == []
+
+
+def test_purge_can_empty_partitions(tmp_path, sf_dir):
+    from engine.cdc.maintain import purge
+
+    log = _log(tmp_path, sf_dir, name="log_pe")
+    lake = f"{tmp_path}/lake_pe"
+    replay(log, lake, ReplayConfig(**CFG))
+    m = purge(lake, lambda t: pa.array([True] * t.num_rows))
+    assert sink.active_files(m) == {}
+    assert lake_table(lake).num_rows == 0
+
+
 def test_replay_continues_after_compact_in_delta_mode(tmp_path, sf_dir):
     log = _log(tmp_path, sf_dir, name="log_d")
     lake, lake_ref = f"{tmp_path}/lake_d", f"{tmp_path}/lake_dref"
