@@ -236,6 +236,45 @@ def q_cdc_backfill(sf_dir):
     )
 
 
+@register_query("q_cdc_multi_table")
+def q_cdc_multi_table(sf_dir):
+    """Multi-table transactional CDC, self-checking: two changelogs (two
+    'source tables') replayed under the atomic cross-table txn log
+    (engine/cdc/txn.py); each table's final state must hash-equal an
+    independent single-table replay of its changelog, and a rerun must
+    commit zero new txns. Returns the per-txn version pins."""
+    from engine.cdc.txn import (
+        committed_txns, read_txn, replay_database, table_dir,
+    )
+    from engine.cdc.verify import state_hash
+
+    work = _replayed_lake(sf_dir)
+    db = f"{work}/db"
+    logs = {
+        "files": f"{work}/log",
+        "issues": synth_changelog(
+            sf_dir, f"{work}/log_issues",
+            SynthConfig(seed=77, n_events=3000, n_epochs=3, n_keys=500),
+        ),
+    }
+    cfg = ReplayConfig(num_partitions=16, num_salts=2)
+    replay_database(logs, db, cfg)
+    if state_hash(table_dir(db, "files")) != state_hash(f"{work}/lake"):
+        raise AssertionError("txn-replayed 'files' diverged from single-table replay")
+    ref = f"{work}/ref_issues"
+    replay(logs["issues"], ref, cfg)
+    if state_hash(table_dir(db, "issues")) != state_hash(ref):
+        raise AssertionError("txn-replayed 'issues' diverged from single-table replay")
+    if replay_database(logs, db, cfg)["txns_committed"]:
+        raise AssertionError("rerun committed new txns (not idempotent)")
+    rows = [
+        {"txn": k, "table": name, "version": v}
+        for k in committed_txns(db)
+        for name, v in sorted(read_txn(db, k)["tables"].items())
+    ]
+    return rd.from_items(rows)
+
+
 @register_query("q_cdc_lineage")
 def q_cdc_lineage(sf_dir):
     """Per-partition lineage records (event-range, epoch, row counts)."""
