@@ -129,6 +129,72 @@ def test_bootstrap_crash_retry_converges(replayed):
     assert state_hash(lake_b) == state_hash(lake, epoch=0)
 
 
+def test_changefeed_property_random_streams(tmp_path, sf_dir):
+    """Hypothesis over the changefeed: ANY random I/U/D stream split into
+    two epochs must round-trip — state@0 + changefeed(0→1) == state@1 —
+    including key reuse, delete-then-reinsert, and epochs that change
+    nothing for some keys."""
+    import os
+
+    import pyarrow.parquet as pq
+    from hypothesis import given, settings, strategies as st
+
+    from engine.cdc.replay import ReplayConfig as RC
+
+    events = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),               # key id
+            st.sampled_from(["I", "U", "D"]),
+            st.sampled_from(["x", "yy", "zzz"]),                 # content
+        ),
+        min_size=1, max_size=20,
+    )
+
+    case = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(evs=events, split=st.integers(min_value=1, max_value=20))
+    def _check(evs, split):
+        case[0] += 1
+        base = f"{tmp_path}/cffz_{case[0]}"
+        log = f"{base}/log"
+        rows = {
+            "seq": list(range(len(evs))),
+            "op": [e[1] for e in evs],
+            "repo": [f"r{e[0] % 2}" for e in evs],
+            "path": [f"p{e[0]}" for e in evs],
+            "commit": ["c0"] * len(evs),
+            "lang": ["en"] * len(evs),
+            "content": [e[2] for e in evs],
+        }
+        t = pa.table(rows)
+        cut = min(split, len(evs))
+        for k, tbl in enumerate((t.slice(0, cut), t.slice(cut))):
+            d = f"{log}/epoch={k:05d}"
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(tbl, f"{d}/part-0000.parquet")
+        cfg = RC(num_partitions=2, num_salts=2)
+        lake = f"{base}/lake"
+        replay(log, lake, cfg)
+        cf = pull_arrow(changefeed(lake, from_epoch=0, to_epoch=1))
+        lake2 = f"{base}/lake2"
+        t0 = lake_table(lake, epoch=0)
+        if t0.num_rows:
+            bootstrap(t0, lake2, cfg, epoch=0)
+        else:
+            # Epoch 0 deleted everything (or inserted nothing): start the
+            # replica empty by replaying just epoch 0.
+            replay(log, lake2, cfg, max_epoch=0)
+        if cf is not None:
+            src = tailer.MemorySource()
+            src.append(1, cf)
+            src.seal(1)
+            replay(src, lake2, cfg)
+        assert state_hash(lake2) == state_hash(lake, epoch=1)
+
+    _check()
+
+
 def test_duplicate_delivery_idempotent(replayed):
     # At-least-once transport: every epoch's events delivered twice
     # (duplicated rows) must converge to the exactly-once state — LWW on
