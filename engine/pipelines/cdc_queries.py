@@ -275,6 +275,25 @@ def q_cdc_multi_table(sf_dir):
     return rd.from_items(rows)
 
 
+@register_query("q_cdc_metrics")
+def q_cdc_metrics(sf_dir):
+    """Per-version operational metrics from the commit chain
+    (engine/cdc/metrics.py), self-checking: every manifest's totals must
+    equal the sum of its per-partition lineage rows (the two artifacts
+    are written by different halves of the commit — agreement is the
+    check). Returns one row per committed version."""
+    from engine.cdc.metrics import consistency_check, epoch_metrics
+
+    work = _replayed_lake(sf_dir)
+    chk = consistency_check(f"{work}/lake")
+    if chk["mismatches"]:
+        raise AssertionError(f"manifest/lineage metric mismatch: {chk['mismatches']}")
+    if chk["versions_checked"] == 0:
+        raise AssertionError("no versions checked")
+    t = epoch_metrics(f"{work}/lake")
+    return rd.from_arrow(t.drop_columns(["wall_s", "events_per_sec"]))
+
+
 @register_query("q_cdc_lineage")
 def q_cdc_lineage(sf_dir):
     """Per-partition lineage records (event-range, epoch, row counts)."""

@@ -154,6 +154,31 @@ def test_purge_can_empty_partitions(tmp_path, sf_dir):
     assert lake_table(lake).num_rows == 0
 
 
+def test_metrics_surface_spans_replay_and_maintenance(tmp_path, sf_dir):
+    from engine.cdc.metrics import (
+        consistency_check,
+        epoch_metrics,
+        partition_metrics,
+    )
+
+    log = _log(tmp_path, sf_dir, name="log_m")
+    lake = f"{tmp_path}/lake_m"
+    replay(log, lake, ReplayConfig(**CFG), max_epoch=1)
+    backfill(lake, "lang", lambda t: pc.utf8_upper(t.column("lang")))
+    replay(log, lake, ReplayConfig(**CFG))
+    m = epoch_metrics(lake)
+    assert m.column("version").to_pylist() == [0, 1, 2, 3]
+    assert m.column("changelog_pos").to_pylist() == [0, 1, 1, 2]
+    assert m.column("maintenance").to_pylist() == [None, None, "backfill:lang", None]
+    ev = m.column("events_in").to_pylist()
+    assert ev[0] > 0 and ev[2] == 0 and ev[3] > 0
+    chk = consistency_check(lake)
+    assert chk["versions_checked"] == 4 and chk["mismatches"] == []
+    lin = partition_metrics(lake, version=3)
+    assert lin.num_rows > 0
+    assert sum(lin.column("events_in").to_pylist()) == ev[3]
+
+
 def test_replay_continues_after_compact_in_delta_mode(tmp_path, sf_dir):
     log = _log(tmp_path, sf_dir, name="log_d")
     lake, lake_ref = f"{tmp_path}/lake_d", f"{tmp_path}/lake_dref"
