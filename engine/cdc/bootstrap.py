@@ -109,6 +109,59 @@ def bootstrap(
     return run_epoch(src, lake_dir, epoch, cfg, prev_manifest=None)
 
 
+def replicate(
+    src_lake: str,
+    dst_lake: str,
+    cfg: ReplayConfig | None = None,
+    to_epoch: int | None = None,
+) -> dict:
+    """Catch a replica lake up to a source lake (CDC-out consumption):
+    an empty replica is bootstrapped from the source's target state in
+    one shot; an existing replica applies ``changefeed(src, from=replica
+    position, to=target)`` as its next epoch. Idempotent — a caught-up
+    replica is a no-op. The replica's own version numbers track its
+    replication steps (it records the SOURCE version it mirrors as its
+    ``changelog_pos``), and its state hash equals the source's at the
+    mirrored version after every call (tested)."""
+    cfg = cfg or ReplayConfig()
+    target = sink.read_manifest(src_lake, to_epoch)
+    if target is None:
+        raise FileNotFoundError(f"no committed manifest under {src_lake}")
+    target_v = int(target["epoch"])
+    dst_m = sink.read_manifest(dst_lake)
+    at = sink.changelog_pos(dst_m)
+    if at is not None and at >= target_v:
+        return {"applied": 0, "at_version": at}
+    if dst_m is None:
+        from engine.cdc.verify import read_lake
+        from engine.schemas import lake_schema_for
+
+        snap = read_lake(src_lake, epoch=target_v)  # streams, never pulled
+        schema = lake_schema_for(sink.schema_from_b64(target["schema_b64"]))
+        m = bootstrap(snap, dst_lake, cfg, epoch=target_v, schema=schema)
+        return {
+            "applied": int(m["totals"]["events_in"]),
+            "at_version": target_v,
+            "bootstrapped": True,
+        }
+    cf = changefeed(src_lake, from_epoch=at, to_epoch=target_v)
+    # The feed STREAMS into the ordinary epoch machinery — never pulled
+    # to the driver (a busy interval's delta can be arbitrarily large).
+    # Its schema is known without executing the lazy chain.
+    from engine.schemas import lake_schema_for
+
+    ev_schema = _event_schema_for(
+        lake_schema_for(sink.schema_from_b64(target["schema_b64"]))
+    )
+    next_v = int(dst_m["epoch"]) + 1
+    src_tail = tailer.DatasetSource(target_v, cf, ev_schema)
+    m = run_epoch(src_tail, dst_lake, target_v, cfg, dst_m, version=next_v)
+    return {
+        "applied": int(m["totals"]["events_in"]),
+        "at_version": target_v,
+    }
+
+
 def changefeed(
     lake_dir: str, from_epoch: int, to_epoch: int | None = None
 ) -> rd.Dataset:

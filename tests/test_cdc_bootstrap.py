@@ -129,6 +129,23 @@ def test_bootstrap_crash_retry_converges(replayed):
     assert state_hash(lake_b) == state_hash(lake, epoch=0)
 
 
+def test_replicate_follows_source(replayed):
+    from engine.cdc.bootstrap import replicate
+
+    tmp, log, lake = replayed
+    rep = f"{tmp}/replica"
+    out = replicate(lake, rep, ReplayConfig(**CFG), to_epoch=0)
+    assert out.get("bootstrapped") and out["at_version"] == 0
+    assert state_hash(rep) == state_hash(lake, epoch=0)
+    out = replicate(lake, rep, ReplayConfig(**CFG), to_epoch=1)
+    assert out["applied"] > 0 and out["at_version"] == 1
+    assert state_hash(rep) == state_hash(lake, epoch=1)
+    out = replicate(lake, rep, ReplayConfig(**CFG))  # to latest
+    assert state_hash(rep) == state_hash(lake)
+    # Caught up → no-op.
+    assert replicate(lake, rep, ReplayConfig(**CFG))["applied"] == 0
+
+
 def test_changefeed_property_random_streams(tmp_path, sf_dir):
     """Hypothesis over the changefeed: ANY random I/U/D stream split into
     two epochs must round-trip — state@0 + changefeed(0→1) == state@1 —
