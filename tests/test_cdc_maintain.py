@@ -179,6 +179,25 @@ def test_metrics_surface_spans_replay_and_maintenance(tmp_path, sf_dir):
     assert sum(lin.column("events_in").to_pylist()) == ev[3]
 
 
+def test_vacuum_after_maintenance_keeps_resume_exact(tmp_path, sf_dir):
+    # Retention may prune every pre-maintenance manifest; resume must
+    # still skip the already-folded changelog epochs (changelog_pos rides
+    # the retained latest manifest) and apply only the new one.
+    from engine.cdc.vacuum import vacuum
+
+    log = _log(tmp_path, sf_dir, name="log_v")
+    lake, ref = f"{tmp_path}/lake_v", f"{tmp_path}/lake_vref"
+    replay(log, ref, ReplayConfig(**CFG))
+    replay(log, lake, ReplayConfig(**CFG), max_epoch=1)
+    backfill(lake, "lang", lambda t: pc.utf8_upper(t.column("lang")))
+    rep = vacuum(lake, retain_last=1)
+    assert rep["removed_manifests"] == [0, 1]  # only the backfill version survives
+    out = replay(log, lake, ReplayConfig(**CFG))
+    assert out["epochs_run"] == [2] and out["epochs_skipped"] == [0, 1]
+    assert canonical_digest(lake_table(lake), exclude=("content", "lang")) == \
+        canonical_digest(lake_table(ref), exclude=("content", "lang"))
+
+
 def test_replay_continues_after_compact_in_delta_mode(tmp_path, sf_dir):
     log = _log(tmp_path, sf_dir, name="log_d")
     lake, lake_ref = f"{tmp_path}/lake_d", f"{tmp_path}/lake_dref"
