@@ -173,6 +173,39 @@ class DatasetSource:
         return f"DatasetSource(epoch={self._epoch})"
 
 
+class TransformSource:
+    """A changelog source viewed through a per-event transform — the
+    primitive behind DERIVED LAKES (engine/cdc/derive.py): replaying
+    ``TransformSource(log, fn, schema)`` into its own lake maintains
+    fn(events) incrementally under the ordinary machinery (exactly-once
+    commits, resume, LWW by the ORIGINAL seq), so expensive per-row
+    derivations (signatures, features, embeddings) are computed once per
+    CHANGED row, never per analysis run.
+
+    ``fn`` is a pa.Table → pa.Table batch transform that must preserve
+    the seq/op/repo/path meta columns (LWW inputs) and emit a FIXED
+    output schema (``schema``) — a fixed derived schema also insulates
+    the derived lake from upstream payload evolution."""
+
+    def __init__(self, inner, fn, schema: pa.Schema):
+        self.inner = as_source(inner)
+        self.fn = fn
+        self._schema = schema
+
+    def available_epochs(self) -> list[int]:
+        return self.inner.available_epochs()
+
+    def epoch_schema(self, epoch: int) -> pa.Schema:
+        return self._schema
+
+    def read_epoch(self, epoch: int, parallelism_hint: int | None = None) -> rd.Dataset:
+        ds = self.inner.read_epoch(epoch, parallelism_hint)
+        return ds.map_batches(self.fn, batch_format="pyarrow")
+
+    def __repr__(self) -> str:
+        return f"TransformSource({self.inner!r})"
+
+
 def as_source(log: "str | DirectorySource | MemorySource"):
     """Normalize replay()'s log argument: a path string becomes the
     directory tailer; anything exposing the source trio passes through."""

@@ -294,6 +294,56 @@ def q_cdc_metrics(sf_dir):
     return rd.from_arrow(t.drop_columns(["wall_s", "events_per_sec"]))
 
 
+@register_query("q_cdc_dedup_index")
+def q_cdc_dedup_index(sf_dir):
+    """Continuous near-dup detection via a DERIVED LAKE, self-checking:
+    the changelog replayed through a MinHash TransformSource maintains
+    an LSH signature index incrementally (one signature per CHANGED row,
+    exactly-once, resumable); candidate pairs read straight off the
+    index — no shingling at query time — must equal the batch pipeline's
+    pairs over the live corpus (engine/cdc/derive.py). Returns the
+    pairs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from engine.cdc.derive import index_candidate_pairs, sig_index_source
+    from engine.cdc.verify import read_lake
+    from engine.ops.dedup import minhash_candidate_pairs
+    from engine.util.collect import pull_arrow
+
+    work = _replayed_lake(sf_dir)
+    cfg = ReplayConfig(num_partitions=16, num_salts=2)
+    replay(sig_index_source(f"{work}/log"), f"{work}/sigs", cfg)
+    pi = pull_arrow(index_candidate_pairs(f"{work}/sigs"))
+    docs = read_lake(f"{work}/lake").map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.binary_join_element_wise(
+                    t.column("repo"), t.column("path"), "\x1f"
+                ),
+                "content": t.column("content"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    pb = pull_arrow(minhash_candidate_pairs(docs, "content", "doc_id"))
+
+    def _pairs(t):
+        return (
+            set(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
+            if t is not None
+            else set()
+        )
+
+    if _pairs(pi) != _pairs(pb):
+        raise AssertionError(
+            f"index pairs != batch pairs ({len(_pairs(pi))} vs {len(_pairs(pb))})"
+        )
+    if pi is None:
+        return rd.from_items([])
+    return rd.from_arrow(pi).sort(["a", "b"])
+
+
 @register_query("q_cdc_lineage")
 def q_cdc_lineage(sf_dir):
     """Per-partition lineage records (event-range, epoch, row counts)."""
