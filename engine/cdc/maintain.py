@@ -207,6 +207,128 @@ def purge(lake_dir: str, predicate) -> dict:
     )
 
 
+def repartition(lake_dir: str, num_partitions: int) -> dict:
+    """Change the lake's partition count P as one maintenance version —
+    the scale-out/scale-in operation (P is otherwise pinned at lake
+    creation; a cluster 4x the size wants 4x the partitions for 4x the
+    merge writers). Rows move ACROSS partitions, so unlike backfill/
+    compact this is one explicit exchange, the same shape as an epoch
+    merge: one task per OLD partition merge-on-reads its live rows and
+    stamps ``pid = stable_hash(repo) % newP``; one groupby(pid) shuffle;
+    one task per NEW partition writes a single sorted base file. The
+    live state is byte-identical (state-hash invariant — the canonical
+    digest is layout-independent), the per-repo summary is untouched
+    (it never depended on P), ``changelog_pos`` carries forward, and a
+    following ``replay()`` adopts the new pinned P from the manifest
+    (engine/cdc/replay.py::_replay_available), so resume stays exact
+    with ANY caller config. Old partitions' files become unreferenced
+    history reclaimed by vacuum retention."""
+    prev = sink.read_manifest(lake_dir)
+    if prev is None:
+        raise FileNotFoundError(f"no committed manifest under {lake_dir}")
+    num_partitions = int(num_partitions)
+    if num_partitions < 1:
+        raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
+    t0 = time.monotonic()
+    version = int(prev["epoch"]) + 1
+    event_schema = sink.schema_from_b64(prev["schema_b64"])
+    lake_schema = lake_schema_for(event_schema)
+    old_parts = sink.active_files(prev)
+    reports: list[dict] = []
+    if old_parts:
+        from engine.util.hashing import stable_hash_column
+
+        items = [{"rels": list(rels)} for _, rels in sorted(old_parts.items())]
+
+        def _load(batch: pa.Table) -> pa.Table:
+            out = []
+            for rels in batch.column("rels").to_pylist():
+                t = live_view(lake_dir, list(rels), lake_schema)
+                pid = stable_hash_column(t.column("repo"), num_partitions)
+                out.append(t.append_column("pid", pa.array(pid, type=pa.int64())))
+            if not out:
+                out = [
+                    lake_schema.empty_table().append_column(
+                        "pid", pa.array([], type=pa.int64())
+                    )
+                ]
+            return pa.concat_tables(out)
+
+        loaded = rd.from_items(items).map_batches(
+            _load, batch_format="pyarrow", batch_size=1
+        )
+
+        def _write(group: pa.Table) -> pa.Table:
+            tp = time.monotonic()
+            pid = int(group.column("pid")[0].as_py())
+            t = group.drop_columns(["pid"]).sort_by(
+                [("repo", "ascending"), ("path", "ascending")]
+            )
+            rel = os.path.join(
+                "data", f"part={pid}",
+                f"base-{version:05d}-{uuid.uuid4().hex[:12]}.parquet",
+            )
+            abs_path = os.path.join(lake_dir, rel)
+            os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+            pq.write_table(t, abs_path)
+            seqs = t.column("seq")
+            return pa.Table.from_pylist(
+                [
+                    {
+                        "pid": pid,
+                        "epoch": version,
+                        "files": [rel],
+                        "seq_lo": int(pc.min(seqs).as_py()) if t.num_rows else -1,
+                        "seq_hi": int(pc.max(seqs).as_py()) if t.num_rows else -1,
+                        "events_in": 0,
+                        "upserts": 0,
+                        "rows_out": t.num_rows,
+                        "bytes_written": os.path.getsize(abs_path),
+                        "duration_s": time.monotonic() - tp,
+                        "deletes": 0,
+                    }
+                ]
+            )
+
+        got = pull_arrow(
+            loaded.groupby("pid").map_groups(_write, batch_format="pyarrow")
+        )
+        reports = got.to_pylist() if got is not None else []
+    # Every OLD partition's files are superseded by the rewrite; an old
+    # pid that received no rows at the new layout must be dropped from
+    # the active set explicitly (commit_epoch carries untouched pids
+    # forward by reference).
+    new_pids = {int(r["pid"]) for r in reports}
+    for p in sorted(old_parts):
+        if p not in new_pids:
+            reports.append(
+                {
+                    "pid": p, "epoch": version, "files": None,
+                    "seq_lo": -1, "seq_hi": -1, "events_in": 0, "upserts": 0,
+                    "rows_out": 0, "bytes_written": 0, "duration_s": 0.0,
+                    "deletes": 0,
+                }
+            )
+    manifest = sink.commit_epoch(
+        lake_dir,
+        version,
+        reports,
+        event_schema,
+        prev,
+        extra={
+            "wall_s": time.monotonic() - t0,
+            "summary_file": prev.get("summary_file"),  # P-independent
+            "num_partitions": num_partitions,
+            "changelog_pos": sink.changelog_pos(prev),
+            "maintenance": f"repartition:{num_partitions}",
+        },
+    )
+    from engine.cdc.replay import _write_lineage
+
+    _write_lineage(lake_dir, version, reports)
+    return manifest
+
+
 def compact(lake_dir: str) -> dict:
     """Force-compact every multi-file partition (base + LSM deltas) to a
     single sorted base file; the live state is byte-identical (live_view

@@ -29,7 +29,7 @@ from __future__ import annotations
 import os
 import time
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as _dc_replace
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -485,6 +485,16 @@ def _replay_available(
     if max_epoch is not None:
         epochs = [e for e in epochs if e <= max_epoch]
     manifest = sink.read_manifest(lake_dir)
+    # The lake's partition layout is pinned in the committed manifest
+    # (merge_and_commit writes it; maintain.repartition may change it).
+    # A resume MUST fold new events at the pinned P — grouping winners by
+    # a pid computed at a different P than the active file layout would
+    # merge rows against the wrong partitions' bases (silent duplicate
+    # keys across partitions). The manifest, not the caller's config, is
+    # authoritative once the lake exists.
+    pinned = manifest.get("num_partitions") if manifest else None
+    if pinned and int(pinned) != cfg.num_partitions:
+        cfg = _dc_replace(cfg, num_partitions=int(pinned))
     ran, ran_versions, skipped = [], [], []
     t0 = time.monotonic()
     todo = []

@@ -1,0 +1,69 @@
+"""Lake repartitioning (engine/cdc/maintain.py::repartition): change P
+as a maintenance version — state-hash invariant, stale pids dropped,
+resume adopts the manifest's pinned P even with a stale caller config
+(engine/cdc/replay.py::_replay_available)."""
+
+import pyarrow.compute as pc
+
+from engine.cdc import sink
+from engine.cdc.maintain import repartition
+from engine.cdc.replay import ReplayConfig, replay
+from engine.cdc.synth import SynthConfig, synth_changelog
+from engine.cdc.verify import lake_lookup, lake_table, state_hash
+
+CFG = dict(num_partitions=8, num_salts=2)
+
+
+def _log(tmp, sf_dir, name="log", **kw):
+    return synth_changelog(
+        sf_dir, f"{tmp}/{name}",
+        SynthConfig(seed=33, n_events=3000, n_epochs=3, n_keys=600, **kw),
+    )
+
+
+def test_repartition_up_preserves_state_and_resume(tmp_path, sf_dir):
+    log = _log(tmp_path, sf_dir)
+    lake, lake_ref = f"{tmp_path}/lake", f"{tmp_path}/lake_ref"
+    replay(log, lake_ref, ReplayConfig(**CFG))  # uninterrupted reference
+    replay(log, lake, ReplayConfig(**CFG), max_epoch=1)
+    h_before = state_hash(lake)
+
+    m = repartition(lake, 16)
+    assert m["num_partitions"] == 16
+    assert m["epoch"] == 2 and sink.changelog_pos(m) == 1
+    assert m["maintenance"] == "repartition:16"
+    # Live state byte-identical; layout actually moved to the new P.
+    assert state_hash(lake) == h_before
+    pids = set(sink.active_files(m))
+    assert pids and all(0 <= p < 16 for p in pids) and max(pids) >= 8
+
+    # Resume with the STALE P=8 config: the pinned manifest P must win,
+    # and the final state must equal the uninterrupted reference.
+    out = replay(log, lake, ReplayConfig(**CFG))
+    assert out["epochs_run"] == [2]
+    m2 = sink.read_manifest(lake)
+    assert m2["num_partitions"] == 16
+    assert all(0 <= int(p) < 16 for p in m2["active_files"])
+    assert state_hash(lake) == state_hash(lake_ref)
+
+
+def test_repartition_down_drops_stale_pids_and_lookup(tmp_path, sf_dir):
+    log = _log(tmp_path, sf_dir, name="log_d")
+    lake = f"{tmp_path}/lake_d"
+    replay(log, lake, ReplayConfig(num_partitions=16, num_salts=2))
+    h_before = state_hash(lake)
+    full = lake_table(lake)
+
+    m = repartition(lake, 4)
+    assert m["num_partitions"] == 4
+    pids = set(sink.active_files(m))
+    assert pids and all(0 <= p < 4 for p in pids)
+    assert state_hash(lake) == h_before
+
+    # Key-pruned point reads agree with a full-scan filter at the new P.
+    repo = full.column("repo")[0].as_py()
+    got = lake_lookup(lake, repo).sort_by([("path", "ascending")])
+    want = full.filter(pc.equal(full.column("repo"), repo)).sort_by(
+        [("path", "ascending")]
+    )
+    assert got.equals(want)
