@@ -27,8 +27,17 @@ from __future__ import annotations
 import base64
 import json
 import os
+import uuid
 
 import pyarrow as pa
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this lake version first. The manifest log
+    is a compare-and-swap chain: exactly one writer wins each version;
+    the loser must re-read the latest manifest and rebase (or, for a
+    replay drain, re-check ``changelog_pos`` — the epoch it lost may
+    already be folded)."""
+
 
 MANIFEST_DIR = "manifest"
 DATA_DIR = "data"
@@ -128,7 +137,7 @@ def commit_epoch(
     epoch raises — callers must check :func:`is_committed` first)."""
     path = _manifest_path(lake_dir, epoch)
     if os.path.exists(path):
-        raise RuntimeError(f"epoch {epoch} already committed: {path}")
+        raise CommitConflict(f"epoch {epoch} already committed: {path}")
     files = dict(active_files(prev_manifest))
     lineage = []
     for r in reports:
@@ -155,10 +164,24 @@ def commit_epoch(
     }
     if extra:
         manifest.update(extra)
-    tmp = path + ".tmp"
+    # Atomic CAS publish: the full manifest is staged under a
+    # writer-unique name, then claimed via os.link, which fails with
+    # EEXIST if the version was already committed — unlike os.replace
+    # (last-writer-wins), two racing committers can never both "succeed"
+    # and silently lose one writer's files. POSIX guarantees link() is
+    # atomic; the winner's manifest is complete and fsynced before the
+    # claim, so readers never observe a partial commit.
+    tmp = f"{path}.{uuid.uuid4().hex[:12]}.tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, path)  # atomic commit point
+    try:
+        os.link(tmp, path)  # atomic commit point (CAS on the version)
+    except FileExistsError:
+        raise CommitConflict(
+            f"epoch {epoch} already committed by a concurrent writer: {path}"
+        ) from None
+    finally:
+        os.unlink(tmp)
     return manifest

@@ -91,6 +91,16 @@ def vacuum(
     if not dry_run:
         for k in removed_manifests:
             os.remove(os.path.join(lake_dir, sink.MANIFEST_DIR, f"epoch-{k:05d}.json"))
+        # Staged-but-unclaimed commit attempts (a writer that crashed
+        # between staging and the CAS link, or lost the race and died
+        # before its finally-unlink) are plain orphans once aged.
+        mdir = os.path.join(lake_dir, sink.MANIFEST_DIR)
+        for name in os.listdir(mdir):
+            abs_path = os.path.join(mdir, name)
+            if name.endswith(".tmp") and (
+                not min_age_s or now - os.path.getmtime(abs_path) >= min_age_s
+            ):
+                os.remove(abs_path)
         # Drop now-empty partition directories (cosmetic).
         for dirpath, dirnames, names in os.walk(
             os.path.join(lake_dir, sink.DATA_DIR), topdown=False

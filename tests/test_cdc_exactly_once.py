@@ -126,3 +126,58 @@ def test_deadletter_rejects_invalid_events(tmp_path, sf_dir):
         pq.read_table(os.path.join(ddir, p)) for p in os.listdir(ddir)
     )
     assert dead.num_rows == 2
+
+
+def test_concurrent_commit_is_compare_and_swap(tmp_path, sf_dir):
+    """Two writers racing to commit the same lake version: exactly ONE
+    wins the atomic os.link claim; the loser gets CommitConflict and the
+    winner's manifest content is what readers see (no last-writer-wins
+    clobber). The race is driven through a barrier so both writers have
+    staged their manifests before either claims."""
+    import threading
+
+    log = _log(tmp_path, sf_dir, name="log_cas")
+    lake = f"{tmp_path}/lake_cas"
+    replay(log, lake, ReplayConfig(**CFG), max_epoch=0)
+    prev = sink.read_manifest(lake)
+    schema = sink.schema_from_b64(prev["schema_b64"])
+    version = prev["epoch"] + 1
+
+    barrier = threading.Barrier(2)
+    results: dict[str, object] = {}
+
+    real_fsync = os.fsync
+
+    def sync_then_wait(fd):
+        real_fsync(fd)
+        barrier.wait(timeout=10)  # both manifests staged before either links
+
+    def commit(tag):
+        report = [{
+            "pid": 0, "epoch": version, "files": [f"data/part=0/{tag}.parquet"],
+            "seq_lo": 0, "seq_hi": 0, "events_in": 0, "upserts": 0,
+            "rows_out": 1, "bytes_written": 0, "duration_s": 0.0, "deletes": 0,
+        }]
+        try:
+            sink.commit_epoch(lake, version, report, schema, prev)
+            results[tag] = "committed"
+        except sink.CommitConflict:
+            results[tag] = "conflict"
+
+    os.fsync = sync_then_wait
+    try:
+        threads = [threading.Thread(target=commit, args=(t,)) for t in ("a", "b")]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+    finally:
+        os.fsync = real_fsync
+
+    assert sorted(results.values()) == ["committed", "conflict"]
+    winner = next(t for t, r in results.items() if r == "committed")
+    m = sink.read_manifest(lake, version)
+    assert m["active_files"]["0"] == [f"data/part=0/{winner}.parquet"]
+    # No staged tmp files linger after the race (finally-unlink).
+    mdir = os.path.join(lake, sink.MANIFEST_DIR)
+    assert not [n for n in os.listdir(mdir) if n.endswith(".tmp")]
