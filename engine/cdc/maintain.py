@@ -23,6 +23,7 @@ and go through the same two-phase manifest protocol as the merge
 
 from __future__ import annotations
 
+import json
 import os
 import time
 import uuid
@@ -33,7 +34,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from engine.cdc import sink
-from engine.cdc.merge import _summary_delta, live_view
+from engine.cdc.merge import _summary_delta, file_stats, live_view
 from engine.schemas import lake_schema_for
 from engine.util.collect import pull_arrow
 
@@ -108,6 +109,7 @@ def _maintenance_commit(
                         )
                         if removed is not None
                         else "{}",
+                        "stats": json.dumps({rel: file_stats(t)}),
                     }
                 )
             return pa.Table.from_pylist(rows)
@@ -286,6 +288,7 @@ def repartition(lake_dir: str, num_partitions: int) -> dict:
                         "bytes_written": os.path.getsize(abs_path),
                         "duration_s": time.monotonic() - tp,
                         "deletes": 0,
+                        "stats": json.dumps({rel: file_stats(t)}),
                     }
                 ]
             )

@@ -38,6 +38,57 @@ from engine.util.hashing import sha256_hex_column
 
 _ACC_COLS = ("n_events", "seq_lo")
 
+# Zone-map stats: string bounds longer than this are dropped rather than
+# truncated (a truncated upper bound is UNSOUND for pruning — it sorts
+# below real values it is supposed to cover).
+_STATS_MAX_STR = 64
+
+
+def file_stats(t: pa.Table, exclude: tuple = ("content", "content_sha256")) -> dict:
+    """Per-file zone map ``{col: [min, max]}`` over int/float/string
+    columns (bounds over NON-NULL values; all-null / empty columns carry
+    no entry and are therefore never prunable). Stored in the committed
+    manifest per data file (``file_stats``) so scans can skip whole
+    partitions without touching storage — sound because every live row
+    a reader can observe is a verbatim row of some active file
+    (merge-on-read selects rows, it never synthesizes values)."""
+    import math
+
+    out: dict[str, list] = {}
+    if t.num_rows == 0:
+        return out
+    for f in t.schema:
+        if f.name in exclude:
+            continue
+        if not (
+            pa.types.is_integer(f.type)
+            or pa.types.is_floating(f.type)
+            or pa.types.is_string(f.type)
+            or pa.types.is_large_string(f.type)
+        ):
+            continue
+        col = t.column(f.name)
+        if col.null_count == t.num_rows:
+            continue
+        mm = pc.min_max(col)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if isinstance(lo, str) and (
+            len(lo) > _STATS_MAX_STR or len(hi) > _STATS_MAX_STR
+        ):
+            continue
+        if isinstance(lo, float) and not (math.isfinite(lo) and math.isfinite(hi)):
+            continue
+        out[f.name] = [lo, hi]
+    return out
+
+
+def _stats_json(file_rel: str | None, written: pa.Table | None) -> str:
+    import json
+
+    if file_rel is None or written is None:
+        return "{}"
+    return json.dumps({file_rel: file_stats(written)})
+
 REPORT_SCHEMA = pa.schema(
     [
         pa.field("pid", pa.int64()),
@@ -54,6 +105,9 @@ REPORT_SCHEMA = pa.schema(
         # JSON {repo: [d_files, d_chars]} — the partition's contribution to
         # the incrementally-maintained per-repo summary (engine/cdc/summary.py).
         pa.field("summary_delta", pa.string()),
+        # JSON {file_rel: {col: [min, max]}} zone map of the file(s) this
+        # report WROTE (carried-forward files keep their committed stats).
+        pa.field("stats", pa.string()),
     ]
 )
 
@@ -287,6 +341,7 @@ class MergeApply:
                 os.makedirs(os.path.dirname(abs_path), exist_ok=True)
                 pq.write_table(delta, abs_path)
                 files = prev + [file_rel]
+                written = delta
             else:
                 file_rel = os.path.join(
                     "data", f"part={pid}",
@@ -296,6 +351,7 @@ class MergeApply:
                 os.makedirs(os.path.dirname(abs_path), exist_ok=True)
                 pq.write_table(out, abs_path)
                 files = [file_rel]
+                written = out
             nbytes = os.path.getsize(abs_path)
 
         return pa.table(
@@ -312,6 +368,8 @@ class MergeApply:
                 "bytes_written": [nbytes],
                 "duration_s": [time.monotonic() - t0],
                 "summary_delta": [_summary_delta(removed, upsert_rows)],
+                "stats": [_stats_json(file_rel if files else None,
+                                      written if files else None)],
             },
             schema=REPORT_SCHEMA,
         )
@@ -476,6 +534,7 @@ class MergeApply:
                 os.makedirs(os.path.dirname(abs_path), exist_ok=True)
                 pq.write_table(delta, abs_path)
                 files = prev + [file_rel]
+                written = delta
             else:
                 file_rel = os.path.join(
                     "data", f"part={pid}",
@@ -485,6 +544,7 @@ class MergeApply:
                 os.makedirs(os.path.dirname(abs_path), exist_ok=True)
                 pq.write_table(out, abs_path)
                 files = [file_rel]
+                written = out
             nbytes = os.path.getsize(abs_path)
 
         return pa.table(
@@ -501,6 +561,8 @@ class MergeApply:
                 "bytes_written": [nbytes],
                 "duration_s": [time.monotonic() - t0],
                 "summary_delta": [_summary_delta(removed, upsert_rows)],
+                "stats": [_stats_json(file_rel if files else None,
+                                      written if files else None)],
             },
             schema=REPORT_SCHEMA,
         )

@@ -1,0 +1,129 @@
+"""Zone-map pruned lake scans (data skipping).
+
+Every committed manifest carries ``file_stats`` — a per-data-file
+``{col: [min, max]}`` zone map recorded at write time by the merge /
+maintenance stages (engine/cdc/merge.py::file_stats). :func:`scan_lake`
+uses it to skip whole partitions on NON-KEY predicates (key predicates
+already have O(1) pruning via ``verify.lake_lookup``) without touching
+storage: the driver reads one manifest, not N parquet footers.
+
+Soundness under the LSM layout: a live row a reader can observe is a
+verbatim row of some active file (merge-on-read selects rows by max-seq
+and drops tombstones — it never synthesizes values), so if EVERY active
+file of a partition provably excludes the predicate, the partition's
+live view contains no matching row and the partition is skipped. A file
+with no stats for a referenced column (all-null column, oversized string
+bounds, or a manifest that predates zone maps) is never prunable.
+Partitions that survive pruning are merged-on-read in full (the merge
+needs every file of the partition) and filtered exactly post-merge.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from engine.cdc import sink
+from engine.schemas import lake_schema_for
+
+_OPS = ("=", "!=", "<", "<=", ">", ">=")
+
+
+def _file_excludes(stats: dict, col: str, op: str, val) -> bool:
+    """True only if NO value in [lo, hi] can satisfy ``col op val``.
+    Null values never satisfy any comparison, so bounds over non-null
+    values are sufficient."""
+    bounds = stats.get(col)
+    if bounds is None:
+        return False
+    lo, hi = bounds
+    if op == "=":
+        return val < lo or val > hi
+    if op == "!=":
+        return False  # a range only excludes != when lo == hi == val; rare, skip
+    if op == "<":
+        return lo >= val
+    if op == "<=":
+        return lo > val
+    if op == ">":
+        return hi <= val
+    if op == ">=":
+        return hi < val
+    raise ValueError(f"unsupported op {op!r} (supported: {_OPS})")
+
+
+def prune_partitions(
+    manifest: dict, filters: list[tuple]
+) -> tuple[dict[int, list[str]], list[int]]:
+    """Split the active partitions into (kept, pruned) under a
+    conjunction of ``(col, op, value)`` filters. A partition is pruned
+    only when EVERY active file excludes at least one conjunct."""
+    stats = manifest.get("file_stats", {})
+    kept: dict[int, list[str]] = {}
+    pruned: list[int] = []
+    for pid, rels in sink.active_files(manifest).items():
+        if rels and all(
+            any(_file_excludes(stats.get(rel, {}), c, op, v) for c, op, v in filters)
+            for rel in rels
+        ):
+            pruned.append(pid)
+        else:
+            kept[pid] = rels
+    return kept, pruned
+
+
+def scan_lake(
+    lake_dir: str,
+    filters: list[tuple],
+    epoch: int | None = None,
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Filtered lake scan with zone-map partition skipping. ``filters``
+    is a conjunction of ``(col, op, value)``; the exact predicate is
+    re-applied post-merge, so pruning is purely an I/O optimization.
+    The pruning decision of the last call is exposed on
+    ``scan_lake.last_pruned`` / ``scan_lake.last_total`` (tests,
+    diagnostics — the auto_join.last_strategy pattern)."""
+    from engine.cdc.merge import live_view
+
+    manifest = sink.read_manifest(lake_dir, epoch)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed manifest under {lake_dir}")
+    for f in filters:
+        if len(f) != 3 or f[1] not in _OPS:
+            raise ValueError(f"bad filter {f!r}: want (col, op, value), op in {_OPS}")
+    schema = lake_schema_for(sink.schema_from_b64(manifest["schema_b64"]))
+    kept, pruned = prune_partitions(manifest, filters)
+    scan_lake.last_pruned = len(pruned)
+    scan_lake.last_total = len(pruned) + len(kept)
+    out_schema = (
+        schema
+        if columns is None
+        else pa.schema([schema.field(c) for c in columns])
+    )
+    if not kept:
+        return rd.from_arrow(out_schema.empty_table())
+    items = [{"rels": rels} for _, rels in sorted(kept.items())]
+
+    def _load(batch: pa.Table) -> pa.Table:
+        tables = []
+        for rels in batch.column("rels").to_pylist():
+            t = live_view(lake_dir, list(rels), schema)
+            mask = None
+            for col, op, val in filters:
+                m = {
+                    "=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+                    "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal,
+                }[op](t.column(col), val)
+                mask = m if mask is None else pc.and_kleene(mask, m)
+            if mask is not None:
+                t = t.filter(pc.fill_null(mask, False))
+            if columns is not None:
+                t = t.select(columns)
+            tables.append(t)
+        return pa.concat_tables(tables) if tables else out_schema.empty_table()
+
+    return rd.from_items(items).map_batches(
+        _load, batch_format="pyarrow", batch_size=1
+    )

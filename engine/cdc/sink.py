@@ -139,6 +139,9 @@ def commit_epoch(
     if os.path.exists(path):
         raise CommitConflict(f"epoch {epoch} already committed: {path}")
     files = dict(active_files(prev_manifest))
+    # Zone maps: carried-forward files keep their committed stats; each
+    # report contributes stats for the file(s) it wrote this version.
+    file_stats = dict((prev_manifest or {}).get("file_stats", {}))
     lineage = []
     for r in reports:
         pid = int(r["pid"])
@@ -149,12 +152,20 @@ def commit_epoch(
             files.pop(pid, None)
         elif r.get("files"):
             files[pid] = list(r["files"])
-        lineage.append({k: r[k] for k in r if k not in ("files", "summary_delta")})
+        if r.get("stats"):
+            s = r["stats"]
+            file_stats.update(json.loads(s) if isinstance(s, str) else s)
+        lineage.append(
+            {k: r[k] for k in r if k not in ("files", "summary_delta", "stats")}
+        )
+    active_rels = {rel for rels in files.values() for rel in rels}
+    file_stats = {rel: s for rel, s in file_stats.items() if rel in active_rels}
     manifest = {
         "epoch": epoch,
         "schema_b64": schema_to_b64(event_schema),
         "schema_names": event_schema.names,
         "active_files": {str(k): v for k, v in sorted(files.items())},
+        "file_stats": {k: file_stats[k] for k in sorted(file_stats)},
         "lineage": sorted(lineage, key=lambda r: r["pid"]),
         "totals": {
             "events_in": sum(r.get("events_in", 0) for r in reports),

@@ -143,6 +143,41 @@ def q_cdc_point_lookup(sf_dir):
     return rd.from_arrow(out.select(["repo", "path", "content_sha256", "seq"]))
 
 
+@register_query("q_cdc_zonemap_scan")
+def q_cdc_zonemap_scan(sf_dir):
+    """Zone-map data skipping (engine/cdc/scan.py), self-checking: for a
+    seq-range predicate ("rows last written by a late event") and a lang
+    equality, the partition-pruned scan through the manifest's per-file
+    min/max stats must equal the full merge-on-read scan filtered
+    exactly — any divergence raises. Returns the seq-range rows."""
+    import pyarrow.compute as pc
+
+    from engine.cdc.scan import scan_lake
+    from engine.cdc.verify import canonical_digest, lake_table
+    from engine.util.collect import pull_arrow
+
+    work = _replayed_lake(sf_dir)
+    lake = f"{work}/lake"
+    full = lake_table(lake)
+    cut = int(pc.max(full.column("seq")).as_py()) - 200
+    out = None
+    for flt in ([("seq", ">=", cut)], [("lang", "=", "zh")]):
+        got = scan_lake(lake, flt).materialize()
+        mask = None
+        for col, op, val in flt:
+            fn = {"=": pc.equal, ">=": pc.greater_equal}[op]
+            m = fn(full.column(col), val)
+            mask = m if mask is None else pc.and_kleene(mask, m)
+        want = full.filter(pc.fill_null(mask, False))
+        pulled = pull_arrow(got)  # Arrow blocks: no pandas type rewrites
+        g = want.slice(0, 0) if pulled is None else pulled.select(want.column_names)
+        if canonical_digest(g) != canonical_digest(want):
+            raise AssertionError(f"zone-map scan diverged for {flt!r}")
+        if out is None:
+            out = g
+    return rd.from_arrow(out.select(["repo", "path", "seq", "content_sha256"]))
+
+
 @register_query("q_cdc_time_travel")
 def q_cdc_time_travel(sf_dir):
     """Manifest-pinned time travel, self-checking: the lake state read AT

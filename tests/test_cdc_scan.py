@@ -1,0 +1,155 @@
+"""Zone-map data skipping (engine/cdc/scan.py): manifests carry per-file
+min/max stats; scan_lake prunes whole partitions on non-key predicates
+and stays exact under the LSM delta layout."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from engine.cdc import sink
+from engine.cdc.bootstrap import bootstrap
+from engine.cdc.replay import ReplayConfig, replay
+from engine.cdc.scan import prune_partitions, scan_lake
+from engine.cdc.tailer import MemorySource
+from engine.cdc.verify import canonical_digest, lake_table
+
+P = 8
+
+
+def _snapshot(zz_repo="repo-03") -> pa.Table:
+    rows = []
+    for r in range(12):
+        repo = f"repo-{r:02d}"
+        for k in range(5):
+            rows.append(
+                {
+                    "repo": repo,
+                    "path": f"src/f{k}.py",
+                    "commit": f"c{r:02d}{k}",
+                    "lang": "zz" if repo == zz_repo else "aa",
+                    "content": f"def f{k}(): return {r * k}",
+                }
+            )
+    return pa.Table.from_pylist(rows)
+
+
+def _filtered(lake, flt):
+    t = lake_table(lake)
+    mask = None
+    for col, op, val in flt:
+        fn = {"=": pc.equal, ">": pc.greater, ">=": pc.greater_equal,
+              "<": pc.less, "<=": pc.less_equal, "!=": pc.not_equal}[op]
+        m = fn(t.column(col), val)
+        mask = m if mask is None else pc.and_kleene(mask, m)
+    return t.filter(pc.fill_null(mask, False))
+
+
+def _digest(t):
+    return canonical_digest(t, exclude=())
+
+
+def test_scan_prunes_partitions_and_matches_full_filter(tmp_path, ray_session):
+    lake = f"{tmp_path}/lake"
+    bootstrap(_snapshot(), lake, ReplayConfig(num_partitions=P, num_salts=1))
+    m = sink.read_manifest(lake)
+    assert m["file_stats"]  # zone maps recorded at bootstrap-merge write
+
+    flt = [("lang", "=", "zz")]
+    kept, pruned = prune_partitions(m, flt)
+    assert len(kept) == 1 and len(pruned) == len(sink.active_files(m)) - 1
+
+    got = scan_lake(lake, flt).materialize()
+    assert scan_lake.last_pruned == len(pruned)
+    want = _filtered(lake, flt)
+    assert got.count() == want.num_rows == 5
+    g = pa.Table.from_pandas(
+        got.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    ).select(want.column_names)
+    assert _digest(g) == _digest(want)
+
+
+def test_scan_exact_and_pruned_counts(tmp_path, ray_session):
+    lake = f"{tmp_path}/lake2"
+    bootstrap(_snapshot(), lake, ReplayConfig(num_partitions=P, num_salts=1))
+
+    for flt, want_rows in [
+        ([("lang", "=", "zz")], 5),
+        ([("lang", "=", "aa"), ("repo", "=", "repo-05")], 5),
+        ([("lang", "=", "zzz")], 0),  # above every range -> empty, no tasks
+    ]:
+        got = scan_lake(lake, flt).materialize()
+        want = _filtered(lake, flt)
+        assert got.count() == want.num_rows == want_rows
+        if want_rows:
+            g = pa.Table.from_pandas(
+                got.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+            ).select(want.column_names)
+            assert _digest(g) == _digest(want)
+    assert scan_lake.last_pruned == scan_lake.last_total  # the 'zzz' scan
+
+
+def test_scan_sound_under_lsm_delta_updates(tmp_path, ray_session):
+    """A delta epoch moves a row INTO the predicate ('aa' -> 'zz' in a
+    previously-pruned partition) and deletes a matching row elsewhere:
+    the delta file's stats must un-prune the touched partition, and the
+    tombstone must not resurrect anything."""
+    lake = f"{tmp_path}/lake3"
+    cfg = ReplayConfig(num_partitions=P, num_salts=1, write_mode="delta")
+    bootstrap(_snapshot(), lake, cfg)
+
+    src = MemorySource()
+    src.append(
+        1,
+        pa.Table.from_pylist(
+            [
+                {  # flip one repo-07 row into the zz set
+                    "repo": "repo-07", "path": "src/f0.py", "commit": "c070b",
+                    "lang": "zz", "content": "def f0(): return 1",
+                    "seq": 100, "op": "U",
+                },
+                {  # delete one original zz row
+                    "repo": "repo-03", "path": "src/f4.py", "commit": "c034",
+                    "lang": "zz", "content": "", "seq": 101, "op": "D",
+                },
+            ]
+        ),
+    )
+    src.seal(1)
+    replay(src, lake, cfg)
+
+    flt = [("lang", "=", "zz")]
+    got = scan_lake(lake, flt).materialize()
+    want = _filtered(lake, flt)
+    assert got.count() == want.num_rows == 5  # 5 - 1 deleted + 1 flipped
+    assert scan_lake.last_pruned >= 1  # untouched 'aa' partitions still skip
+    g = pa.Table.from_pandas(
+        got.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    ).select(want.column_names)
+    assert _digest(g) == _digest(want)
+    repos = set(g.column("repo").to_pylist())
+    assert repos == {"repo-03", "repo-07"}
+    assert ("repo-03", "src/f4.py") not in {
+        (r, p) for r, p in zip(g.column("repo").to_pylist(), g.column("path").to_pylist())
+    }
+
+
+def test_scan_seq_range_changed_since(tmp_path, ray_session):
+    """seq >= X data skipping: only partitions rewritten since version X
+    can contain high-seq rows... with write_mode='rewrite' a rewritten
+    partition keeps old rows too, so pruning uses the per-FILE seq hi —
+    untouched partitions' bases have hi < X and are skipped."""
+    lake = f"{tmp_path}/lake4"
+    cfg = ReplayConfig(num_partitions=P, num_salts=1)
+    bootstrap(_snapshot(), lake, cfg, base_seq=0)
+
+    src = MemorySource()
+    src.append(1, pa.Table.from_pylist([{
+        "repo": "repo-00", "path": "src/f9.py", "commit": "cx", "lang": "aa",
+        "content": "x = 9", "seq": 500, "op": "I",
+    }]))
+    src.seal(1)
+    replay(src, lake, cfg)
+
+    flt = [("seq", ">=", 500)]
+    got = scan_lake(lake, flt).materialize()
+    assert got.count() == 1
+    assert scan_lake.last_pruned == scan_lake.last_total - 1
