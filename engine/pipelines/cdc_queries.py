@@ -115,6 +115,42 @@ def q_cdc_patch_state(sf_dir):
     )
 
 
+@register_query("q_cdc_repartition")
+def q_cdc_repartition(sf_dir):
+    """Lake scale-out mid-stream, self-checking: replay part of the
+    changelog at P=8, repartition the lake to P=32 as a maintenance
+    version (one explicit pid exchange), then resume with the ORIGINAL
+    caller config — resume must adopt the manifest's pinned P, and the
+    final state must hash-equal an uninterrupted P=8 replay (the state
+    is partition-layout-independent). Any divergence raises."""
+    from engine.cdc import sink
+    from engine.cdc.maintain import repartition
+    from engine.cdc.verify import state_hash
+
+    work = tempfile.mkdtemp(prefix="cdc_repart_q_")
+    log = synth_changelog(
+        sf_dir, f"{work}/log",
+        SynthConfig(seed=19, n_events=6000, n_epochs=3, n_keys=1200),
+    )
+    lake, ref = f"{work}/lake", f"{work}/ref"
+    cfg = ReplayConfig(num_partitions=8, num_salts=2)
+    replay(log, ref, cfg)
+    replay(log, lake, cfg, max_epoch=1)
+    h_mid = state_hash(lake)
+    repartition(lake, 32)
+    if state_hash(lake) != h_mid:
+        raise AssertionError("repartition changed the live state")
+    replay(log, lake, cfg)  # stale P=8 config; pinned P=32 must win
+    final = sink.read_manifest(lake)
+    if final["num_partitions"] != 32:
+        raise AssertionError("resume did not adopt the repartitioned P")
+    if state_hash(lake) != state_hash(ref):
+        raise AssertionError("repartitioned lake diverged from straight replay")
+    return read_lake(lake).select_columns(
+        ["repo", "path", "content_sha256", "seq"]
+    )
+
+
 @register_query("q_cdc_point_lookup")
 def q_cdc_point_lookup(sf_dir):
     """O(1) key-pruned lake point reads, self-checking: for ten repos the

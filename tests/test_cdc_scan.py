@@ -153,3 +153,50 @@ def test_scan_seq_range_changed_since(tmp_path, ray_session):
     got = scan_lake(lake, flt).materialize()
     assert got.count() == 1
     assert scan_lake.last_pruned == scan_lake.last_total - 1
+
+
+def test_zone_map_pruning_soundness_property():
+    """Pure-function property (no Ray): for random columns (nulls, NaNs,
+    unicode strings, extreme ints) and random (op, value) predicates, a
+    file that file_stats + _file_excludes declares prunable contains NO
+    row satisfying the predicate."""
+    from hypothesis import given, settings, strategies as st
+
+    from engine.cdc.merge import file_stats
+    from engine.cdc.scan import _OPS, _file_excludes
+
+    ints = st.one_of(st.none(), st.integers(-2**62, 2**62))
+    strs = st.one_of(st.none(), st.text(max_size=80))
+    floats = st.one_of(
+        st.none(), st.floats(allow_nan=True, allow_infinity=True, width=64)
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        data=st.one_of(
+            st.lists(ints, max_size=30).map(lambda v: (v, pa.int64())),
+            st.lists(strs, max_size=30).map(lambda v: (v, pa.string())),
+            st.lists(floats, max_size=30).map(lambda v: (v, pa.float64())),
+        ),
+        op=st.sampled_from(_OPS),
+        data2=st.data(),
+    )
+    def check(data, op, data2):
+        values, typ = data
+        t = pa.table({"c": pa.array(values, type=typ)})
+        stats = file_stats(t, exclude=())
+        if pa.types.is_integer(typ):
+            val = data2.draw(st.integers(-2**62, 2**62))
+        elif pa.types.is_string(typ):
+            val = data2.draw(st.text(max_size=80))
+        else:
+            val = data2.draw(st.floats(allow_nan=False, allow_infinity=True))
+        if _file_excludes(stats, "c", op, val):
+            fn = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+                  "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}[op]
+            mask = pc.fill_null(fn(t.column("c"), pa.scalar(val, typ)), False)
+            assert int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0) == 0, (
+                values, op, val, stats
+            )
+
+    check()
