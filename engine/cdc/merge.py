@@ -201,6 +201,8 @@ def live_view(
     rels: list[str],
     lake_schema: pa.Schema,
     filters: list | None = None,
+    base_filters: list | None = None,
+    read_columns: list[str] | None = None,
 ) -> pa.Table:
     """Merge-on-read of one partition's active file list — the LSM read
     path (C5). The list is one base file (no ``op`` column) plus zero or
@@ -214,12 +216,45 @@ def live_view(
     the file reads — sound for KEY-scoped predicates (e.g. repo
     equality): every row of a key, tombstones included, satisfies the
     same key predicate, so the per-key max-seq merge below sees complete
-    keys."""
+    keys.
+
+    ``base_filters`` (same DNF) is the NON-key-scoped pushdown: applied
+    ONLY to base files (no ``op`` column). Sound for arbitrary
+    predicates because delta rows carry strictly larger ``seq`` — a base
+    row can only (a) win when its key has no delta rows, in which case a
+    post-merge filter would drop it anyway, or (b) lose to a delta row
+    regardless of its presence. Delta files are never pre-filtered (a
+    tombstone failing the predicate must still kill its base row).
+    Callers using ``base_filters`` MUST re-apply the exact predicate
+    post-merge (engine/cdc/scan.py does). Files lacking a referenced
+    column (older schema) skip the pushdown.
+
+    ``read_columns`` prunes the file reads to a column subset (pass the
+    matching pruned ``lake_schema``); columns an older file lacks are
+    null-injected by conform_table — the evolution semantics readers see
+    anyway. The merge itself only needs repo/path/seq (+op), which the
+    caller must include."""
     if not rels:
         return lake_schema.empty_table()
     parts = []
     for rel in rels:
-        t = pq.read_table(os.path.join(lake_dir, rel), filters=filters)
+        path = os.path.join(lake_dir, rel)
+        flt = filters
+        cols = read_columns
+        if base_filters is not None or read_columns is not None:
+            names = set(pq.read_schema(path).names)
+            is_base = "op" not in names
+            if (
+                base_filters is not None
+                and is_base
+                and all(c in names for c, _, _ in base_filters)
+            ):
+                flt = (filters or []) + list(base_filters)
+            if read_columns is not None:
+                cols = [c for c in read_columns if c in names]
+                if not is_base:
+                    cols.append("op")
+        t = pq.read_table(path, filters=flt, columns=cols)
         if "op" in t.schema.names:
             op = t.column("op")
             t = conform_table(t.drop_columns(["op"]), lake_schema)

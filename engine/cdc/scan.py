@@ -105,11 +105,25 @@ def scan_lake(
     if not kept:
         return rd.from_arrow(out_schema.empty_table())
     items = [{"rels": rels} for _, rels in sorted(kept.items())]
+    # Column pruning: the merge needs the key + seq; everything else is
+    # read only if the caller or a filter references it (content — the
+    # heavy column — is skipped entirely for metadata scans). Predicate
+    # pushdown into BASE files only (see live_view.base_filters for the
+    # soundness argument); the exact filter is re-applied below.
+    need = (
+        {"repo", "path", "seq"}
+        | {c for c, _, _ in filters}
+        | (set(schema.names) if columns is None else set(columns))
+    )
+    pruned_schema = pa.schema([f for f in schema if f.name in need])
 
     def _load(batch: pa.Table) -> pa.Table:
         tables = []
         for rels in batch.column("rels").to_pylist():
-            t = live_view(lake_dir, list(rels), schema)
+            t = live_view(
+                lake_dir, list(rels), pruned_schema,
+                base_filters=filters, read_columns=pruned_schema.names,
+            )
             mask = None
             for col, op, val in filters:
                 m = {

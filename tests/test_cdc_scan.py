@@ -200,3 +200,32 @@ def test_zone_map_pruning_soundness_property():
             )
 
     check()
+
+
+def test_scan_column_pruning_and_base_pushdown(tmp_path, ray_session):
+    """columns= skips reading the heavy content column entirely, and the
+    base-file predicate pushdown (non-key-scoped) stays exact under LSM
+    deltas — the same flip/delete stream as the LSM test."""
+    lake = f"{tmp_path}/lake5"
+    cfg = ReplayConfig(num_partitions=P, num_salts=1, write_mode="delta")
+    bootstrap(_snapshot(), lake, cfg)
+    src = MemorySource()
+    src.append(1, pa.Table.from_pylist([
+        {"repo": "repo-07", "path": "src/f0.py", "commit": "c070b",
+         "lang": "zz", "content": "def f0(): return 1", "seq": 100, "op": "U"},
+        {"repo": "repo-03", "path": "src/f4.py", "commit": "c034",
+         "lang": "zz", "content": "", "seq": 101, "op": "D"},
+    ]))
+    src.seal(1)
+    replay(src, lake, cfg)
+
+    flt = [("lang", "=", "zz")]
+    cols = ["repo", "path", "lang", "seq"]
+    got = scan_lake(lake, flt, columns=cols).materialize()
+    want = _filtered(lake, flt).select(cols)
+    g = pa.Table.from_pandas(
+        got.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    ).select(cols)
+    assert g.column_names == cols  # content never materialized
+    assert _digest(g) == _digest(want)
+    assert g.num_rows == 5
