@@ -67,3 +67,40 @@ def test_repartition_down_drops_stale_pids_and_lookup(tmp_path, sf_dir):
         [("path", "ascending")]
     )
     assert got.equals(want)
+
+
+def test_repartition_fuzz_any_split_any_p(tmp_path, sf_dir):
+    """Hypothesis: for random (P_before, P_after, split point) — including
+    P=1 at either end and repartitioning twice — the final lake hash
+    equals the sequential oracle's."""
+    from hypothesis import given, settings, strategies as st
+
+    from engine.cdc.oracle import oracle_state_hash
+
+    log = _log(tmp_path, sf_dir, name="log_fz")
+    want = oracle_state_hash(log)
+    runs = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        p1=st.sampled_from([1, 3, 8, 16]),
+        p2=st.sampled_from([1, 4, 7, 32]),
+        split=st.sampled_from([0, 1]),
+        twice=st.booleans(),
+    )
+    def check(p1, p2, split, twice):
+        runs[0] += 1
+        lake = f"{tmp_path}/lake_fz_{runs[0]}"
+        cfg = ReplayConfig(num_partitions=p1, num_salts=2)
+        replay(log, lake, cfg, max_epoch=split)
+        repartition(lake, p2)
+        if twice:
+            repartition(lake, p1)
+        replay(log, lake, cfg)  # stale config; pinned P wins
+        assert state_hash(lake) == want
+        m = sink.read_manifest(lake)
+        p_final = p1 if twice else p2
+        assert m["num_partitions"] == p_final
+        assert all(0 <= int(p) < p_final for p in m["active_files"])
+
+    check()
