@@ -345,3 +345,50 @@ def compact(lake_dir: str) -> dict:
     return _maintenance_commit(
         lake_dir, lambda t: t, only_pids=multi, label="compact"
     )
+
+
+def main(argv: list[str] | None = None) -> None:
+    """Operational CLI for maintenance commits (the jobs an operator
+    would ``ray job submit`` between replay runs)::
+
+        python -m engine.cdc.maintain --lake-dir L compact
+        python -m engine.cdc.maintain --lake-dir L repartition --partitions 128
+        python -m engine.cdc.maintain --lake-dir L clone --dst /lakes/branch
+    """
+    import argparse
+
+    import ray
+
+    ap = argparse.ArgumentParser(description="CDC lake maintenance commits")
+    ap.add_argument("--lake-dir", required=True)
+    sub = ap.add_subparsers(dest="op", required=True)
+    sub.add_parser("compact", help="force-compact every multi-file partition")
+    rp = sub.add_parser("repartition", help="change the lake's partition count")
+    rp.add_argument("--partitions", type=int, required=True)
+    cl = sub.add_parser("clone", help="zero-copy branch at the latest version")
+    cl.add_argument("--dst", required=True)
+    cl.add_argument("--epoch", type=int, default=None)
+    args = ap.parse_args(argv)
+    if args.op != "clone" and not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    if args.op == "compact":
+        m = compact(args.lake_dir)
+    elif args.op == "repartition":
+        m = repartition(args.lake_dir, args.partitions)
+    else:
+        from engine.cdc.clone import clone_lake
+
+        m = clone_lake(args.lake_dir, args.dst, args.epoch)
+    print(
+        {
+            "version": m["epoch"],
+            "num_partitions": m.get("num_partitions"),
+            "changelog_pos": sink.changelog_pos(m),
+            "maintenance": m.get("maintenance"),
+            "wall_s": m.get("wall_s"),
+        }
+    )
+
+
+if __name__ == "__main__":
+    main()
