@@ -115,6 +115,41 @@ def q_cdc_patch_state(sf_dir):
     )
 
 
+@register_query("q_cdc_spec_lake")
+def q_cdc_spec_lake(sf_dir):
+    """Declarative job over the LIVE lake, self-checking: a JSON spec
+    whose source is the committed lake (zone-map-pruned scan, column
+    pruning — content never read) groups live file counts by lang; the
+    result must equal the same aggregation computed directly from
+    lake_table. Any divergence raises."""
+    from engine.cdc.verify import lake_table
+    from engine.spec import run_spec
+    from engine.util.collect import pull_arrow
+
+    work = _replayed_lake(sf_dir)
+    lake = f"{work}/lake"
+    spec = {
+        "source": {"lake": lake, "filters": [["seq", ">=", 0]],
+                   "columns": ["repo", "path", "lang", "seq"]},
+        "steps": [
+            {"op": "with_column", "name": "n", "expr": {"lit": 1}},
+            {"op": "grouped_sum", "keys": ["lang"], "cols": ["n"]},
+        ],
+    }
+    got = pull_arrow(run_spec(spec, sf_dir).materialize())
+    full = lake_table(lake)
+    want = (
+        full.group_by("lang")
+        .aggregate([("path", "count")])
+        .rename_columns(["lang", "n"])
+    )
+    gd = {r["lang"]: r["n"] for r in got.to_pylist()}
+    wd = {r["lang"]: r["n"] for r in want.to_pylist()}
+    if gd != wd:
+        raise AssertionError(f"spec-over-lake diverged: {gd} != {wd}")
+    return rd.from_arrow(got.sort_by([("lang", "ascending")]))
+
+
 @register_query("q_cdc_repartition")
 def q_cdc_repartition(sf_dir):
     """Lake scale-out mid-stream, self-checking: replay part of the

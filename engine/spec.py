@@ -117,7 +117,18 @@ def _lower_step(i: int, step: dict, ctx: dict | None = None) -> Step:
     if op == "with_column":
         _require(step, "name", "expr")
         out_name, expr = step["name"], compile_expr(step["expr"])
-        return Step(name, lambda t: t.append_column(out_name, expr(t)))
+
+        def _with(t: pa.Table) -> pa.Table:
+            v = expr(t)
+            if isinstance(v, pa.Scalar):  # bare {"lit": v} broadcasts
+                v = pa.repeat(v, t.num_rows) if v.is_valid else pa.nulls(
+                    t.num_rows, v.type
+                )
+            elif not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                v = pa.array([v] * t.num_rows)
+            return t.append_column(out_name, v)
+
+        return Step(name, _with)
     if op == "grouped_sum":
         _require(step, "keys", "cols")
         keys, cols = list(step["keys"]), list(step["cols"])
@@ -217,12 +228,31 @@ def lower(spec: dict, ctx: dict | None = None) -> Pipeline:
 
 
 def run_spec(spec: dict, sf_dir: str) -> rd.Dataset:
-    """Lower and run a spec against its declared source table (pruned
-    read: only the spec's declared columns leave storage)."""
-    src = spec.get("source")
-    if not isinstance(src, dict) or "table" not in src:
-        raise ValueError("spec['source'] must be a dict with a 'table' field")
-    from engine.io.sources import read_table
+    """Lower and run a spec against its declared source (pruned read:
+    only the spec's declared columns leave storage). Two source kinds:
 
-    ds = read_table(sf_dir, src["table"], columns=src.get("columns"))
+    - ``{"table": name, "columns": [...]}`` — a testdata parquet table.
+    - ``{"lake": dir, "filters": [[col, op, value], ...], "columns":
+      [...], "epoch": k}`` — a committed CDC lake, read through the
+      zone-map-pruned scan (engine/cdc/scan.py): partitions whose
+      manifest stats exclude the filters are never touched, base files
+      are predicate-pushed, and only the declared columns are read —
+      the config-driven-report-over-the-lakehouse job."""
+    src = spec.get("source")
+    if not isinstance(src, dict) or ("table" not in src and "lake" not in src):
+        raise ValueError(
+            "spec['source'] must be a dict with a 'table' or 'lake' field"
+        )
+    if "lake" in src:
+        from engine.cdc.scan import scan_lake
+
+        filters = [tuple(f) for f in src.get("filters", [])]
+        ds = scan_lake(
+            src["lake"], filters,
+            epoch=src.get("epoch"), columns=src.get("columns"),
+        )
+    else:
+        from engine.io.sources import read_table
+
+        ds = read_table(sf_dir, src["table"], columns=src.get("columns"))
     return lower(spec, ctx={"sf_dir": sf_dir}).run(ds)

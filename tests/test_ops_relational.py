@@ -883,7 +883,7 @@ def test_spec_parser_validation_and_lowering():
         compile_expr({"add": [{"lit": 1}]})
     with pytest.raises(ValueError, match="unknown expr op"):
         compile_expr({"exp": {"lit": 1}})
-    with pytest.raises(ValueError, match="'table' field"):
+    with pytest.raises(ValueError, match="'table' or 'lake' field"):
         run_spec({"source": {}, "steps": []}, "/nowhere")
 
     df = pd.DataFrame({"g": ["a", "a", "b"], "x": [1.0, 2.0, 3.0], "q": [5, 20, 20]})
