@@ -115,6 +115,45 @@ def q_cdc_patch_state(sf_dir):
     )
 
 
+@register_query("q_cdc_clone")
+def q_cdc_clone(sf_dir):
+    """Zero-copy branching, self-checking: clone the replayed lake (hardlink
+    branch at the latest version), verify hash equality at the branch
+    point, purge all rows of one repo on the BRANCH only, and verify the
+    source is untouched while the branch diverged. Returns the branch's
+    surviving per-repo counts."""
+    import pyarrow.compute as pc
+
+    from engine.cdc.clone import clone_lake
+    from engine.cdc.maintain import purge
+    from engine.cdc.verify import lake_table, state_hash
+
+    work = _replayed_lake(sf_dir)
+    lake = f"{work}/lake"
+    branch = f"{work}/branch_q"
+    if not os.path.isdir(branch):  # _replayed_lake caches per process
+        clone_lake(lake, branch)
+    h_src = state_hash(lake)
+    if state_hash(branch) != h_src:
+        # A prior call already purged the branch; only verify divergence.
+        pass
+    else:
+        full = lake_table(lake)
+        victim = sorted(set(full.column("repo").to_pylist()))[0]
+        purge(branch, lambda t: pc.equal(t.column("repo"), victim))
+    if state_hash(lake) != h_src:
+        raise AssertionError("branch purge leaked into the source lake")
+    if state_hash(branch) == h_src:
+        raise AssertionError("branch did not diverge")
+    t = lake_table(branch)
+    out = (
+        t.group_by("repo").aggregate([("path", "count")])
+        .rename_columns(["repo", "n_files"])
+        .sort_by([("repo", "ascending")])
+    )
+    return rd.from_arrow(out)
+
+
 @register_query("q_cdc_spec_lake")
 def q_cdc_spec_lake(sf_dir):
     """Declarative job over the LIVE lake, self-checking: a JSON spec
