@@ -176,8 +176,10 @@ def changefeed(
     A row counts as changed iff its winning ``seq`` differs — seqs are
     unique per key and monotone under LWW, so equal seq ⇔ identical row
     (in patch mode a no-op patch may bump seq and emit a redundant U;
-    harmless, the round-trip stays exact). Zero-shuffle: both epochs
-    share the manifest-pinned partitioning, so each pid diffs locally.
+    harmless, the round-trip stays exact). Zero-shuffle when both epochs
+    share the manifest-pinned partitioning (each pid diffs locally);
+    across a repartition boundary the old state is re-keyed to the new
+    layout through one exchange first (_changefeed_rekeyed).
     """
     from engine.cdc.merge import live_view
     from engine.cdc.verify import lake_files
@@ -186,13 +188,18 @@ def changefeed(
     parts_new, schema_new = lake_files(lake_dir, to_epoch)
     m_old = sink.read_manifest(lake_dir, from_epoch)
     m_new = sink.read_manifest(lake_dir, to_epoch)
-    if m_old.get("num_partitions") != m_new.get("num_partitions"):
-        raise ValueError(
-            "changefeed requires both epochs under the same lake partitioning"
-        )
     # Additive evolution: conform the old state to the new lake schema
     # (backfilled columns are null on both sides for untouched rows).
     event_schema = _event_schema_for(schema_new)
+    if m_old.get("num_partitions") != m_new.get("num_partitions"):
+        # A repartition (maintain.repartition) lies between the two
+        # versions: per-pid local diffs would pair DIFFERENT key sets.
+        # Fall back to one explicit exchange: re-key the OLD state to the
+        # NEW layout, then diff each new partition locally as usual.
+        return _changefeed_rekeyed(
+            lake_dir, from_epoch, to_epoch, parts_new, schema_new,
+            event_schema, int(m_new["num_partitions"]),
+        )
     pids = sorted(set(parts_old) | set(parts_new))
     if not pids:
         return rd.from_arrow(event_schema.empty_table())
@@ -202,8 +209,6 @@ def changefeed(
     ]
 
     def _diff(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         out = []
         for old_rels, new_rels in zip(
             batch.column("old").to_pylist(), batch.column("new").to_pylist()
@@ -212,45 +217,7 @@ def changefeed(
                 live_view(lake_dir, old_rels, schema_old), schema_new
             )
             new = live_view(lake_dir, new_rels, schema_new)
-            okey = pd.MultiIndex.from_arrays(
-                [old.column("repo").to_pandas(), old.column("path").to_pandas()]
-            )
-            nkey = pd.MultiIndex.from_arrays(
-                [new.column("repo").to_pandas(), new.column("path").to_pandas()]
-            )
-            oseq = pd.Series(old.column("seq").to_pandas().to_numpy(), index=okey)
-            nseq = pd.Series(new.column("seq").to_pandas().to_numpy(), index=nkey)
-            aligned_old = oseq.reindex(nkey)
-            is_ins = aligned_old.isna().to_numpy()
-            is_upd = (~is_ins) & (aligned_old.to_numpy() != nseq.to_numpy())
-            gone = ~np.asarray(okey.isin(nkey), dtype=bool)
-
-            payload_names = [n for n in schema_new.names if n != "content_sha256"]
-            changed = new.select(payload_names).filter(pa.array(is_ins | is_upd))
-            op = np.where(is_ins[is_ins | is_upd], "I", "U")
-            ev = changed.append_column("op", pa.array(op, type=pa.string()))
-
-            dels = old.filter(pa.array(gone))
-            if dels.num_rows:
-                dcols = {
-                    "repo": dels.column("repo"),
-                    "path": dels.column("path"),
-                    "seq": pa.array(
-                        dels.column("seq").to_pandas().to_numpy() + 1,
-                        type=pa.int64(),
-                    ),
-                }
-                dtab = pa.table(dcols)
-                for n in payload_names:
-                    if n not in dtab.column_names:
-                        dtab = dtab.append_column(
-                            n, pa.nulls(dtab.num_rows, schema_new.field(n).type)
-                        )
-                dtab = dtab.append_column(
-                    "op", pa.nulls(dtab.num_rows, pa.string()).fill_null("D")
-                )
-                out.append(conform_table(dtab, event_schema))
-            out.append(conform_table(ev, event_schema))
+            out.append(_diff_tables(old, new, schema_new, event_schema))
         return (
             pa.concat_tables(out) if out else event_schema.empty_table()
         )
@@ -258,3 +225,113 @@ def changefeed(
     return rd.from_items(items).map_batches(
         _diff, batch_format="pyarrow", batch_size=1
     )
+
+
+def _diff_tables(
+    old: pa.Table, new: pa.Table, schema_new: pa.Schema, event_schema: pa.Schema
+) -> pa.Table:
+    """I/U/D events turning ``old`` into ``new`` (both in the new lake
+    schema, covering the same key range). Seq-compare soundness: equal
+    winning seq ⇔ identical row."""
+    import pandas as pd
+
+    okey = pd.MultiIndex.from_arrays(
+        [old.column("repo").to_pandas(), old.column("path").to_pandas()]
+    )
+    nkey = pd.MultiIndex.from_arrays(
+        [new.column("repo").to_pandas(), new.column("path").to_pandas()]
+    )
+    oseq = pd.Series(old.column("seq").to_pandas().to_numpy(), index=okey)
+    nseq = pd.Series(new.column("seq").to_pandas().to_numpy(), index=nkey)
+    aligned_old = oseq.reindex(nkey)
+    is_ins = aligned_old.isna().to_numpy()
+    is_upd = (~is_ins) & (aligned_old.to_numpy() != nseq.to_numpy())
+    gone = ~np.asarray(okey.isin(nkey), dtype=bool)
+
+    payload_names = [n for n in schema_new.names if n != "content_sha256"]
+    changed = new.select(payload_names).filter(pa.array(is_ins | is_upd))
+    op = np.where(is_ins[is_ins | is_upd], "I", "U")
+    ev = changed.append_column("op", pa.array(op, type=pa.string()))
+
+    out = []
+    dels = old.filter(pa.array(gone))
+    if dels.num_rows:
+        dcols = {
+            "repo": dels.column("repo"),
+            "path": dels.column("path"),
+            "seq": pa.array(
+                dels.column("seq").to_pandas().to_numpy() + 1,
+                type=pa.int64(),
+            ),
+        }
+        dtab = pa.table(dcols)
+        for n in payload_names:
+            if n not in dtab.column_names:
+                dtab = dtab.append_column(
+                    n, pa.nulls(dtab.num_rows, schema_new.field(n).type)
+                )
+        dtab = dtab.append_column(
+            "op", pa.nulls(dtab.num_rows, pa.string()).fill_null("D")
+        )
+        out.append(conform_table(dtab, event_schema))
+    out.append(conform_table(ev, event_schema))
+    return pa.concat_tables(out)
+
+
+def _changefeed_rekeyed(
+    lake_dir: str,
+    from_epoch: int,
+    to_epoch: int | None,
+    parts_new: dict,
+    schema_new: pa.Schema,
+    event_schema: pa.Schema,
+    num_partitions: int,
+) -> rd.Dataset:
+    """Changefeed across a repartition boundary: stream the OLD state
+    through one groupby(pid) exchange keyed at the NEW layout, then diff
+    each new partition against its local files. A marker row per new
+    partition guarantees insert-only partitions (no old rows hash there)
+    still form a group. The old state crosses the exchange once — the
+    price of a one-off layout migration; same-layout feeds stay
+    zero-shuffle."""
+    from engine.cdc.merge import live_view
+    from engine.cdc.verify import read_lake
+    from engine.util.hashing import stable_hash_column
+
+    aug = pa.schema(
+        list(schema_new) + [pa.field("pid", pa.int64()), pa.field("__m", pa.int8())]
+    )
+
+    def _key(t: pa.Table) -> pa.Table:
+        t = conform_table(t, schema_new)
+        pid = stable_hash_column(t.column("repo"), num_partitions)
+        t = t.append_column("pid", pa.array(pid, type=pa.int64()))
+        return t.append_column("__m", pa.nulls(t.num_rows, pa.int8()).fill_null(0))
+
+    old_keyed = read_lake(lake_dir, epoch=from_epoch).map_batches(
+        _key, batch_format="pyarrow"
+    )
+    markers = pa.table(
+        {
+            **{
+                f.name: pa.nulls(len(parts_new), f.type)
+                for f in schema_new
+            },
+            "pid": pa.array(sorted(parts_new), type=pa.int64()),
+            "__m": pa.array([1] * len(parts_new), type=pa.int8()),
+        },
+        schema=aug,
+    )
+    both = old_keyed.union(rd.from_arrow(markers))
+
+    def _diff_group(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pid = int(group.column("pid")[0].as_py())
+        old = group.filter(
+            pc.equal(group.column("__m"), 0)
+        ).drop_columns(["pid", "__m"])
+        new = live_view(lake_dir, list(parts_new.get(pid, [])), schema_new)
+        return _diff_tables(old, new, schema_new, event_schema)
+
+    return both.groupby("pid").map_groups(_diff_group, batch_format="pyarrow")

@@ -230,3 +230,32 @@ def test_duplicate_delivery_idempotent(replayed):
     lake_d = f"{tmp}/lake_dup"
     replay(src, lake_d, ReplayConfig(**CFG))
     assert state_hash(lake_d) == state_hash(lake)
+
+
+def test_changefeed_across_repartition(replayed):
+    """A repartition between the two versions switches changefeed onto
+    the re-keyed exchange path; the feed still round-trips the old state
+    to the new state exactly, and composes with post-repartition
+    changes."""
+    import pyarrow.compute as pc
+
+    from engine.cdc.maintain import purge, repartition
+
+    tmp, log, lake = replayed
+    lake_r = f"{tmp}/lake_repart_cf"
+    replay(log, lake_r, ReplayConfig(**CFG))  # versions 0..2 at P=8
+    v0 = 0
+    repartition(lake_r, 32)  # version 3, same state, new layout
+    # Post-repartition change so the feed isn't layout-noise only.
+    purge(lake_r, lambda t: pc.equal(t.column("repo"), t.column("repo")[0]))
+    # ^ version 4 drops one repo
+
+    cf = pull_arrow(changefeed(lake_r, from_epoch=v0))
+    assert cf.num_rows > 0 and set(cf.column("op").to_pylist()) <= {"I", "U", "D"}
+    lake_c = f"{tmp}/lake_cf_repart"
+    bootstrap(lake_table(lake_r, epoch=v0), lake_c, ReplayConfig(**CFG), epoch=0)
+    src = tailer.MemorySource()
+    src.append(1, cf)
+    src.seal(1)
+    replay(src, lake_c, ReplayConfig(**CFG))
+    assert state_hash(lake_c) == state_hash(lake_r)
