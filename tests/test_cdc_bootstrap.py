@@ -259,3 +259,24 @@ def test_changefeed_across_repartition(replayed):
     src.seal(1)
     replay(src, lake_c, ReplayConfig(**CFG))
     assert state_hash(lake_c) == state_hash(lake_r)
+
+
+def test_replicate_across_source_repartition(replayed):
+    """A replica keeps following after the source scales out (repartition
+    bumps the source version without consuming changelog; the catch-up
+    feed crosses the layout boundary via the re-keyed path)."""
+    import pyarrow.compute as pc
+
+    from engine.cdc.bootstrap import replicate
+    from engine.cdc.maintain import purge, repartition
+
+    tmp, log, lake = replayed
+    lake_s = f"{tmp}/src_rp"
+    replay(log, lake_s, ReplayConfig(**CFG))
+    rep = f"{tmp}/replica_rp"
+    replicate(lake_s, rep, ReplayConfig(**CFG), to_epoch=1)
+    repartition(lake_s, 32)
+    purge(lake_s, lambda t: pc.equal(t.column("repo"), t.column("repo")[0]))
+    out = replicate(lake_s, rep, ReplayConfig(**CFG))
+    assert out["applied"] > 0
+    assert state_hash(rep) == state_hash(lake_s)
