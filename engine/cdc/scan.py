@@ -20,6 +20,8 @@ needs every file of the partition) and filtered exactly post-merge.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -62,14 +64,32 @@ def prune_partitions(
     stats = manifest.get("file_stats", {})
     kept: dict[int, list[str]] = {}
     pruned: list[int] = []
+
+    def excluded(rel: str) -> bool:
+        return any(
+            _file_excludes(stats.get(rel, {}), c, op, v) for c, op, v in filters
+        )
+
     for pid, rels in sink.active_files(manifest).items():
-        if rels and all(
-            any(_file_excludes(stats.get(rel, {}), c, op, v) for c, op, v in filters)
-            for rel in rels
-        ):
+        if rels and all(excluded(rel) for rel in rels):
             pruned.append(pid)
         else:
-            kept[pid] = rels
+            # File-level skipping inside a kept partition: a BASE file
+            # whose zone map excludes the predicate is dropped from the
+            # merge-on-read list entirely (sound: an op-less base row
+            # either loses to a strictly-newer delta regardless of its
+            # presence, or wins and would be dropped by the post-merge
+            # filter anyway). Delta files are NEVER skipped — an
+            # excluded tombstone must still kill its base row. Base vs
+            # delta is the engine's own naming convention: every write
+            # site emits base-*/delta-* (merge, maintenance,
+            # repartition, bootstrap-via-merge).
+            keep_rels = [
+                rel
+                for rel in rels
+                if os.path.basename(rel).startswith("delta-") or not excluded(rel)
+            ]
+            kept[pid] = keep_rels
     return kept, pruned
 
 

@@ -229,3 +229,43 @@ def test_scan_column_pruning_and_base_pushdown(tmp_path, ray_session):
     assert g.column_names == cols  # content never materialized
     assert _digest(g) == _digest(want)
     assert g.num_rows == 5
+
+
+def test_scan_skips_excluded_base_files_in_kept_partitions(tmp_path, ray_session):
+    """Delta-mode: repo-09's partition (no other zz repo hashes there) is
+    kept only because its DELTA carries lang='zz' — its base (all 'aa')
+    must be dropped from the merge-on-read list; deltas never are."""
+    lake = f"{tmp_path}/lake6"
+    bootstrap(_snapshot(), lake, ReplayConfig(num_partitions=P, num_salts=1))
+    cfg = ReplayConfig(num_partitions=P, num_salts=1, write_mode="delta")
+    src = MemorySource()
+    src.append(1, pa.Table.from_pylist([
+        {"repo": "repo-09", "path": "src/f0.py", "commit": "c090b",
+         "lang": "zz", "content": "x", "seq": 100, "op": "U"},
+    ]))
+    src.seal(1)
+    replay(src, lake, cfg)
+
+    m = sink.read_manifest(lake)
+    kept, pruned = prune_partitions(m, [("lang", "=", "zz")])
+    active = sink.active_files(m)
+    # Exactly the partitions holding 'zz' rows survive; at least one of
+    # them lists FEWER files than its active set, and every skipped file
+    # is a base (delta names always survive).
+    skipped = {
+        pid: [r for r in active[pid] if r not in rels]
+        for pid, rels in kept.items()
+        if len(rels) < len(active[pid])
+    }
+    assert skipped, f"no base files were skipped: kept={kept}"
+    for pid, gone in skipped.items():
+        assert all(r.split("/")[-1].startswith("base-") for r in gone)
+        assert all(r.split("/")[-1].startswith("delta-") for r in kept[pid])
+
+    got = scan_lake(lake, [("lang", "=", "zz")]).materialize()
+    want = _filtered(lake, [("lang", "=", "zz")])
+    g = pa.Table.from_pandas(
+        got.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    ).select(want.column_names)
+    assert _digest(g) == _digest(want)
+    assert want.num_rows == 6  # 5 original zz + the flipped repo-09 row
