@@ -289,7 +289,12 @@ def main_scaling():
 
     ray.shutdown()
     os.sync()
-    lo, hi = 8, 32
+    # Default N=8 → 4N=32. In fast host windows the 8-slot leg already
+    # saturates the memory bus (BASELINE.md), making the ratio measure
+    # bus contention; GRAFT_SCALING_LO/HI let a complementary pair (e.g.
+    # 4 → 16, same 4x, below the bus ceiling) evidence partition scaling.
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     # Steady-state legs by default (one untimed warmup replay inside each
     # subprocess — see main_cdc_only); GRAFT_SCALING_COLD=1 restores the
     # cold first-run protocol.
