@@ -60,7 +60,9 @@ def prune_partitions(
 ) -> tuple[dict[int, list[str]], list[int]]:
     """Split the active partitions into (kept, pruned) under a
     conjunction of ``(col, op, value)`` filters. A partition is pruned
-    only when EVERY active file excludes at least one conjunct."""
+    only when EVERY active file excludes at least one conjunct; a kept
+    partition's file list is additionally narrowed to drop excluded
+    BASE files (deltas always stay — see the inline soundness note)."""
     stats = manifest.get("file_stats", {})
     kept: dict[int, list[str]] = {}
     pruned: list[int] = []

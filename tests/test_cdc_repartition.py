@@ -104,3 +104,16 @@ def test_repartition_fuzz_any_split_any_p(tmp_path, sf_dir):
         assert all(0 <= int(p) < p_final for p in m["active_files"])
 
     check()
+
+
+def test_repartition_preserves_summary_invariant(tmp_path, sf_dir):
+    """The per-repo incremental summary is P-independent: after a
+    repartition (rows unchanged, layout moved) the carried-forward
+    summary still equals a full recompute from the new layout."""
+    from engine.cdc.summary import read_summary, recompute_summary
+
+    log = _log(tmp_path, sf_dir, name="log_sum")
+    lake = f"{tmp_path}/lake_sum"
+    replay(log, lake, ReplayConfig(**CFG))
+    repartition(lake, 32)
+    assert read_summary(lake).equals(recompute_summary(lake))
