@@ -117,3 +117,22 @@ def test_repartition_preserves_summary_invariant(tmp_path, sf_dir):
     replay(log, lake, ReplayConfig(**CFG))
     repartition(lake, 32)
     assert read_summary(lake).equals(recompute_summary(lake))
+
+
+def test_repartition_patch_mode_lake(tmp_path, sf_dir):
+    """Column-LWW lakes repartition like any other (the exact fold emits
+    COMPLETE rows, so moved rows carry full payloads); resume continues
+    in patch mode at the new P and still matches the patch oracle."""
+    from engine.cdc.oracle import oracle_state_hash
+
+    log = synth_changelog(
+        sf_dir, f"{tmp_path}/log_pm",
+        SynthConfig(seed=13, n_events=2500, n_epochs=3, n_keys=500,
+                    op_mix=(30, 60, 10), patch_null_frac=0.5),
+    )
+    lake = f"{tmp_path}/lake_pm"
+    cfg = ReplayConfig(num_partitions=8, num_salts=2, update_mode="column")
+    replay(log, lake, cfg, max_epoch=1)
+    repartition(lake, 16)
+    replay(log, lake, cfg)
+    assert state_hash(lake) == oracle_state_hash(log, update_mode="column")

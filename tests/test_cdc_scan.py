@@ -269,3 +269,24 @@ def test_scan_skips_excluded_base_files_in_kept_partitions(tmp_path, ray_session
     ).select(want.column_names)
     assert _digest(g) == _digest(want)
     assert want.num_rows == 6  # 5 original zz + the flipped repo-09 row
+
+
+def test_scan_filter_on_evolved_column(tmp_path, ray_session):
+    """Filter on a column added AFTER the base files were written: old
+    bases have no stats for it (never prunable via it), conform injects
+    nulls (which never match), and the delta that introduced the column
+    is found."""
+    lake = f"{tmp_path}/lake7"
+    bootstrap(_snapshot(), lake, ReplayConfig(num_partitions=P, num_salts=1))
+    src = MemorySource()
+    src.append(1, pa.Table.from_pylist([{
+        "repo": "repo-09", "path": "src/f0.py", "commit": "c2", "lang": "aa",
+        "content": "y", "size_bytes": 777, "seq": 100, "op": "U",
+    }]))
+    src.seal(1)
+    replay(src, lake, ReplayConfig(num_partitions=P, num_salts=1))
+
+    got = scan_lake(lake, [("size_bytes", ">=", 500)]).materialize()
+    assert got.count() == 1
+    row = got.take_all()[0]
+    assert (row["repo"], row["size_bytes"]) == ("repo-09", 777)
