@@ -105,7 +105,8 @@ def _maintenance_commit(
                         "duration_s": time.monotonic() - tp,
                         "deletes": int(removed.num_rows) if removed is not None else 0,
                         "summary_delta": _summary_delta(
-                            removed, removed.slice(0, 0)
+                            removed, removed.slice(0, 0),
+                            prev.get("summary_spec"),
                         )
                         if removed is not None
                         else "{}",
@@ -140,6 +141,14 @@ def _maintenance_commit(
             "num_partitions": prev.get("num_partitions"),
             "changelog_pos": sink.changelog_pos(prev),
             "maintenance": label,
+            # Maintenance versions carry the lake's pinned metric spec
+            # forward (a dropped pin would make later folds use the
+            # default spec over a custom-schema summary).
+            **(
+                {"summary_spec": prev["summary_spec"]}
+                if prev.get("summary_spec")
+                else {}
+            ),
         },
     )
     from engine.cdc.replay import _write_lineage
@@ -324,6 +333,11 @@ def repartition(lake_dir: str, num_partitions: int) -> dict:
             "num_partitions": num_partitions,
             "changelog_pos": sink.changelog_pos(prev),
             "maintenance": f"repartition:{num_partitions}",
+            **(
+                {"summary_spec": prev["summary_spec"]}
+                if prev.get("summary_spec")
+                else {}
+            ),
         },
     )
     from engine.cdc.replay import _write_lineage

@@ -120,31 +120,58 @@ def content_chars(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
     return pc.utf8_length(col)
 
 
-def _summary_delta(removed: pa.Table, added: pa.Table) -> str:
-    """Per-repo (Δlive_files, Δcontent_chars) from the rows this merge
-    removed from and added to its partition. Incremental-view math:
-    replace = remove old + add new, delete = remove old — so folding
-    deltas over epochs reproduces a full recompute exactly."""
+# The default incrementally-maintained per-repo view. A ReplayConfig may
+# override with any metric list: each entry is {"name", "agg"[, "col"]}
+# with agg ∈ {"count", "chars", "sum"}; exactly one "count" metric is
+# required (it defines row liveness for the fold). All metrics are
+# integer-valued → the fold is exact (no fp drift vs a recompute).
+DEFAULT_SUMMARY_SPEC = [
+    {"name": "n_files", "agg": "count"},
+    {"name": "n_chars", "agg": "chars", "col": "content"},
+]
+
+
+def _metric_values(tbl: pa.Table, m: dict) -> "pd.Series":
+    """Per-row int64 contribution of one metric (missing column — e.g. a
+    spec written before the column evolved in — contributes 0)."""
+    n = tbl.num_rows
+    if m["agg"] == "count":
+        return pd.Series(np.ones(n, dtype=np.int64))
+    col = m.get("col")
+    if col not in tbl.column_names:
+        return pd.Series(np.zeros(n, dtype=np.int64))
+    if m["agg"] == "chars":
+        return content_chars(tbl.column(col)).to_pandas().fillna(0).astype(np.int64)
+    if m["agg"] == "sum":
+        return (
+            tbl.column(col).to_pandas().fillna(0).astype(np.int64).reset_index(drop=True)
+        )
+    raise ValueError(f"unknown summary agg {m['agg']!r}")
+
+
+def _summary_delta(removed: pa.Table, added: pa.Table, spec: list | None = None) -> str:
+    """Per-repo signed metric deltas from the rows this merge removed
+    from and added to its partition. Incremental-view math: replace =
+    remove old + add new, delete = remove old — so folding deltas over
+    epochs reproduces a full recompute exactly, for ANY metric spec."""
     import json
 
+    spec = spec or DEFAULT_SUMMARY_SPEC
+    k = len(spec)
     acc: dict[str, list[int]] = {}
     for tbl, sign in ((removed, -1), (added, 1)):
         if tbl.num_rows == 0:
             continue
-        df = pd.DataFrame(
-            {
-                "r": tbl.column("repo").to_pandas(),
-                "c": content_chars(tbl.column("content")).to_pandas().fillna(0),
-            }
-        )
-        g = df.groupby("r", sort=False)["c"]
-        for repo, (cnt, chars) in zip(
-            g.count().index, zip(g.count().to_numpy(), g.sum().to_numpy())
-        ):
-            e = acc.setdefault(str(repo), [0, 0])
-            e[0] += sign * int(cnt)
-            e[1] += sign * int(chars)
-    return json.dumps({k: v for k, v in sorted(acc.items()) if v != [0, 0]})
+        df = pd.DataFrame({"r": tbl.column("repo").to_pandas()})
+        for j, m in enumerate(spec):
+            df[f"v{j}"] = _metric_values(tbl, m).to_numpy()
+        g = df.groupby("r", sort=False).sum()
+        for repo, row in zip(g.index, g.to_numpy()):
+            e = acc.setdefault(str(repo), [0] * k)
+            for j in range(k):
+                e[j] += sign * int(row[j])
+    zero = [0] * k
+    return json.dumps({r: v for r, v in sorted(acc.items()) if v != zero})
 
 
 def lww_collapse(table: pa.Table) -> pa.Table:
@@ -294,7 +321,10 @@ class MergeApply:
         write_mode: str = "rewrite",
         compact_files: int = 4,
         update_mode: str = "row",
+        summary_spec_json: str | None = None,
     ):
+        import json
+
         from engine.cdc.sink import schema_from_b64
 
         self.lake_dir = lake_dir
@@ -315,6 +345,9 @@ class MergeApply:
         self.write_mode = write_mode
         self.compact_files = compact_files
         self.update_mode = update_mode
+        self.summary_spec = (
+            json.loads(summary_spec_json) if summary_spec_json else None
+        )
 
     def _read_base(self, pid: int) -> pa.Table:
         return live_view(self.lake_dir, self.active.get(pid, []), self.lake_schema)
@@ -402,7 +435,7 @@ class MergeApply:
                 "rows_out": [int(out.num_rows)],
                 "bytes_written": [nbytes],
                 "duration_s": [time.monotonic() - t0],
-                "summary_delta": [_summary_delta(removed, upsert_rows)],
+                "summary_delta": [_summary_delta(removed, upsert_rows, self.summary_spec)],
                 "stats": [_stats_json(file_rel if files else None,
                                       written if files else None)],
             },
@@ -595,7 +628,7 @@ class MergeApply:
                 "rows_out": [int(out.num_rows)],
                 "bytes_written": [nbytes],
                 "duration_s": [time.monotonic() - t0],
-                "summary_delta": [_summary_delta(removed, upsert_rows)],
+                "summary_delta": [_summary_delta(removed, upsert_rows, self.summary_spec)],
                 "stats": [_stats_json(file_rel if files else None,
                                       written if files else None)],
             },
@@ -616,6 +649,7 @@ def merge_apply_group(
     write_mode="rewrite",
     compact_files=4,
     update_mode="row",
+    summary_spec_json=None,
 ) -> pa.Table:
     """Task-form of :class:`MergeApply` (elastic scheduling: one task per
     partition group, no pool pre-reservation — a fixed-size actor pool
@@ -630,12 +664,15 @@ def merge_apply_group(
     # (lake, epoch) pair, and a stale entry would read deleted files
     # (found by a probe that rmtree'd and re-replayed the same lake).
     active_key = hash(json.dumps(active_files, sort_keys=True, default=str))
-    key = (lake_dir, epoch, event_schema_b64, write_mode, update_mode, active_key)
+    key = (
+        lake_dir, epoch, event_schema_b64, write_mode, update_mode,
+        summary_spec_json, active_key,
+    )
     fn = _MERGE_CACHE.get(key)
     if fn is None:
         _MERGE_CACHE.clear()  # previous epochs' entries are dead
         fn = _MERGE_CACHE[key] = MergeApply(
             lake_dir, epoch, active_files, event_schema_b64, write_mode,
-            compact_files, update_mode,
+            compact_files, update_mode, summary_spec_json,
         )
     return fn(group)

@@ -80,6 +80,12 @@ class ReplayConfig:
     # and writes the summary straight from the Dataset (huge-repo-count
     # path; adds a small per-epoch Ray job).
     summary_fold: str = "driver"
+    # Metric spec of the incrementally-maintained per-repo summary:
+    # list of {"name", "agg" ∈ count|chars|sum[, "col"]} with exactly one
+    # "count" metric (row liveness). None → merge.DEFAULT_SUMMARY_SPEC
+    # (n_files, n_chars). Pinned in the manifest on first commit; resume
+    # adopts the lake's pinned spec over the caller's (like P).
+    summary_spec: list | None = None
     # Winners exchange strategy. "full": the prepared events (content
     # included) flow through the (pid, salt) sort shuffle. "late":
     # late materialization — only the LWW METADATA (key/seq/locator,
@@ -318,15 +324,18 @@ def merge_and_commit(
     files, then the two-phase manifest commit. ``epoch`` is the lake
     VERSION being committed; ``changelog_pos`` the changelog epoch it
     folds (equal unless maintenance commits interleaved — sink.changelog_pos)."""
+    import json as _json
+
     target_b64 = sink.schema_to_b64(target)
     active = sink.active_files(prev_manifest)
+    spec_json = _json.dumps(cfg.summary_spec) if cfg.summary_spec else None
     if cfg.merge_compute == "actors":
         merge_conc = cfg.merge_concurrency or max(2, min(cfg.num_partitions, _cpus() - 2))
         reports_ds = winners.groupby("pid").map_groups(
             MergeApply,
             fn_constructor_args=(
                 lake_dir, epoch, active, target_b64, cfg.write_mode,
-                cfg.compact_files, cfg.update_mode,
+                cfg.compact_files, cfg.update_mode, spec_json,
             ),
             batch_format="pyarrow",
             concurrency=merge_conc,
@@ -342,6 +351,7 @@ def merge_and_commit(
                 write_mode=cfg.write_mode,
                 compact_files=cfg.compact_files,
                 update_mode=cfg.update_mode,
+                summary_spec_json=spec_json,
             ),
             batch_format="pyarrow",
         )
@@ -350,7 +360,8 @@ def merge_and_commit(
     from engine.cdc.summary import fold_summary
 
     summary_rel = fold_summary(
-        lake_dir, prev_manifest, reports, epoch, mode=cfg.summary_fold
+        lake_dir, prev_manifest, reports, epoch, mode=cfg.summary_fold,
+        spec=cfg.summary_spec,
     )
     manifest = sink.commit_epoch(
         lake_dir,
@@ -365,6 +376,9 @@ def merge_and_commit(
             # pid = stable_hash(repo) % num_partitions (verify.lake_lookup).
             "num_partitions": cfg.num_partitions,
             "changelog_pos": int(changelog_pos if changelog_pos is not None else epoch),
+            # Pins the summary metric spec (like P): resume and
+            # maintenance commits fold with the lake's own spec.
+            **({"summary_spec": cfg.summary_spec} if cfg.summary_spec else {}),
         },
     )
     _write_lineage(lake_dir, epoch, reports)
@@ -384,6 +398,11 @@ def run_epoch(
     epoch itself — they diverge only after maintenance commits)."""
     t0 = time.monotonic()
     src = tailer.as_source(log)
+    if (
+        prev_manifest is not None
+        and prev_manifest.get("summary_spec") != cfg.summary_spec
+    ):  # the lake's pinned metric spec wins (see _replay_available)
+        cfg = _dc_replace(cfg, summary_spec=prev_manifest.get("summary_spec"))
     prev_schema = (
         sink.schema_from_b64(prev_manifest["schema_b64"]) if prev_manifest else None
     )
@@ -495,6 +514,11 @@ def _replay_available(
     pinned = manifest.get("num_partitions") if manifest else None
     if pinned and int(pinned) != cfg.num_partitions:
         cfg = _dc_replace(cfg, num_partitions=int(pinned))
+    # Same rule for the summary metric spec: the lake's committed spec
+    # (or its absence) wins — folding a previous summary with a
+    # different metric set would be silently wrong.
+    if manifest is not None and manifest.get("summary_spec") != cfg.summary_spec:
+        cfg = _dc_replace(cfg, summary_spec=manifest.get("summary_spec"))
     ran, ran_versions, skipped = [], [], []
     t0 = time.monotonic()
     todo = []

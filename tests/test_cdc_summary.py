@@ -64,3 +64,48 @@ def test_summary_distributed_fold_matches_driver(ray_session, sf_dir):
         dist = read_summary(lake_d, epoch)
         assert dist.equals(read_summary(lake_v, epoch)), f"epoch {epoch}: fold modes differ"
         assert dist.equals(recompute_summary(lake_d, epoch)), f"epoch {epoch}: != recompute"
+
+
+def test_summary_custom_metric_spec(ray_session, sf_dir):
+    """User-defined metric spec (count + SUM(size_bytes) + chars): the
+    fold equals a recompute at every epoch (including epochs before
+    size_bytes evolved in — missing column contributes 0), the spec is
+    pinned in the manifest, survives purge + repartition maintenance,
+    and a resume with a stale default config adopts the pinned spec."""
+    import pyarrow.compute as pc
+
+    from engine.cdc import sink
+    from engine.cdc.maintain import purge, repartition
+
+    spec = [
+        {"name": "n_live", "agg": "count"},
+        {"name": "total_bytes", "agg": "sum", "col": "size_bytes"},
+        {"name": "n_chars", "agg": "chars", "col": "content"},
+    ]
+    work = tempfile.mkdtemp(prefix="cdc_sumc_")
+    log = _mini_log(sf_dir, work)
+    lake = f"{work}/lake"
+    cfg = ReplayConfig(num_partitions=8, num_salts=2, summary_spec=spec)
+    replay(log, lake, cfg, max_epoch=1)
+    m = sink.read_manifest(lake)
+    assert m["summary_spec"] == spec
+    assert read_summary(lake).column_names == ["repo", "n_live", "total_bytes", "n_chars"]
+    for epoch in (0, 1):
+        assert read_summary(lake, epoch).equals(recompute_summary(lake, epoch))
+
+    # Resume with a config that DOESN'T declare the spec: pinned wins.
+    replay(log, lake, CFG)
+    assert sink.read_manifest(lake).get("summary_spec") == spec
+    assert read_summary(lake).equals(recompute_summary(lake))
+    # size_bytes evolved at epoch 2 → some non-zero sums now exist.
+    assert pc.sum(read_summary(lake).column("total_bytes")).as_py() > 0
+
+    # Maintenance keeps the pin and the invariant.
+    victim = read_summary(lake).column("repo")[0].as_py()
+    purge(lake, lambda t: pc.equal(t.column("repo"), victim))
+    repartition(lake, 16)
+    m2 = sink.read_manifest(lake)
+    assert m2["summary_spec"] == spec
+    s = read_summary(lake)
+    assert s.equals(recompute_summary(lake))
+    assert victim not in s.column("repo").to_pylist()
