@@ -115,6 +115,37 @@ def q_cdc_patch_state(sf_dir):
     )
 
 
+@register_query("q_cdc_view_custom")
+def q_cdc_view_custom(sf_dir):
+    """User-defined incremental view (summary_spec), self-checking: a
+    lake replayed with metrics (count, SUM(size_bytes), chars) must have
+    its epoch-folded view equal a full recompute from the lake at the
+    final version; the spec is pinned in the manifest. Returns the view."""
+    from engine.cdc import sink
+    from engine.cdc.summary import read_summary, recompute_summary
+
+    spec = [
+        {"name": "n_live", "agg": "count"},
+        {"name": "total_bytes", "agg": "sum", "col": "size_bytes"},
+        {"name": "n_chars", "agg": "chars", "col": "content"},
+    ]
+    work = tempfile.mkdtemp(prefix="cdc_view_q_")
+    log = synth_changelog(
+        sf_dir, f"{work}/log",
+        SynthConfig(seed=23, n_events=6000, n_epochs=3, n_keys=1200,
+                    evolve_at_epoch=1),
+    )
+    lake = f"{work}/lake"
+    replay(log, lake, ReplayConfig(num_partitions=16, num_salts=2,
+                                   summary_spec=spec))
+    if sink.read_manifest(lake).get("summary_spec") != spec:
+        raise AssertionError("summary_spec not pinned in the manifest")
+    view = read_summary(lake)
+    if not view.equals(recompute_summary(lake)):
+        raise AssertionError("incremental view != full recompute")
+    return rd.from_arrow(view)
+
+
 @register_query("q_cdc_clone")
 def q_cdc_clone(sf_dir):
     """Zero-copy branching, self-checking: clone the replayed lake (hardlink
