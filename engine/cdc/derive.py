@@ -100,6 +100,61 @@ def sig_index_source(log, text_col: str = "content", num_perm: int = 64,
     )
 
 
+def spec_derived_source(log, steps: list):
+    """DECLARATIVE derived lake: the spec language's narrow,
+    event-preserving steps (``with_column`` / ``select`` / ``rename``)
+    applied per change-event batch, wrapped as a ``TransformSource`` —
+    replay it into its own lake and the ordinary machinery maintains the
+    derived view incrementally (exactly-once, resume, LWW by the
+    original seq, time travel).
+
+    Rules a derived-lake spec must obey (validated here):
+
+    - only ``with_column`` / ``select`` / ``rename`` — a ``filter``
+      (or any row-dropping step) would drop change EVENTS, deletes
+      included, and desynchronize the derived lake from its source;
+    - ``select`` must keep the ``seq/op/repo/path`` meta columns
+      (the LWW inputs); ``rename`` must not touch them;
+    - expressions may only reference columns present from the FIRST
+      changelog epoch (the derived schema is fixed upfront, which also
+      insulates the derived lake from upstream payload evolution).
+
+    The derived schema is computed by running the compiled transform
+    over an empty batch of the source's first-epoch schema."""
+    from engine.spec import _lower_step
+
+    allowed = ("with_column", "select", "rename")
+    lowered = []
+    for i, s in enumerate(steps):
+        op = s.get("op")
+        if op not in allowed:
+            raise ValueError(
+                f"derived-lake step {i}: {op!r} not allowed (only {allowed} — "
+                "row-dropping steps would lose change events, deletes included)"
+            )
+        if op == "select":
+            missing = [c for c in META if c not in s.get("columns", [])]
+            if missing:
+                raise ValueError(
+                    f"derived-lake select must keep meta columns {missing}"
+                )
+        if op == "rename" and any(k in META for k in s.get("mapping", {})):
+            raise ValueError(f"derived-lake rename must not touch {META}")
+        lowered.append(_lower_step(i, s))
+
+    def fn(t: pa.Table) -> pa.Table:
+        for st in lowered:
+            t = st.fn(t)
+        return t
+
+    src = tailer.as_source(log)
+    epochs = src.available_epochs()
+    if not epochs:
+        raise ValueError("cannot derive a schema from an empty changelog")
+    schema = fn(src.epoch_schema(epochs[0]).empty_table()).schema
+    return tailer.TransformSource(src, fn, schema)
+
+
 def index_candidate_pairs(
     index_lake: str,
     bands: int = 16,

@@ -368,9 +368,10 @@ class MergeApply:
         ups = winners.filter(pc.invert(del_mask))
 
         cols = {name: ups.column(name) for name in self.payload_names}
-        cols["content_sha256"] = pa.array(
-            sha256_hex_column(ups.column("content")), type=pa.string()
-        )
+        if "content_sha256" in self.lake_schema.names:
+            cols["content_sha256"] = pa.array(
+                sha256_hex_column(ups.column("content")), type=pa.string()
+            )
         cols["seq"] = ups.column("seq")
         upsert_rows = pa.table(cols, schema=self.lake_schema)
 
@@ -395,9 +396,10 @@ class MergeApply:
         if out.num_rows:
             if write_delta:
                 dcols = {name: winners.column(name) for name in self.payload_names}
-                dcols["content_sha256"] = pa.array(
-                    sha256_hex_column(winners.column("content")), type=pa.string()
-                )
+                if "content_sha256" in self.lake_schema.names:
+                    dcols["content_sha256"] = pa.array(
+                        sha256_hex_column(winners.column("content")), type=pa.string()
+                    )
                 dcols["seq"] = winners.column("seq")
                 dcols["op"] = winners.column("op")
                 delta = pa.table(dcols)
@@ -544,9 +546,10 @@ class MergeApply:
             ev = pc.cast(_take(events.column(c), ev_idx[c], exists), ftype)
             bv = pc.cast(_take(base.column(c), base_ix.where(pd.Series(use_base)), exists), ftype)
             cols[c] = pc.coalesce(ev, bv)
-        cols["content_sha256"] = pa.array(
-            sha256_hex_column(cols["content"]), type=pa.string()
-        )
+        if "content_sha256" in self.lake_schema.names:
+            cols["content_sha256"] = pa.array(
+                sha256_hex_column(cols["content"]), type=pa.string()
+            )
         cols["seq"] = pa.array(final["s"][exists].to_numpy(), type=pa.int64())
         upsert_rows = pa.table(
             {f.name: cols[f.name] for f in self.lake_schema}, schema=self.lake_schema

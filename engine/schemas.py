@@ -60,6 +60,14 @@ def event_payload_fields(schema: pa.Schema) -> list[pa.Field]:
 
 def lake_schema_for(event_schema: pa.Schema) -> pa.Schema:
     """Lake schema derived from an event schema: payload columns plus
-    ``content_sha256`` and the winning ``seq``."""
+    the winning ``seq``, and — when the payload carries ``content`` —
+    its ``content_sha256`` (the per-row identity invariant). Derived
+    lakes (engine/cdc/derive.py) may project ``content`` away; their
+    lake schema then simply has no sha column."""
     fields = event_payload_fields(event_schema)
-    return pa.schema(fields + [pa.field("content_sha256", pa.string()), pa.field("seq", pa.int64())])
+    extra = (
+        [pa.field("content_sha256", pa.string())]
+        if any(f.name == "content" for f in fields)
+        else []
+    )
+    return pa.schema(fields + extra + [pa.field("seq", pa.int64())])

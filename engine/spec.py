@@ -49,6 +49,17 @@ _CMP = {
     "!=": pc.not_equal,
 }
 _ARITH = {"add": pc.add, "sub": pc.subtract, "mul": pc.multiply, "div": pc.divide}
+def _str_in(a):
+    """Arrow `null`-typed inputs (all-null columns — e.g. D tombstones'
+    payloads) have no utf8 kernels; cast to string first."""
+    return a.cast(pa.string()) if pa.types.is_null(a.type) else a
+
+
+_UNARY_STR = {
+    "len": lambda a: pc.utf8_length(_str_in(a)).cast(pa.int64()),
+    "upper": lambda a: pc.utf8_upper(_str_in(a)),
+    "lower": lambda a: pc.utf8_lower(_str_in(a)),
+}
 
 
 def compile_expr(node) -> Callable[[pa.Table], object]:
@@ -79,8 +90,18 @@ def compile_expr(node) -> Callable[[pa.Table], object]:
         left, right = compile_expr(arg[0]), compile_expr(arg[1])
         fn = _ARITH[op]
         return lambda t: fn(left(t), right(t))
+    if op in _UNARY_STR:
+        inner = compile_expr(arg)
+        sfn = _UNARY_STR[op]
+        return lambda t: sfn(inner(t))
+    if op == "coalesce":
+        if not (isinstance(arg, list) and len(arg) == 2):
+            raise ValueError(f"'coalesce' takes [value, fallback], got {arg!r}")
+        left, right = compile_expr(arg[0]), compile_expr(arg[1])
+        return lambda t: pc.coalesce(left(t), right(t))
     raise ValueError(
-        f"unknown expr op {op!r} (expected col/lit/cents/{'/'.join(_ARITH)})"
+        f"unknown expr op {op!r} (expected col/lit/cents/coalesce/"
+        f"{'/'.join(_ARITH)}/{'/'.join(_UNARY_STR)})"
     )
 
 

@@ -84,3 +84,52 @@ def test_index_time_travel_pairs(lakes):
     )
     pb = pull_arrow(minhash_candidate_pairs(docs0, "content", "doc_id"))
     assert _pairs(pi) == _pairs(pb)
+
+
+def test_spec_derived_lake_matches_batch_transform(lakes):
+    """A DECLARATIVE derived lake (spec steps over the changelog) must
+    equal the same spec applied to the source lake's live rows — for
+    every committed epoch (incremental maintenance == batch recompute)."""
+    from engine.cdc.derive import spec_derived_source
+    from engine.spec import compile_expr
+
+    tmp, log = lakes
+    steps = [
+        {"op": "with_column", "name": "n_chars",
+         "expr": {"len": {"col": "content"}}},
+        {"op": "with_column", "name": "lang_u",
+         "expr": {"upper": {"coalesce": [{"col": "lang"}, {"lit": "??"}]}}},
+        {"op": "select",
+         "columns": ["seq", "op", "repo", "path", "n_chars", "lang_u"]},
+    ]
+    src = spec_derived_source(log, steps)
+    view = f"{tmp}/specview"
+    replay(src, view, ReplayConfig(**CFG), max_epoch=1)
+    out = replay(src, view, ReplayConfig(**CFG))  # incremental resume
+    assert out["epochs_run"] == [2]
+
+    for epoch in (0, 1, 2):
+        got = lake_table(view, epoch).select(["repo", "path", "seq", "n_chars", "lang_u"])
+        main = lake_table(f"{tmp}/main", epoch)
+        want = pa.table({
+            "repo": main.column("repo"),
+            "path": main.column("path"),
+            "seq": main.column("seq"),
+            "n_chars": compile_expr({"len": {"col": "content"}})(main),
+            "lang_u": compile_expr(
+                {"upper": {"coalesce": [{"col": "lang"}, {"lit": "??"}]}}
+            )(main),
+        })
+        assert got.equals(want), f"epoch {epoch} diverged"
+
+
+def test_spec_derived_lake_rejects_unsafe_steps(lakes):
+    from engine.cdc.derive import spec_derived_source
+
+    tmp, log = lakes
+    with pytest.raises(ValueError, match="not allowed"):
+        spec_derived_source(log, [{"op": "filter", "column": "lang", "cmp": "==", "value": "py"}])
+    with pytest.raises(ValueError, match="keep meta columns"):
+        spec_derived_source(log, [{"op": "select", "columns": ["repo", "path"]}])
+    with pytest.raises(ValueError, match="must not touch"):
+        spec_derived_source(log, [{"op": "rename", "mapping": {"seq": "s"}}])

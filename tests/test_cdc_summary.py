@@ -109,3 +109,20 @@ def test_summary_custom_metric_spec(ray_session, sf_dir):
     s = read_summary(lake)
     assert s.equals(recompute_summary(lake))
     assert victim not in s.column("repo").to_pylist()
+
+
+def test_summary_spec_validation_errors():
+    import pytest
+
+    from engine.cdc.summary import validate_spec
+
+    with pytest.raises(ValueError, match="exactly one 'count'"):
+        validate_spec([{"name": "a", "agg": "count"}, {"name": "b", "agg": "count"}])
+    with pytest.raises(ValueError, match="exactly one 'count'"):
+        validate_spec([{"name": "a", "agg": "chars", "col": "content"}])
+    with pytest.raises(ValueError, match="unique non-empty"):
+        validate_spec([{"name": "a", "agg": "count"}, {"name": "a", "agg": "sum", "col": "x"}])
+    with pytest.raises(ValueError, match="unknown summary agg"):
+        validate_spec([{"name": "a", "agg": "count"}, {"name": "b", "agg": "avg", "col": "x"}])
+    with pytest.raises(ValueError, match="needs 'col'"):
+        validate_spec([{"name": "a", "agg": "count"}, {"name": "b", "agg": "sum"}])
