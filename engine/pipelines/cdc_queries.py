@@ -115,6 +115,47 @@ def q_cdc_patch_state(sf_dir):
     )
 
 
+@register_query("q_cdc_spec_derived")
+def q_cdc_spec_derived(sf_dir):
+    """Declarative derived lake, self-checking: a JSON spec (len/upper
+    projections) replayed over the changelog as a TransformSource must
+    equal the same spec applied to the source lake's live rows at the
+    final version. Returns the derived view's rows."""
+    from engine.cdc.derive import spec_derived_source
+    from engine.cdc.verify import lake_table
+    from engine.spec import compile_expr
+
+    work = _replayed_lake(sf_dir)
+    steps = [
+        {"op": "with_column", "name": "n_chars",
+         "expr": {"len": {"col": "content"}}},
+        {"op": "with_column", "name": "lang_u",
+         "expr": {"upper": {"coalesce": [{"col": "lang"}, {"lit": "??"}]}}},
+        {"op": "select",
+         "columns": ["seq", "op", "repo", "path", "n_chars", "lang_u"]},
+    ]
+    view = f"{work}/specview_q"
+    replay(spec_derived_source(f"{work}/log", steps), view,
+           ReplayConfig(num_partitions=16, num_salts=2))
+    cols = ["repo", "path", "seq", "n_chars", "lang_u"]
+    got = lake_table(view).select(cols)
+    main = lake_table(f"{work}/lake")
+    import pyarrow as pa
+
+    want = pa.table({
+        "repo": main.column("repo"),
+        "path": main.column("path"),
+        "seq": main.column("seq"),
+        "n_chars": compile_expr({"len": {"col": "content"}})(main),
+        "lang_u": compile_expr(
+            {"upper": {"coalesce": [{"col": "lang"}, {"lit": "??"}]}}
+        )(main),
+    })
+    if not got.equals(want):
+        raise AssertionError("declarative derived lake != batch transform")
+    return rd.from_arrow(got)
+
+
 @register_query("q_cdc_view_custom")
 def q_cdc_view_custom(sf_dir):
     """User-defined incremental view (summary_spec), self-checking: a
