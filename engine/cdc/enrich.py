@@ -30,8 +30,12 @@ def enrich_with_lake(
     from engine.cdc.verify import read_lake
     from engine.ops.join import auto_join
 
-    lake = read_lake(lake_dir, epoch)
     if columns is not None:
         keep = list(dict.fromkeys(list(keys) + list(columns)))
+        # Pruning pushed into the lake's parquet reads: content (or any
+        # unrequested heavy column) never leaves storage.
+        lake = read_lake(lake_dir, epoch, columns=keep)
         lake = lake.map_batches(lambda t: t.select(keep), batch_format="pyarrow")
+    else:
+        lake = read_lake(lake_dir, epoch)
     return auto_join(stream, lake, key=list(keys), join_type=join_type)

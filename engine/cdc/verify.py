@@ -59,22 +59,33 @@ def lake_table(lake_dir: str, epoch: int | None = None) -> pa.Table:
     )
 
 
-def read_lake(lake_dir: str, epoch: int | None = None) -> rd.Dataset:
+def read_lake(
+    lake_dir: str, epoch: int | None = None, columns: list[str] | None = None
+) -> rd.Dataset:
     """The lake as a streaming Dataset — resolved ONLY via the committed
     manifest, so uncommitted/orphan files are invisible. One task per
     partition performs the LSM merge-on-read (a partition's base+deltas
     must co-locate for the merge — same assumption the merge stage
-    itself relies on)."""
+    itself relies on).
+
+    ``columns`` pushes column pruning into the parquet reads themselves
+    (the merge-on-read still reads its key/seq inputs): an enrichment
+    that needs two columns never pulls ``content`` off storage."""
     from engine.cdc.merge import live_view
 
     parts, schema = lake_files(lake_dir, epoch)
+    read_cols = None
+    if columns is not None:
+        need = {"repo", "path", "seq"} | set(columns)
+        schema = pa.schema([f for f in schema if f.name in need])
+        read_cols = schema.names
     if not parts:
         return rd.from_arrow(schema.empty_table())
     items = [{"rels": rels} for _, rels in sorted(parts.items())]
 
     def _load(batch: pa.Table) -> pa.Table:
         tables = [
-            live_view(lake_dir, list(rels), schema)
+            live_view(lake_dir, list(rels), schema, read_columns=read_cols)
             for rels in batch.column("rels").to_pylist()
         ]
         return pa.concat_tables(tables) if tables else schema.empty_table()
