@@ -40,8 +40,9 @@ def q_cdc_replay_state(sf_dir):
     """Final lake state after full changelog replay (LWW upserts/deletes,
     exactly-once commits, schema evolution)."""
     work = _replayed_lake(sf_dir)
-    ds = read_lake(f"{work}/lake")
-    return ds.select_columns(["repo", "path", "content_sha256", "seq", "size_bytes"])
+    cols = ["repo", "path", "content_sha256", "seq", "size_bytes"]
+    ds = read_lake(f"{work}/lake", columns=cols)
+    return ds.select_columns(cols)
 
 
 @register_query("q_cdc_summary")
@@ -81,9 +82,7 @@ def q_cdc_lsm_delta(sf_dir):
     vacuum(lake_d, retain_last=1)
     if state_hash(lake_d) != h_d:
         raise AssertionError("vacuum changed the committed state")
-    return read_lake(lake_d).select_columns(
-        ["repo", "path", "content_sha256", "seq", "size_bytes"]
-    )
+    return read_lake(lake_d, columns=["repo", "path", "content_sha256", "seq", "size_bytes"]).select_columns(["repo", "path", "content_sha256", "seq", "size_bytes"])
 
 
 @register_query("q_cdc_patch_state")
@@ -110,9 +109,7 @@ def q_cdc_patch_state(sf_dir):
     h_ora = oracle_state_hash(log, update_mode="column")
     if h_eng != h_ora:
         raise AssertionError(f"patch-mode state diverged: {h_eng} != {h_ora}")
-    return read_lake(lake).select_columns(
-        ["repo", "path", "content_sha256", "seq"]
-    )
+    return read_lake(lake, columns=["repo", "path", "content_sha256", "seq"]).select_columns(["repo", "path", "content_sha256", "seq"])
 
 
 @register_query("q_cdc_spec_derived")
@@ -292,9 +289,7 @@ def q_cdc_repartition(sf_dir):
         raise AssertionError("resume did not adopt the repartitioned P")
     if state_hash(lake) != state_hash(ref):
         raise AssertionError("repartitioned lake diverged from straight replay")
-    return read_lake(lake).select_columns(
-        ["repo", "path", "content_sha256", "seq"]
-    )
+    return read_lake(lake, columns=["repo", "path", "content_sha256", "seq"]).select_columns(["repo", "path", "content_sha256", "seq"])
 
 
 @register_query("q_cdc_point_lookup")
@@ -375,9 +370,7 @@ def q_cdc_time_travel(sf_dir):
         oh = oracle_state_hash(f"{work}/log", upto_epoch=k)
         if eh != oh:
             raise AssertionError(f"time travel to epoch {k} diverged: {eh} != {oh}")
-    return read_lake(f"{work}/lake", epoch=0).select_columns(
-        ["repo", "path", "content_sha256", "seq"]
-    )
+    return read_lake(f"{work}/lake", epoch=0, columns=["repo", "path", "content_sha256", "seq"]).select_columns(["repo", "path", "content_sha256", "seq"])
 
 
 @register_query("q_cdc_changefeed")
@@ -448,9 +441,7 @@ def q_cdc_backfill(sf_dir):
     ref = canonical_digest(lake_table(f"{work}/lake"))
     if got != ref:
         raise AssertionError(f"maintenance lake diverged: {got} != {ref}")
-    return read_lake(lake_m).select_columns(
-        ["repo", "path", "content_sha256", "seq", "n_chars"]
-    )
+    return read_lake(lake_m, columns=["repo", "path", "content_sha256", "seq", "n_chars"]).select_columns(["repo", "path", "content_sha256", "seq", "n_chars"])
 
 
 @register_query("q_cdc_multi_table")
