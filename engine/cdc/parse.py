@@ -99,3 +99,59 @@ def prepare_batch(batch: pa.Table, **cfg) -> pa.Table:
     if fn is None:
         fn = _WORKER_CACHE[key] = PrepareEvents(**cfg)
     return fn(batch)
+
+
+def requeue_deadletters(
+    lake_dir: str,
+    out_log_dir: str,
+    epoch: int,
+    fix_fn=None,
+    clear: bool = False,
+) -> int:
+    """Operational recovery for the dead-letter queue: read every
+    quarantined event under ``lake/deadletter/``, optionally repair each
+    batch with ``fix_fn`` (pa.Table → pa.Table), and PUBLISH them as
+    sealed changelog epoch ``epoch`` of ``out_log_dir`` via the atomic
+    stage-directory + ``os.rename`` protocol every producer uses — a
+    following ``replay()`` folds them like any other epoch.
+
+    Soundness of the late redelivery: repaired events keep their
+    ORIGINAL ``seq``, so per-key LWW puts them exactly where they would
+    have landed — they win over older state and lose to any newer write
+    that happened while they sat quarantined. Events ``fix_fn`` leaves
+    invalid are simply dead-lettered again by the next replay (requeue
+    is idempotent-safe, never a bypass of validation).
+
+    ``clear=True`` removes the quarantined files after the sealed epoch
+    is published (crash between publish and clear re-delivers — which
+    LWW absorbs: identical (seq, key) rows fold identically).
+
+    Returns the number of events requeued (0 → nothing published)."""
+    import shutil
+
+    from engine.cdc import sink
+
+    ddir = sink.lake_paths(lake_dir)["deadletter"]
+    files = []
+    for dirpath, _, names in os.walk(ddir):
+        files += [os.path.join(dirpath, n) for n in sorted(names) if n.endswith(".parquet")]
+    if not files:
+        return 0
+    batches = [pq.read_table(f) for f in sorted(files)]
+    out = pa.concat_tables(batches, promote_options="permissive")
+    if fix_fn is not None:
+        out = fix_fn(out)
+    epoch_dir = os.path.join(out_log_dir, f"epoch={epoch:05d}")
+    if os.path.isdir(epoch_dir):
+        raise FileExistsError(f"changelog epoch already sealed: {epoch_dir}")
+    stage = os.path.join(out_log_dir, f".staging-{uuid.uuid4().hex[:12]}")
+    os.makedirs(stage, exist_ok=True)
+    pq.write_table(out, os.path.join(stage, "requeued-00000.parquet"))
+    os.rename(stage, epoch_dir)  # atomic seal
+    if clear:
+        for f in files:
+            os.remove(f)
+        for dirpath, dirnames, names in os.walk(ddir, topdown=False):
+            if dirpath != ddir and not dirnames and not names:
+                os.rmdir(dirpath)
+    return int(out.num_rows)

@@ -181,3 +181,60 @@ def test_concurrent_commit_is_compare_and_swap(tmp_path, sf_dir):
     # No staged tmp files linger after the race (finally-unlink).
     mdir = os.path.join(lake, sink.MANIFEST_DIR)
     assert not [n for n in os.listdir(mdir) if n.endswith(".tmp")]
+
+
+def test_deadletter_requeue_after_fix_converges(tmp_path, sf_dir):
+    """The dead-letter loop closes: malformed events are quarantined,
+    repaired by an operator fix, republished as a sealed changelog epoch
+    with their ORIGINAL seqs, and the next replay folds them — final
+    state equals an oracle replay of the log with the events corrected
+    at the source."""
+    import pyarrow as pa
+
+    from engine.cdc.parse import requeue_deadletters
+
+    log = _log(tmp_path, sf_dir, name="log_rq")
+    f = os.path.join(log, "epoch=00000", "part-0000.parquet")
+    t = pq.read_table(f)
+    bad = pa.table(
+        {
+            "seq": pa.array([10_000_000, 10_000_001], pa.int64()),
+            "op": pa.array(["i", "u"], pa.string()),  # fixable: uppercase
+            "repo": pa.array(["fix-repo", "fix-repo"], pa.string()),
+            "path": pa.array(["a.py", "b.py"], pa.string()),
+            "commit": pa.array(["c1", "c2"], pa.string()),
+            "lang": pa.array(["py", "py"], pa.string()),
+            "content": pa.array(["print(1)", "print(2)"], pa.string()),
+        }
+    )
+    pq.write_table(pa.concat_tables([t, bad]), f)
+    lake = f"{tmp_path}/lake_rq"
+    replay(log, lake, ReplayConfig(**CFG))
+    assert state_hash(lake) == oracle_state_hash(log)  # bad rows skipped
+
+    def fix(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = tbl.schema.get_field_index("op")
+        return tbl.set_column(i, "op", pc.ascii_upper(tbl.column("op")).combine_chunks())
+
+    n = requeue_deadletters(lake, log, epoch=3, fix_fn=fix, clear=True)
+    assert n == 2
+    replay(log, lake, ReplayConfig(**CFG))
+
+    # Oracle: the same log with the two events corrected in place.
+    fixed_log = f"{tmp_path}/log_rq_fixed"
+    import shutil
+
+    shutil.copytree(log, fixed_log)
+    shutil.rmtree(os.path.join(fixed_log, "epoch=00003"))
+    ff = os.path.join(fixed_log, "epoch=00000", "part-0000.parquet")
+    tt = pq.read_table(ff)
+    i = tt.schema.get_field_index("op")
+    import pyarrow.compute as pc
+
+    tt = tt.set_column(i, "op", pc.ascii_upper(tt.column("op")).combine_chunks())
+    pq.write_table(tt, ff)
+    assert state_hash(lake) == oracle_state_hash(fixed_log)
+    # Quarantine is empty and requeue is a no-op now.
+    assert requeue_deadletters(lake, log, epoch=4) == 0

@@ -136,3 +136,43 @@ def test_repartition_patch_mode_lake(tmp_path, sf_dir):
     repartition(lake, 16)
     replay(log, lake, cfg)
     assert state_hash(lake) == oracle_state_hash(log, update_mode="column")
+
+
+def test_repartition_crash_before_commit_then_retry(tmp_path, sf_dir):
+    """Phase-1 repartition files written, manifest commit crashed: the
+    lake still reads at the old layout (orphans invisible); the retried
+    repartition converges; vacuum reclaims the orphaned first attempt."""
+    from engine.cdc import maintain
+    from engine.cdc.vacuum import vacuum
+
+    log = _log(tmp_path, sf_dir, name="log_cr")
+    lake = f"{tmp_path}/lake_cr"
+    replay(log, lake, ReplayConfig(**CFG))
+    h = state_hash(lake)
+    m_before = sink.read_manifest(lake)
+
+    orig = sink.commit_epoch
+
+    def crash(*a, **k):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    sink.commit_epoch = crash
+    maintain.sink.commit_epoch = crash
+    try:
+        try:
+            repartition(lake, 32)
+        except RuntimeError:
+            pass
+    finally:
+        sink.commit_epoch = orig
+        maintain.sink.commit_epoch = orig
+
+    # Nothing committed; the lake is untouched at the old layout.
+    assert sink.read_manifest(lake) == m_before
+    assert state_hash(lake) == h
+
+    m = repartition(lake, 32)  # retry converges
+    assert m["num_partitions"] == 32 and state_hash(lake) == h
+    rep = vacuum(lake, retain_last=1)
+    assert rep["removed_files"] > 0  # the crashed attempt's orphans
+    assert state_hash(lake) == h
