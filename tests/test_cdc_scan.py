@@ -290,3 +290,79 @@ def test_scan_filter_on_evolved_column(tmp_path, ray_session):
     assert got.count() == 1
     row = got.take_all()[0]
     assert (row["repo"], row["size_bytes"]) == ("repo-09", 777)
+
+
+def test_scan_fuzz_random_lakes_and_filters(tmp_path, ray_session):
+    """Integration fuzz: random snapshots (nulls included), random delta
+    epochs (U flips / D deletes), random conjunctive filters — the
+    pruned scan must equal the exact post-merge filter every time."""
+    from hypothesis import given, settings, strategies as st
+
+    runs = [0]
+    langs = ["aa", "bb", "zz", None]
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        seed=st.integers(0, 10_000),
+        write_mode=st.sampled_from(["rewrite", "delta"]),
+        data=st.data(),
+    )
+    def check(seed, write_mode, data):
+        import random
+
+        rng = random.Random(seed)
+        runs[0] += 1
+        lake = f"{tmp_path}/fz{runs[0]}"
+        rows = [
+            {
+                "repo": f"r{rng.randrange(9):01d}",
+                "path": f"f{i}.py",
+                "commit": f"c{i}",
+                "lang": rng.choice(langs),
+                "content": f"x = {rng.randrange(50)}",
+            }
+            for i in range(rng.randrange(5, 40))
+        ]
+        cfg = ReplayConfig(num_partitions=4, num_salts=1, write_mode=write_mode)
+        bootstrap(pa.Table.from_pylist(rows), lake, cfg, base_seq=0)
+        n_epochs = rng.randrange(0, 3)
+        src = MemorySource()
+        seq = 1000
+        for e in range(1, n_epochs + 1):
+            evs = []
+            for _ in range(rng.randrange(1, 6)):
+                base = rng.choice(rows)
+                op = rng.choice(["U", "D", "I"])
+                seq += 1
+                evs.append({
+                    "repo": base["repo"],
+                    "path": base["path"] if op != "I" else f"new{seq}.py",
+                    "commit": f"cc{seq}", "lang": rng.choice(langs),
+                    "content": f"y = {seq}", "seq": seq, "op": op,
+                })
+            src.append(e, pa.Table.from_pylist(evs))
+            src.seal(e)
+        if n_epochs:
+            replay(src, lake, cfg)
+
+        n_conj = data.draw(st.integers(1, 2))
+        flt = []
+        for _ in range(n_conj):
+            col = data.draw(st.sampled_from(["lang", "repo", "seq"]))
+            if col == "seq":
+                flt.append(("seq", data.draw(st.sampled_from([">=", "<", ">"])),
+                            data.draw(st.integers(-5, 1100))))
+            else:
+                flt.append((col, "=", data.draw(st.sampled_from(
+                    ["aa", "zz", "r1", "r7", "nope"]))))
+
+        got = scan_lake(lake, flt).materialize()
+        want = _filtered(lake, flt)
+        assert got.count() == want.num_rows, (flt, write_mode, seed)
+        if want.num_rows:
+            g = pa.Table.from_pandas(
+                got.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+            ).select(want.column_names)
+            assert _digest(g) == _digest(want), (flt, write_mode, seed)
+
+    check()
