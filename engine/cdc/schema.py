@@ -34,6 +34,14 @@ def unify_types(a: pa.DataType, b: pa.DataType) -> pa.DataType | None:
     """
     if a == b:
         return a
+    # Arrow `null` is the ABSENCE of type information (an epoch whose
+    # column is entirely null — e.g. every event patches other fields —
+    # infers as null): it unifies to the other side's type; null values
+    # conform losslessly into any type.
+    if pa.types.is_null(a):
+        return b
+    if pa.types.is_null(b):
+        return a
     for x, y in ((a, b), (b, a)):
         if x == pa.string() and y == pa.large_string():
             return pa.large_string()

@@ -106,3 +106,42 @@ def test_widening_mid_stream_matches_oracle(tmp_path, sf_dir):
     rows = t.to_pylist()
     mid = [r for r in rows if 600 <= r["seq"] < 1200 and r["size_bytes"] is not None]
     assert mid and all(r["size_bytes"] == len(r["content"]) for r in mid)
+
+
+def test_all_null_column_epoch_negotiates_and_replays(tmp_path, ray_session):
+    """An epoch whose payload column is entirely null infers Arrow type
+    `null` — negotiation must treat that as absent type information
+    (null unifies into the running type, and a null-typed FIRST epoch
+    widens to the later concrete type), not a lossy change. Found by the
+    scan fuzz (hypothesis seed 2431)."""
+    import pyarrow as pa
+
+    from engine.cdc.replay import ReplayConfig, replay
+    from engine.cdc.schema import negotiate, unify_types
+    from engine.cdc.tailer import MemorySource
+    from engine.cdc.verify import lake_table
+
+    assert unify_types(pa.string(), pa.null()) == pa.string()
+    assert unify_types(pa.null(), pa.int64()) == pa.int64()
+
+    src = MemorySource()
+    src.append(0, pa.Table.from_pylist([
+        {"repo": "r", "path": "a.py", "commit": "c0", "lang": None,
+         "content": "x", "seq": 0, "op": "I"},
+    ]))  # lang infers as null type
+    src.seal(0)
+    src.append(1, pa.Table.from_pylist([
+        {"repo": "r", "path": "b.py", "commit": "c1", "lang": "py",
+         "content": "y", "seq": 1, "op": "I"},
+    ]))
+    src.seal(1)
+    s0 = src.epoch_schema(0)
+    assert pa.types.is_null(s0.field("lang").type)
+    target = negotiate(s0, src.epoch_schema(1))
+    assert target.field("lang").type == pa.string()
+
+    lake = f"{tmp_path}/lake_nulls"
+    replay(src, lake, ReplayConfig(num_partitions=4, num_salts=1))
+    t = lake_table(lake)
+    assert t.column("lang").to_pylist() == [None, "py"]
+    assert t.schema.field("lang").type == pa.string()
