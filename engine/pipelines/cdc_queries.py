@@ -112,6 +112,68 @@ def q_cdc_patch_state(sf_dir):
     return read_lake(lake, columns=["repo", "path", "content_sha256", "seq"]).select_columns(["repo", "path", "content_sha256", "seq"])
 
 
+@register_query("q_cdc_requeue")
+def q_cdc_requeue(sf_dir):
+    """Dead-letter quarantine loop, self-checking: a changelog with two
+    malformed events (lowercase ops) replays clean (events quarantined,
+    state == skip-them oracle); an operator fix republishes them as a
+    sealed epoch with their original seqs; the follow-up replay
+    converges to the oracle of the source-corrected log. Returns the
+    repaired keys' final rows."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from engine.cdc.oracle import oracle_state_hash
+    from engine.cdc.parse import requeue_deadletters
+    from engine.cdc.verify import lake_lookup, state_hash
+
+    work = tempfile.mkdtemp(prefix="cdc_rq_q_")
+    log = synth_changelog(
+        sf_dir, f"{work}/log",
+        SynthConfig(seed=31, n_events=4000, n_epochs=2, n_keys=800),
+    )
+    f = os.path.join(log, "epoch=00000", sorted(os.listdir(f"{log}/epoch=00000"))[0])
+    t = pq.read_table(f)
+    bad = pa.table({
+        "seq": pa.array([9_000_000, 9_000_001], pa.int64()),
+        "op": pa.array(["i", "u"], pa.string()),
+        "repo": pa.array(["fix-repo", "fix-repo"], pa.string()),
+        "path": pa.array(["a.py", "b.py"], pa.string()),
+        "commit": pa.array(["c1", "c2"], pa.string()),
+        "lang": pa.array(["py", "py"], pa.string()),
+        "content": pa.array(["print(1)", "print(2)"], pa.string()),
+    })
+    pq.write_table(pa.concat_tables([t, bad]), f)
+    lake = f"{work}/lake"
+    replay(log, lake, ReplayConfig(num_partitions=8, num_salts=2))
+    if state_hash(lake) != oracle_state_hash(log):
+        raise AssertionError("pre-requeue state != skip-invalid oracle")
+
+    def fix(tbl):
+        i = tbl.schema.get_field_index("op")
+        return tbl.set_column(i, "op", pc.ascii_upper(tbl.column("op")).combine_chunks())
+
+    if requeue_deadletters(lake, log, epoch=2, fix_fn=fix, clear=True) != 2:
+        raise AssertionError("expected 2 quarantined events")
+    replay(log, lake, ReplayConfig(num_partitions=8, num_salts=2))
+
+    fixed = f"{work}/log_fixed"
+    shutil.copytree(log, fixed)
+    shutil.rmtree(os.path.join(fixed, "epoch=00002"))
+    ff = os.path.join(fixed, "epoch=00000", sorted(os.listdir(f"{fixed}/epoch=00000"))[0])
+    tt = pq.read_table(ff)
+    i = tt.schema.get_field_index("op")
+    tt = tt.set_column(i, "op", pc.ascii_upper(tt.column("op")).combine_chunks())
+    pq.write_table(tt, ff)
+    if state_hash(lake) != oracle_state_hash(fixed):
+        raise AssertionError("post-requeue state != source-corrected oracle")
+    return rd.from_arrow(
+        lake_lookup(lake, "fix-repo").select(["repo", "path", "content_sha256", "seq"])
+    )
+
+
 @register_query("q_cdc_spec_derived")
 def q_cdc_spec_derived(sf_dir):
     """Declarative derived lake, self-checking: a JSON spec (len/upper

@@ -133,3 +133,21 @@ def test_spec_derived_lake_rejects_unsafe_steps(lakes):
         spec_derived_source(log, [{"op": "select", "columns": ["repo", "path"]}])
     with pytest.raises(ValueError, match="must not touch"):
         spec_derived_source(log, [{"op": "rename", "mapping": {"seq": "s"}}])
+
+
+def test_spec_derived_lake_rename_payload(lakes):
+    """Positive rename path: payload columns may be renamed (meta may
+    not); the derived lake carries the renamed column."""
+    from engine.cdc.derive import spec_derived_source
+
+    tmp, log = lakes
+    steps = [
+        {"op": "rename", "mapping": {"lang": "language"}},
+        {"op": "select", "columns": ["seq", "op", "repo", "path", "language"]},
+    ]
+    view = f"{tmp}/renamed"
+    replay(spec_derived_source(log, steps), view, ReplayConfig(**CFG))
+    t = lake_table(view)
+    assert "language" in t.column_names and "lang" not in t.column_names
+    main = lake_table(f"{tmp}/main")
+    assert t.column("language").to_pylist() == main.column("lang").to_pylist()
