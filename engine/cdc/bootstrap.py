@@ -231,9 +231,17 @@ def _diff_tables(
     old: pa.Table, new: pa.Table, schema_new: pa.Schema, event_schema: pa.Schema
 ) -> pa.Table:
     """I/U/D events turning ``old`` into ``new`` (both in the new lake
-    schema, covering the same key range). Seq-compare soundness: equal
-    winning seq ⇔ identical row."""
+    schema, covering the same key range). A row is changed when its
+    winning ``seq`` differs (the replay case: seqs are unique per key
+    and monotone under LWW) OR any payload value differs at EQUAL seq —
+    maintenance commits (backfill) rewrite row contents without
+    consuming changelog events, so seq alone under-detects across a
+    maintenance boundary (a replica following through a backfill missed
+    the backfilled values; found by the lifecycle tour). Applying an
+    equal-seq U is exact: the merge replaces the base row for every
+    touched key regardless of seq ties."""
     import pandas as pd
+    import pyarrow.compute as pc
 
     okey = pd.MultiIndex.from_arrays(
         [old.column("repo").to_pandas(), old.column("path").to_pandas()]
@@ -246,6 +254,21 @@ def _diff_tables(
     aligned_old = oseq.reindex(nkey)
     is_ins = aligned_old.isna().to_numpy()
     is_upd = (~is_ins) & (aligned_old.to_numpy() != nseq.to_numpy())
+    # Value-compare the seq-equal matches (null-safe, vectorized Arrow).
+    same_seq = (~is_ins) & ~is_upd
+    if same_seq.any():
+        pos = okey.get_indexer(nkey)  # unique keys per side
+        idx = pa.array(np.where(same_seq, pos, 0).astype(np.int64))
+        differ = np.zeros(new.num_rows, dtype=bool)
+        for name in schema_new.names:
+            if name in ("repo", "path", "seq"):
+                continue
+            a = pc.take(old.column(name).combine_chunks(), idx)
+            b = new.column(name)
+            neq = pc.fill_null(pc.not_equal(a, b), False)
+            null_mm = pc.xor(pc.is_null(a), pc.is_null(b))
+            differ |= pc.or_(neq, null_mm).to_numpy(zero_copy_only=False)
+        is_upd = is_upd | (same_seq & differ)
     gone = ~np.asarray(okey.isin(nkey), dtype=bool)
 
     payload_names = [n for n in schema_new.names if n != "content_sha256"]

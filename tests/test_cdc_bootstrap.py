@@ -280,3 +280,29 @@ def test_replicate_across_source_repartition(replayed):
     out = replicate(lake_s, rep, ReplayConfig(**CFG))
     assert out["applied"] > 0
     assert state_hash(rep) == state_hash(lake_s)
+
+
+def test_changefeed_detects_maintenance_rewrites(replayed):
+    """Backfill mutates row contents WITHOUT consuming changelog seqs;
+    the changefeed's seq-compare alone under-detected it (a replica
+    following through a backfill missed the backfilled values — found by
+    the lifecycle tour). Value comparison at equal seq closes it."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from engine.cdc.bootstrap import replicate
+    from engine.cdc.maintain import backfill
+
+    tmp, log, lake = replayed
+    lake_s = f"{tmp}/src_bf"
+    replay(log, lake_s, ReplayConfig(**CFG))
+    rep = f"{tmp}/replica_bf"
+    replicate(lake_s, rep, ReplayConfig(**CFG))  # caught up pre-backfill
+    backfill(
+        lake_s, "n_chars",
+        lambda t: pc.utf8_length(t.column("content")).cast(pa.int64()),
+        dtype=pa.int64(),
+    )
+    out = replicate(lake_s, rep, ReplayConfig(**CFG))
+    assert out["applied"] > 0  # every live row's n_chars changed
+    assert state_hash(rep) == state_hash(lake_s)
