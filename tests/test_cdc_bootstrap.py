@@ -306,3 +306,66 @@ def test_changefeed_detects_maintenance_rewrites(replayed):
     out = replicate(lake_s, rep, ReplayConfig(**CFG))
     assert out["applied"] > 0  # every live row's n_chars changed
     assert state_hash(rep) == state_hash(lake_s)
+
+
+def test_lifecycle_fuzz_replica_follows_any_history(tmp_path, sf_dir):
+    """Hypothesis over lake HISTORIES: random interleavings of replay
+    chunks, backfill, compact, purge and repartition, with a replica
+    catching up via changefeeds at random points — replica hash must
+    equal the source after every catch-up, whatever the history."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from hypothesis import given, settings, strategies as st
+
+    from engine.cdc.bootstrap import replicate
+    from engine.cdc.maintain import backfill, compact, purge, repartition
+
+    log = synth_changelog(
+        sf_dir, f"{tmp_path}/log_lf",
+        SynthConfig(seed=57, n_events=2400, n_epochs=4, n_keys=500),
+    )
+    runs = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        ops=st.lists(
+            st.sampled_from(["replay", "backfill", "compact", "purge",
+                             "repartition", "catchup"]),
+            min_size=4, max_size=8,
+        ),
+        p2=st.sampled_from([4, 16, 32]),
+    )
+    def check(ops, p2):
+        runs[0] += 1
+        src = f"{tmp_path}/lf_src{runs[0]}"
+        rep = f"{tmp_path}/lf_rep{runs[0]}"
+        cfg = ReplayConfig(num_partitions=8, num_salts=2)
+        next_epoch = 0
+        replay(log, src, cfg, max_epoch=0)
+        next_epoch = 1
+        for op in ops:
+            if op == "replay" and next_epoch <= 3:
+                replay(log, src, cfg, max_epoch=next_epoch)
+                next_epoch += 1
+            elif op == "backfill":
+                backfill(
+                    src, "n_chars",
+                    lambda t: pc.utf8_length(t.column("content")).cast(pa.int64()),
+                    dtype=pa.int64(),
+                )
+            elif op == "compact":
+                compact(src)
+            elif op == "purge":
+                t0 = lake_table(src)
+                if t0.num_rows:
+                    victim = t0.column("repo")[0].as_py()
+                    purge(src, lambda t: pc.equal(t.column("repo"), victim))
+            elif op == "repartition":
+                repartition(src, p2)
+            elif op == "catchup":
+                replicate(src, rep, cfg)
+                assert state_hash(rep) == state_hash(src), (ops, p2)
+        replicate(src, rep, cfg)
+        assert state_hash(rep) == state_hash(src), (ops, p2)
+
+    check()
