@@ -361,6 +361,25 @@ def compact(lake_dir: str) -> dict:
     )
 
 
+def retry_on_conflict(fn, attempts: int = 3):
+    """Run a maintenance operation, rebasing on :class:`sink.CommitConflict`.
+
+    Maintenance commits read the latest manifest at entry, so losing the
+    version race to a concurrent replay/committer is safely retryable:
+    the rerun re-reads the NEW manifest and rewrites from the winner's
+    state (its phase-1 files from the lost attempt are unreferenced
+    orphans for vacuum). Use as
+    ``retry_on_conflict(lambda: compact(lake))``. The LAST conflict is
+    re-raised when attempts run out."""
+    last = None
+    for _ in range(attempts):
+        try:
+            return fn()
+        except sink.CommitConflict as e:
+            last = e
+    raise last
+
+
 def main(argv: list[str] | None = None) -> None:
     """Operational CLI for maintenance commits (the jobs an operator
     would ``ray job submit`` between replay runs)::

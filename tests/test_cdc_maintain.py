@@ -208,3 +208,47 @@ def test_replay_continues_after_compact_in_delta_mode(tmp_path, sf_dir):
     out = replay(log, lake, cfg)
     assert out["epochs_run"] == [2]
     assert state_hash(lake) == state_hash(lake_ref)
+
+
+def test_maintenance_loses_version_race_then_rebases(tmp_path, sf_dir):
+    """A replay commits the next version between a compact's manifest
+    read and its commit: the compact gets CommitConflict (no silent
+    clobber), and retry_on_conflict reruns it against the winner's
+    manifest — final state byte-identical, both commits in the chain."""
+    from engine.cdc.maintain import retry_on_conflict
+
+    log = _log(tmp_path, sf_dir, name="log_race")
+    lake = f"{tmp_path}/lake_race"
+    # Delta mode so compact has real work (multi-file partitions).
+    cfg = ReplayConfig(num_partitions=8, num_salts=2, write_mode="delta")
+    replay(log, lake, cfg, max_epoch=1)
+
+    calls = {"n": 0}
+    orig = sink.commit_epoch
+
+    def race_once(*a, **k):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            sink.commit_epoch = orig
+            replay(log, lake, cfg)  # the replay wins the version
+            sink.commit_epoch = race_once
+        return orig(*a, **k)
+
+    from engine.cdc import maintain
+
+    sink.commit_epoch = race_once
+    maintain.sink.commit_epoch = race_once
+    try:
+        # Attempt 1 loses the race (CommitConflict), attempt 2 rebases.
+        m = retry_on_conflict(lambda: compact(lake))
+    finally:
+        sink.commit_epoch = orig
+        maintain.sink.commit_epoch = orig
+
+    assert calls["n"] == 1  # the race really happened
+    assert m["maintenance"] == "compact"
+    ref = f"{tmp_path}/lake_race_ref"
+    replay(log, ref, cfg)
+    assert state_hash(lake) == state_hash(ref)
+    # Every partition is back to one file post-compact.
+    assert all(len(v) == 1 for v in sink.active_files(m).values())
