@@ -277,3 +277,44 @@ def run_spec(spec: dict, sf_dir: str) -> rd.Dataset:
 
         ds = read_table(sf_dir, src["table"], columns=src.get("columns"))
     return lower(spec, ctx={"sf_dir": sf_dir}).run(ds)
+
+
+def main(argv: list[str] | None = None) -> None:
+    """Run a declarative job spec from a JSON file — the config-driven
+    ETL entry an operator would ``ray job submit``::
+
+        python -m engine.spec --spec job.json --sf-dir /data/sf0.01 \
+            [--out /lake/exports/job1] [--limit 10]
+
+    The spec's source is a testdata table or a committed CDC lake (see
+    :func:`run_spec`). With ``--out`` the result streams to partitioned
+    parquet (never through the driver); otherwise a row count and an
+    optional preview print."""
+    import argparse
+    import json
+
+    import ray
+
+    ap = argparse.ArgumentParser(description="Run a declarative job spec")
+    ap.add_argument("--spec", required=True, help="path to the spec JSON")
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--out", default=None, help="write result as parquet dir")
+    ap.add_argument("--limit", type=int, default=0, help="print first N rows")
+    args = ap.parse_args(argv)
+    with open(args.spec) as f:
+        spec = json.load(f)
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    ds = run_spec(spec, args.sf_dir)
+    if args.out:
+        ds.write_parquet(args.out)
+        print(json.dumps({"rows": ds.count(), "out": args.out}))
+    else:
+        print(json.dumps({"rows": ds.count()}))
+        if args.limit:
+            for row in ds.take(args.limit):
+                print(json.dumps(row, default=str))
+
+
+if __name__ == "__main__":
+    main()
