@@ -23,6 +23,7 @@ wide steps (grouped_sum, distinct, sort) compile to ``dataset`` Steps
 that call this engine's scale-correct operators (bucketed combiners —
 never one Ray group per key). Expressions are a tiny tree language:
 ``{"col": name} | {"lit": v} | {add|sub|mul|div: [l, r]} |
+{"len"|"upper"|"lower": e} | {"coalesce": [e, fallback]} |
 {"cents": e}`` (integer cents with half-away-from-zero rounding — the
 engine's deterministic money convention).
 
