@@ -151,6 +151,18 @@ def _lower_step(i: int, step: dict, ctx: dict | None = None) -> Step:
             return t.append_column(out_name, v)
 
         return Step(name, _with)
+    if op == "explode":
+        _require(step, "column")
+        ecol = step["column"]
+        evalue = step.get("value_name", "value")
+        epos = step.get("pos_name")
+
+        def _explode(ds: rd.Dataset) -> rd.Dataset:
+            from engine.ops.map import explode
+
+            return explode(ds, ecol, value_name=evalue, pos_name=epos)
+
+        return Step(name, _explode, kind="dataset")
     if op == "grouped_sum":
         _require(step, "keys", "cols")
         keys, cols = list(step["keys"]), list(step["cols"])
@@ -236,7 +248,7 @@ def _lower_step(i: int, step: dict, ctx: dict | None = None) -> Step:
         return Step(name, _sort, kind="dataset")
     raise ValueError(
         f"step {i}: unknown op {op!r} (expected select/rename/filter/"
-        "with_column/join/grouped_sum/distinct/validate/window/sort)"
+        "with_column/explode/join/grouped_sum/distinct/validate/window/sort)"
     )
 
 

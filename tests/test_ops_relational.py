@@ -1510,3 +1510,34 @@ def test_asof_join_property_vs_merge_asof():
         assert gy == ry
 
     _check()
+
+
+def test_spec_explode_step(ray_session, sf_dir):
+    """Declarative explode (unnest) equals the engine op directly."""
+    from engine.io.sources import read_table
+    from engine.ops.map import explode
+    from engine.spec import run_spec
+    from engine.util.collect import pull_arrow
+
+    spec = {
+        "source": {"table": "embeddings", "columns": ["vec_id", "embedding"]},
+        "steps": [
+            {"op": "explode", "column": "embedding",
+             "value_name": "component", "pos_name": "dim"},
+            {"op": "filter", "column": "dim", "cmp": "<", "value": 3},
+        ],
+    }
+    got = pull_arrow(run_spec(spec, sf_dir).materialize()).sort_by(
+        [("vec_id", "ascending"), ("dim", "ascending")]
+    )
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    want = pull_arrow(
+        explode(ds, "embedding", value_name="component", pos_name="dim")
+        .map_batches(
+            lambda t: t.filter(pc.less(t.column("dim"), 3)),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    ).sort_by([("vec_id", "ascending"), ("dim", "ascending")])
+    assert got.equals(want.select(got.column_names))
+    assert got.num_rows > 0 and set(got.column("dim").to_pylist()) == {0, 1, 2}
