@@ -398,11 +398,17 @@ def run_epoch(
     epoch itself — they diverge only after maintenance commits)."""
     t0 = time.monotonic()
     src = tailer.as_source(log)
-    if (
-        prev_manifest is not None
-        and prev_manifest.get("summary_spec") != cfg.summary_spec
-    ):  # the lake's pinned metric spec wins (see _replay_available)
-        cfg = _dc_replace(cfg, summary_spec=prev_manifest.get("summary_spec"))
+    if prev_manifest is not None:
+        # The lake's pinned partitioning and metric spec win over the
+        # caller's config on EVERY commit path (this covers the txn and
+        # replicate paths, which call run_epoch directly; the drain loop
+        # in _replay_available adopts for itself) — a mismatched P folds
+        # winners against the wrong partitions' bases.
+        pinned = prev_manifest.get("num_partitions")
+        if pinned and int(pinned) != cfg.num_partitions:
+            cfg = _dc_replace(cfg, num_partitions=int(pinned))
+        if prev_manifest.get("summary_spec") != cfg.summary_spec:
+            cfg = _dc_replace(cfg, summary_spec=prev_manifest.get("summary_spec"))
     prev_schema = (
         sink.schema_from_b64(prev_manifest["schema_b64"]) if prev_manifest else None
     )

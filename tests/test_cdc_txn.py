@@ -84,3 +84,22 @@ def test_tables_with_uneven_epoch_sets(tmp_path, sf_dir):
     ref = f"{tmp_path}/ref_b"
     replay(logs["issues"], ref, CFG)
     assert state_hash(table_dir(db, "issues")) == state_hash(ref)
+
+
+def test_table_repartition_between_txns_resumes_exact(tmp_path, sf_dir):
+    """One table repartitions between database epochs; the next
+    replay_database with the ORIGINAL (stale-P) config must adopt the
+    table's pinned layout (run_epoch-level adoption) and converge to the
+    same database hash as an uninterrupted run."""
+    from engine.cdc.maintain import repartition
+
+    logs = _logs(tmp_path, sf_dir)
+    db_ref, db = f"{tmp_path}/db_ref", f"{tmp_path}/db"
+    replay_database(logs, db_ref, CFG)
+    replay_database(logs, db, CFG, max_epoch=1)
+    repartition(table_dir(db, "files"), 32)
+    replay_database(logs, db, CFG)  # stale P=8 config for 'files'
+    m = sink.read_manifest(table_dir(db, "files"))
+    assert m["num_partitions"] == 32
+    assert all(0 <= int(p) < 32 for p in m["active_files"])
+    assert database_state_hash(db) == database_state_hash(db_ref)
