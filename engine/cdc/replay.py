@@ -375,6 +375,11 @@ def merge_and_commit(
             # Pins the lake's partitioning so readers can key-prune:
             # pid = stable_hash(repo) % num_partitions (verify.lake_lookup).
             "num_partitions": cfg.num_partitions,
+            # Pins the event-fold semantics (row vs column LWW): the
+            # producer's contract for what a NULL payload column MEANS.
+            # Resume adopts the pin — mixing modes mid-lake silently
+            # changes every later fold's semantics.
+            "update_mode": cfg.update_mode,
             "changelog_pos": int(changelog_pos if changelog_pos is not None else epoch),
             # Pins the summary metric spec (like P): resume and
             # maintenance commits fold with the lake's own spec.
@@ -409,6 +414,9 @@ def run_epoch(
             cfg = _dc_replace(cfg, num_partitions=int(pinned))
         if prev_manifest.get("summary_spec") != cfg.summary_spec:
             cfg = _dc_replace(cfg, summary_spec=prev_manifest.get("summary_spec"))
+        pin_um = prev_manifest.get("update_mode")
+        if pin_um and pin_um != cfg.update_mode:
+            cfg = _dc_replace(cfg, update_mode=pin_um)
     prev_schema = (
         sink.schema_from_b64(prev_manifest["schema_b64"]) if prev_manifest else None
     )
@@ -525,6 +533,11 @@ def _replay_available(
     # different metric set would be silently wrong.
     if manifest is not None and manifest.get("summary_spec") != cfg.summary_spec:
         cfg = _dc_replace(cfg, summary_spec=manifest.get("summary_spec"))
+    # And the event-fold semantics (row vs column LWW) — a producer
+    # contract, not a per-run tuning knob.
+    pin_um = manifest.get("update_mode") if manifest else None
+    if pin_um and pin_um != cfg.update_mode:
+        cfg = _dc_replace(cfg, update_mode=pin_um)
     ran, ran_versions, skipped = [], [], []
     t0 = time.monotonic()
     todo = []

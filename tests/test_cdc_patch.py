@@ -207,3 +207,26 @@ def test_patch_summary_matches_recompute(tmp_path, sf_dir):
         inc = read_summary(lake, epoch)
         full = recompute_summary(lake, epoch)
         assert inc.equals(full), f"epoch {epoch}: incremental != recompute"
+
+
+def test_update_mode_pinned_on_resume(tmp_path, sf_dir):
+    """A column-LWW lake resumed with a row-mode config must keep its
+    pinned fold semantics (like P and summary_spec) — mixing modes
+    mid-lake silently changes what a NULL payload column means."""
+    from engine.cdc import sink
+    from engine.cdc.oracle import oracle_state_hash
+    from engine.cdc.verify import state_hash
+
+    log = synth_changelog(
+        sf_dir, f"{tmp_path}/log_pin",
+        SynthConfig(seed=15, n_events=2500, n_epochs=3, n_keys=500,
+                    op_mix=(30, 60, 10), patch_null_frac=0.5),
+    )
+    lake = f"{tmp_path}/lake_pin"
+    replay(log, lake, ReplayConfig(num_partitions=8, num_salts=2,
+                                   update_mode="column"), max_epoch=1)
+    assert sink.read_manifest(lake)["update_mode"] == "column"
+    # Resume with the DEFAULT (row) config: pinned column mode must win.
+    replay(log, lake, ReplayConfig(num_partitions=8, num_salts=2))
+    assert sink.read_manifest(lake)["update_mode"] == "column"
+    assert state_hash(lake) == oracle_state_hash(log, update_mode="column")
