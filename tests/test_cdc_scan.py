@@ -366,3 +366,26 @@ def test_scan_fuzz_random_lakes_and_filters(tmp_path, ray_session):
             assert _digest(g) == _digest(want), (flt, write_mode, seed)
 
     check()
+
+
+def test_scan_time_travel_epoch_pin(tmp_path, ray_session):
+    """scan_lake(epoch=) composes zone-map pruning with time travel: the
+    pre-update version sees neither the flipped row nor the insert."""
+    lake = f"{tmp_path}/lake_tt"
+    cfg = ReplayConfig(num_partitions=P, num_salts=1)
+    bootstrap(_snapshot(), lake, cfg)
+    src = MemorySource()
+    src.append(1, pa.Table.from_pylist([{
+        "repo": "repo-09", "path": "src/f0.py", "commit": "c2", "lang": "zz",
+        "content": "w", "seq": 100, "op": "U",
+    }]))
+    src.seal(1)
+    replay(src, lake, cfg)
+
+    flt = [("lang", "=", "zz")]
+    now = scan_lake(lake, flt).materialize()
+    then = scan_lake(lake, flt, epoch=0).materialize()
+    assert now.count() == 6 and then.count() == 5
+    assert "repo-09" not in {
+        r["repo"] for r in then.take_all()
+    } and "repo-09" in {r["repo"] for r in now.take_all()}
