@@ -271,12 +271,22 @@ def live_view(
         if base_filters is not None or read_columns is not None:
             names = set(pq.read_schema(path).names)
             is_base = "op" not in names
+            # base_filters may be flat [(c,op,v),...] (AND) or DNF
+            # list-of-lists (OR of ANDs — engine/cdc/scan.py).
+            bf_terms = [
+                term
+                for item in (base_filters or [])
+                for term in (item if isinstance(item[0], (list, tuple)) else [item])
+            ]
             if (
                 base_filters is not None
                 and is_base
-                and all(c in names for c, _, _ in base_filters)
+                and all(c in names for c, _, _ in bf_terms)
             ):
-                flt = (filters or []) + list(base_filters)
+                # pq can't mix a flat AND with a DNF list; only pass the
+                # pushdown when no key-scoped filters accompany it (the
+                # scan path always calls with filters=None).
+                flt = base_filters if not filters else filters
             if read_columns is not None:
                 cols = [c for c in read_columns if c in names]
                 if not is_base:

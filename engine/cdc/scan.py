@@ -32,6 +32,28 @@ from engine.schemas import lake_schema_for
 _OPS = ("=", "!=", "<", "<=", ">", ">=")
 
 
+def _to_dnf(filters: list) -> list[list[tuple]]:
+    """Normalize a predicate to OR-of-ANDs (parquet DNF): a flat list of
+    ``(col, op, value)`` is one conjunction; a list of such lists is a
+    disjunction of conjunctions. Validates every term."""
+    if not filters:
+        return []
+    dnf = (
+        [list(map(tuple, conj)) for conj in filters]
+        if isinstance(filters[0], (list, tuple))
+        and filters[0]
+        and isinstance(filters[0][0], (list, tuple))
+        else [list(map(tuple, filters))]
+    )
+    for conj in dnf:
+        for f in conj:
+            if len(f) != 3 or f[1] not in _OPS:
+                raise ValueError(
+                    f"bad filter {f!r}: want (col, op, value), op in {_OPS}"
+                )
+    return dnf
+
+
 def _file_excludes(stats: dict, col: str, op: str, val) -> bool:
     """True only if NO value in [lo, hi] can satisfy ``col op val``.
     Null values never satisfy any comparison, so bounds over non-null
@@ -64,12 +86,19 @@ def prune_partitions(
     partition's file list is additionally narrowed to drop excluded
     BASE files (deltas always stay — see the inline soundness note)."""
     stats = manifest.get("file_stats", {})
+    dnf = _to_dnf(filters)
     kept: dict[int, list[str]] = {}
     pruned: list[int] = []
 
     def excluded(rel: str) -> bool:
-        return any(
-            _file_excludes(stats.get(rel, {}), c, op, v) for c, op, v in filters
+        # The file excludes an OR-of-ANDs iff it excludes EVERY disjunct;
+        # a conjunction is excluded when ANY of its terms is.
+        if not dnf:
+            return False
+        fs = stats.get(rel, {})
+        return all(
+            any(_file_excludes(fs, c, op, v) for c, op, v in conj)
+            for conj in dnf
         )
 
     for pid, rels in sink.active_files(manifest).items():
@@ -102,8 +131,9 @@ def scan_lake(
     columns: list[str] | None = None,
 ) -> rd.Dataset:
     """Filtered lake scan with zone-map partition skipping. ``filters``
-    is a conjunction of ``(col, op, value)``; the exact predicate is
-    re-applied post-merge, so pruning is purely an I/O optimization.
+    is a conjunction of ``(col, op, value)`` terms, or a LIST of such
+    conjunctions (OR-of-ANDs — parquet's DNF form); the exact predicate
+    is re-applied post-merge, so pruning is purely an I/O optimization.
     The pruning decision of the last call is exposed on
     ``scan_lake.last_pruned`` / ``scan_lake.last_total`` (tests,
     diagnostics — the auto_join.last_strategy pattern)."""
@@ -112,9 +142,7 @@ def scan_lake(
     manifest = sink.read_manifest(lake_dir, epoch)
     if manifest is None:
         raise FileNotFoundError(f"no committed manifest under {lake_dir}")
-    for f in filters:
-        if len(f) != 3 or f[1] not in _OPS:
-            raise ValueError(f"bad filter {f!r}: want (col, op, value), op in {_OPS}")
+    dnf = _to_dnf(filters)
     schema = lake_schema_for(sink.schema_from_b64(manifest["schema_b64"]))
     kept, pruned = prune_partitions(manifest, filters)
     scan_lake.last_pruned = len(pruned)
@@ -134,7 +162,7 @@ def scan_lake(
     # soundness argument); the exact filter is re-applied below.
     need = (
         {"repo", "path", "seq"}
-        | {c for c, _, _ in filters}
+        | {c for conj in dnf for c, _, _ in conj}
         | (set(schema.names) if columns is None else set(columns))
     )
     pruned_schema = pa.schema([f for f in schema if f.name in need])
@@ -144,15 +172,19 @@ def scan_lake(
         for rels in batch.column("rels").to_pylist():
             t = live_view(
                 lake_dir, list(rels), pruned_schema,
-                base_filters=filters, read_columns=pruned_schema.names,
+                base_filters=dnf or None, read_columns=pruned_schema.names,
             )
             mask = None
-            for col, op, val in filters:
-                m = {
-                    "=": pc.equal, "!=": pc.not_equal, "<": pc.less,
-                    "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal,
-                }[op](t.column(col), val)
-                mask = m if mask is None else pc.and_kleene(mask, m)
+            for conj in dnf:
+                cmask = None
+                for col, op, val in conj:
+                    m = {
+                        "=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+                        "<=": pc.less_equal, ">": pc.greater,
+                        ">=": pc.greater_equal,
+                    }[op](t.column(col), val)
+                    cmask = m if cmask is None else pc.and_kleene(cmask, m)
+                mask = cmask if mask is None else pc.or_kleene(mask, cmask)
             if mask is not None:
                 t = t.filter(pc.fill_null(mask, False))
             if columns is not None:

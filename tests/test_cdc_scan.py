@@ -389,3 +389,36 @@ def test_scan_time_travel_epoch_pin(tmp_path, ray_session):
     assert "repo-09" not in {
         r["repo"] for r in then.take_all()
     } and "repo-09" in {r["repo"] for r in now.take_all()}
+
+
+def test_scan_dnf_or_filters(tmp_path, ray_session):
+    """OR-of-ANDs predicates: rows from EITHER disjunct return; a
+    partition is pruned only when its files exclude EVERY disjunct."""
+    lake = f"{tmp_path}/lake_dnf"
+    bootstrap(_snapshot(), lake, ReplayConfig(num_partitions=P, num_salts=1))
+
+    dnf = [
+        [("lang", "=", "zz")],
+        [("repo", "=", "repo-06"), ("path", ">=", "src/f3.py")],
+    ]
+    got = scan_lake(lake, dnf).materialize()
+    t = lake_table(lake)
+    m1 = pc.equal(t.column("lang"), "zz")
+    m2 = pc.and_kleene(
+        pc.equal(t.column("repo"), "repo-06"),
+        pc.greater_equal(t.column("path"), "src/f3.py"),
+    )
+    want = t.filter(pc.fill_null(pc.or_kleene(m1, m2), False))
+    assert got.count() == want.num_rows == 7  # 5 zz + f3/f4 of repo-06
+    g = pa.Table.from_pandas(
+        got.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    ).select(want.column_names)
+    assert _digest(g) == _digest(want)
+    # Partitions whose repo RANGE can't contain repo-06 and whose lang
+    # range can't contain zz are pruned (a range spanning repo-00..08
+    # legitimately covers repo-06 — zone maps bound, they don't enumerate).
+    assert scan_lake.last_pruned >= 3
+
+    # A disjunct matching nothing anywhere prunes to the other one.
+    got2 = scan_lake(lake, [[("lang", "=", "zzz")], [("lang", "=", "zz")]]).materialize()
+    assert got2.count() == 5
