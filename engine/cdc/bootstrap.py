@@ -265,7 +265,14 @@ def _diff_tables(
                 continue
             a = pc.take(old.column(name).combine_chunks(), idx)
             b = new.column(name)
-            neq = pc.fill_null(pc.not_equal(a, b), False)
+            try:
+                neq = pc.fill_null(pc.not_equal(a, b), False)
+            except pa.lib.ArrowNotImplementedError:
+                # No compare kernel for this type (e.g. a list column):
+                # fall back to null-mismatch only — same gating rule as
+                # file_stats (a missed equal-seq value rewrite for such
+                # a column is the pre-r4 seq-only behavior, never a crash).
+                neq = pa.array(np.zeros(new.num_rows, dtype=bool))
             null_mm = pc.xor(pc.is_null(a), pc.is_null(b))
             differ |= pc.or_(neq, null_mm).to_numpy(zero_copy_only=False)
         is_upd = is_upd | (same_seq & differ)

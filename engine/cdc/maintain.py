@@ -149,6 +149,15 @@ def _maintenance_commit(
                 if prev.get("summary_spec")
                 else {}
             ),
+            # ... and the pinned event-fold semantics: dropping it would
+            # make a resume after compact/backfill/purge re-pin the
+            # caller's default update_mode='row', silently changing what
+            # a NULL payload column MEANS on a patch-mode lake.
+            **(
+                {"update_mode": prev["update_mode"]}
+                if prev.get("update_mode")
+                else {}
+            ),
         },
     )
     from engine.cdc.replay import _write_lineage
@@ -336,6 +345,11 @@ def repartition(lake_dir: str, num_partitions: int) -> dict:
             **(
                 {"summary_spec": prev["summary_spec"]}
                 if prev.get("summary_spec")
+                else {}
+            ),
+            **(
+                {"update_mode": prev["update_mode"]}
+                if prev.get("update_mode")
                 else {}
             ),
         },

@@ -235,8 +235,11 @@ def live_view(
     path (C5). The list is one base file (no ``op`` column) plus zero or
     more per-epoch delta files (lake columns + ``op``, including ``D``
     tombstones). Later files carry strictly larger ``seq``, but the merge
-    doesn't rely on list order: max-``seq`` per (repo, path) wins, then
-    tombstones drop out. Returns live rows in lake schema, sorted by key
+    doesn't rely on list order: max-``seq`` per (repo, path) wins (seq
+    TIES break in favor of the LATER file — changefeed propagates
+    maintenance backfills as equal-seq U events, bootstrap._diff_tables,
+    and a delta-mode replica must let that delta row supersede its base
+    row), then tombstones drop out. Returns live rows in lake schema, sorted by key
     (byte-identical to what rewrite-on-touch would have produced).
 
     ``filters`` (pyarrow.parquet DNF) push row-group/page pruning into
@@ -308,7 +311,11 @@ def live_view(
                 "s": t.column("seq").to_pandas(),
             }
         )
-        pos = df.groupby(["r", "p"], sort=False)["s"].idxmax().to_numpy()
+        # Reversed-frame idxmax: pandas returns the FIRST max occurrence
+        # in group order, so reversing makes equal-seq ties resolve to
+        # the highest original row position = the later file (files were
+        # concatenated in list order).
+        pos = df.iloc[::-1].groupby(["r", "p"], sort=False)["s"].idxmax().to_numpy()
         t = t.take(pa.array(np.sort(pos)))
     live = t.filter(pc.fill_null(pc.not_equal(t.column("op"), "D"), True))
     live = live.drop_columns(["op"])

@@ -101,12 +101,34 @@ def prepare_batch(batch: pa.Table, **cfg) -> pa.Table:
     return fn(batch)
 
 
+def _seq_watermark(lake_dir: str) -> int:
+    """Highest changelog ``seq`` the lake has ever applied (max lineage
+    ``seq_hi`` across all committed versions; -1 for an empty lake).
+    Lineage rows are tiny (one per partition per version) — a driver-side
+    footer-level read, never a data scan."""
+    from engine.cdc import sink
+
+    ldir = sink.lake_paths(lake_dir)["lineage"]
+    wm = -1
+    if os.path.isdir(ldir):
+        for name in sorted(os.listdir(ldir)):
+            if not name.endswith(".parquet"):
+                continue
+            col = pq.read_table(
+                os.path.join(ldir, name), columns=["seq_hi"]
+            ).column("seq_hi")
+            if len(col):
+                wm = max(wm, pc.max(col).as_py() or -1)
+    return wm
+
+
 def requeue_deadletters(
     lake_dir: str,
     out_log_dir: str,
     epoch: int,
     fix_fn=None,
     clear: bool = False,
+    restamp: str = "auto",
 ) -> int:
     """Operational recovery for the dead-letter queue: read every
     quarantined event under ``lake/deadletter/``, optionally repair each
@@ -115,12 +137,26 @@ def requeue_deadletters(
     stage-directory + ``os.rename`` protocol every producer uses — a
     following ``replay()`` folds them like any other epoch.
 
-    Soundness of the late redelivery: repaired events keep their
-    ORIGINAL ``seq``, so per-key LWW puts them exactly where they would
-    have landed — they win over older state and lose to any newer write
-    that happened while they sat quarantined. Events ``fix_fn`` leaves
-    invalid are simply dead-lettered again by the next replay (requeue
-    is idempotent-safe, never a bypass of validation).
+    **Seq position of the late redelivery**: repaired events keep their
+    ORIGINAL ``seq`` only while every seq is still ABOVE the lake's
+    applied watermark (max lineage ``seq_hi``) — then per-key LWW puts
+    them exactly where they would have landed, and no interleaved newer
+    write can exist below them. If ANY event's seq is at or below the
+    watermark, the merge can no longer defend newer state against it
+    (rewrite-mode compaction has already dropped the tombstones/seqs it
+    would need, and a lower-seq delta row would break the
+    strictly-larger-seq invariant live_view / scan base-file pruning
+    rely on) — so with ``restamp="auto"`` (default) the WHOLE batch is
+    re-stamped to ``watermark+1..watermark+n`` preserving the original
+    seq order: the repaired events re-enter the log at the current
+    position, i.e. they now WIN over writes made while they sat
+    quarantined (the documented LWW position change — the same
+    semantics as re-publishing to any at-least-once stream).
+    ``restamp="never"`` raises instead of re-stamping. Events whose seq
+    is null (unfixable) are never stamped — the next replay dead-letters
+    them again. Events ``fix_fn`` leaves invalid are likewise simply
+    dead-lettered again (requeue is idempotent-safe, never a bypass of
+    validation).
 
     ``clear=True`` removes the quarantined files after the sealed epoch
     is published (crash between publish and clear re-delivers — which
@@ -129,8 +165,12 @@ def requeue_deadletters(
     Returns the number of events requeued (0 → nothing published)."""
     import shutil
 
+    import numpy as np
+
     from engine.cdc import sink
 
+    if restamp not in ("auto", "never"):
+        raise ValueError(f"restamp {restamp!r} (want 'auto' or 'never')")
     ddir = sink.lake_paths(lake_dir)["deadletter"]
     files = []
     for dirpath, _, names in os.walk(ddir):
@@ -141,6 +181,27 @@ def requeue_deadletters(
     out = pa.concat_tables(batches, promote_options="permissive")
     if fix_fn is not None:
         out = fix_fn(out)
+    wm = _seq_watermark(lake_dir)
+    seqs = out.column("seq")
+    stale = pc.fill_null(pc.less_equal(seqs, wm), False)
+    if pc.any(stale).as_py():
+        if restamp == "never":
+            raise ValueError(
+                f"{pc.sum(pc.cast(stale, pa.int64())).as_py()} requeued "
+                f"event(s) carry seq <= the lake's applied watermark {wm}; "
+                "pass restamp='auto' to re-stamp them above it"
+            )
+        s = seqs.to_numpy(zero_copy_only=False).astype("float64")
+        valid = ~np.isnan(s)
+        order = np.argsort(s[valid], kind="stable")
+        new = np.full(len(s), np.nan)
+        idx = np.flatnonzero(valid)[order]
+        new[idx] = wm + 1 + np.arange(len(idx), dtype=np.int64)
+        out = out.set_column(
+            out.schema.get_field_index("seq"),
+            "seq",
+            pa.array([None if np.isnan(v) else int(v) for v in new], pa.int64()),
+        )
     epoch_dir = os.path.join(out_log_dir, f"epoch={epoch:05d}")
     if os.path.isdir(epoch_dir):
         raise FileExistsError(f"changelog epoch already sealed: {epoch_dir}")

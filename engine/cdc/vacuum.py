@@ -93,13 +93,16 @@ def vacuum(
             os.remove(os.path.join(lake_dir, sink.MANIFEST_DIR, f"epoch-{k:05d}.json"))
         # Staged-but-unclaimed commit attempts (a writer that crashed
         # between staging and the CAS link, or lost the race and died
-        # before its finally-unlink) are plain orphans once aged.
+        # before its finally-unlink) are plain orphans once aged. A
+        # POSITIVE age floor is required here even when min_age_s is 0:
+        # a vacuum racing a live committer must not unlink the staged
+        # manifest between its fsync and the CAS os.link (that turns a
+        # clean CommitConflict into FileNotFoundError for the committer).
+        tmp_age = max(min_age_s, 60.0)
         mdir = os.path.join(lake_dir, sink.MANIFEST_DIR)
         for name in os.listdir(mdir):
             abs_path = os.path.join(mdir, name)
-            if name.endswith(".tmp") and (
-                not min_age_s or now - os.path.getmtime(abs_path) >= min_age_s
-            ):
+            if name.endswith(".tmp") and now - os.path.getmtime(abs_path) >= tmp_age:
                 os.remove(abs_path)
         # Drop now-empty partition directories (cosmetic).
         for dirpath, dirnames, names in os.walk(

@@ -369,3 +369,30 @@ def test_lifecycle_fuzz_replica_follows_any_history(tmp_path, sf_dir):
         assert state_hash(rep) == state_hash(src), (ops, p2)
 
     check()
+
+
+def test_delta_mode_replica_follows_backfill(replayed):
+    """ADVICE r4 (medium): the changefeed propagates a maintenance
+    backfill as EQUAL-seq U events; a delta-mode replica lands them in a
+    delta file whose seq ties the base row — live_view must break the
+    tie in favor of the later file or the replica silently keeps the
+    stale pre-backfill values."""
+    import pyarrow.compute as pc
+
+    from engine.cdc.bootstrap import replicate
+    from engine.cdc.maintain import backfill
+
+    tmp, log, lake = replayed
+    lake_s = f"{tmp}/src_bf_delta"
+    replay(log, lake_s, ReplayConfig(**CFG))
+    dcfg = ReplayConfig(**CFG, write_mode="delta", compact_files=16)
+    rep = f"{tmp}/replica_bf_delta"
+    replicate(lake_s, rep, dcfg)  # bootstrap (base files)
+    backfill(
+        lake_s, "n_chars",
+        lambda t: pc.utf8_length(t.column("content")).cast(pa.int64()),
+        dtype=pa.int64(),
+    )
+    out = replicate(lake_s, rep, dcfg)  # equal-seq U feed → delta files
+    assert out["applied"] > 0
+    assert state_hash(rep) == state_hash(lake_s)

@@ -238,3 +238,76 @@ def test_deadletter_requeue_after_fix_converges(tmp_path, sf_dir):
     assert state_hash(lake) == oracle_state_hash(fixed_log)
     # Quarantine is empty and requeue is a no-op now.
     assert requeue_deadletters(lake, log, epoch=4) == 0
+
+
+def test_requeue_restamps_stale_seqs_above_watermark(tmp_path, sf_dir):
+    """ADVICE r4 (high): a requeued event whose ORIGINAL seq is at or
+    below the lake's applied watermark must be re-stamped above it —
+    republishing it at the old seq would overwrite newer state in
+    rewrite mode (the merge replaces touched keys without a base seq
+    compare) and break the strictly-larger-seq delta invariant. The
+    re-stamped batch re-enters the log at the current position (it now
+    wins over writes made while quarantined — the documented semantics),
+    and the final state equals the oracle of the log as published."""
+    import pyarrow.compute as pc
+
+    from engine.cdc.parse import _seq_watermark, requeue_deadletters
+    from engine.cdc.verify import lake_table
+
+    log = _log(tmp_path, sf_dir, name="log_stale")
+    # A STALE fixable event (seq 5 is consumed by the log's real events)
+    # targeting a key that exists in the final state.
+    f = os.path.join(log, "epoch=00000", "part-0000.parquet")
+    t = pq.read_table(f)
+    lake_probe = f"{tmp_path}/lake_probe"
+    replay(log, lake_probe, ReplayConfig(**CFG))
+    probe = lake_table(lake_probe)
+    repo0 = probe.column("repo")[0].as_py()
+    path0 = probe.column("path")[0].as_py()
+    bad = pa.table(
+        {
+            "seq": pa.array([5], pa.int64()),
+            "op": pa.array(["u"], pa.string()),  # fixable: uppercase
+            "repo": pa.array([repo0], pa.string()),
+            "path": pa.array([path0], pa.string()),
+            "commit": pa.array(["c-stale"], pa.string()),
+            "lang": pa.array(["py"], pa.string()),
+            "content": pa.array(["STALE-REPAIRED"], pa.string()),
+        }
+    )
+    pq.write_table(pa.concat_tables([t, bad]), f)
+
+    lake = f"{tmp_path}/lake_stale"
+    replay(log, lake, ReplayConfig(**CFG))
+    wm = _seq_watermark(lake)
+    assert wm == 1499  # all real events applied
+
+    def fix(tbl: pa.Table) -> pa.Table:
+        i = tbl.schema.get_field_index("op")
+        return tbl.set_column(
+            i, "op", pc.ascii_upper(tbl.column("op")).combine_chunks()
+        )
+
+    # restamp="never" refuses (seq 5 <= watermark) and publishes nothing.
+    import pytest
+
+    with pytest.raises(ValueError, match="watermark"):
+        requeue_deadletters(lake, log, epoch=3, fix_fn=fix, restamp="never")
+    assert not os.path.isdir(os.path.join(log, "epoch=00003"))
+
+    assert requeue_deadletters(lake, log, epoch=3, fix_fn=fix, clear=True) == 1
+    # The published epoch carries the re-stamped seq, not the stale one.
+    pub = pq.read_table(os.path.join(log, "epoch=00003", "requeued-00000.parquet"))
+    assert pub.column("seq").to_pylist() == [wm + 1]
+
+    replay(log, lake, ReplayConfig(**CFG))
+    final = lake_table(lake)
+    mask = pc.and_(
+        pc.equal(final.column("repo"), repo0), pc.equal(final.column("path"), path0)
+    )
+    row = final.filter(mask)
+    assert row.column("content").to_pylist() == ["STALE-REPAIRED"]
+    assert row.column("seq").to_pylist() == [wm + 1]
+    # Whole-state equality vs the sequential oracle of the log as
+    # published (the stale lowercase original is skipped as invalid).
+    assert state_hash(lake) == oracle_state_hash(log)

@@ -252,3 +252,27 @@ def test_maintenance_loses_version_race_then_rebases(tmp_path, sf_dir):
     assert state_hash(lake) == state_hash(ref)
     # Every partition is back to one file post-compact.
     assert all(len(v) == 1 for v in sink.active_files(m).values())
+
+
+def test_maintenance_carries_update_mode_pin(tmp_path, sf_dir):
+    """ADVICE r4 (high): a compact/backfill on a column-mode (patch) lake
+    must carry the update_mode pin forward — a resume after maintenance
+    with the caller's default row-mode config would otherwise re-pin
+    'row' and silently change what a NULL payload column means."""
+    from engine.cdc.oracle import oracle_state_hash
+
+    log = synth_changelog(
+        sf_dir, f"{tmp_path}/log_ump",
+        SynthConfig(seed=33, n_events=2500, n_epochs=3, n_keys=500,
+                    op_mix=(30, 60, 10), patch_null_frac=0.5),
+    )
+    lake = f"{tmp_path}/lake_ump"
+    replay(log, lake, ReplayConfig(**CFG, update_mode="column",
+                                   write_mode="delta", compact_files=8),
+           max_epoch=1)
+    compact(lake)
+    assert sink.read_manifest(lake)["update_mode"] == "column"
+    # Resume with the DEFAULT (row-mode) config: the pin must win.
+    replay(log, lake, ReplayConfig(**CFG))
+    assert sink.read_manifest(lake)["update_mode"] == "column"
+    assert state_hash(lake) == oracle_state_hash(log, update_mode="column")
