@@ -276,32 +276,24 @@ def main_cdc_only():
     print(json.dumps({**cdc, "num_cpus": NUM_CPUS}))
 
 
-def main_scaling():
-    # Pre-generate + warm cache once (untimed), then fresh processes.
-    # The two parallelism legs are INTERLEAVED in (lo, hi) pairs so both
-    # sample the same host-contention window — this box's external load
-    # drifts over minutes and starves the wide leg specifically, so
-    # leg-after-leg ordering biases the ratio. Efficiency = median of the
-    # per-pair ratios (drift-robust); per-leg medians also reported.
-    _ray_init(8)
-    ensure_changelog()
-    import ray
+# Measured single-box memory-bus saturation (BASELINE.md "16M events"
+# section): in fast host windows ~8 task slots already move ~350-400k
+# ev/s and adding slots measures bus contention, not partition scaling.
+# When the LOW leg's median exceeds this, the N→4N ratio is not
+# interpretable as scaling and --scaling automatically runs the
+# complementary half-width pair (same 4x resource ratio, below the
+# ceiling) as the binding ratio.
+BUS_CEILING = float(os.environ.get("GRAFT_BUS_CEILING", "300000"))
 
-    ray.shutdown()
-    os.sync()
-    # Default N=8 → 4N=32. In fast host windows the 8-slot leg already
-    # saturates the memory bus (BASELINE.md), making the ratio measure
-    # bus contention; GRAFT_SCALING_LO/HI let a complementary pair (e.g.
-    # 4 → 16, same 4x, below the bus ceiling) evidence partition scaling.
-    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
-    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
-    # Steady-state legs by default (one untimed warmup replay inside each
-    # subprocess — see main_cdc_only); GRAFT_SCALING_COLD=1 restores the
-    # cold first-run protocol.
-    if os.environ.get("GRAFT_SCALING_COLD") != "1":
-        os.environ["GRAFT_CDC_WARMUP"] = "1"
+
+def _scaling_sweep(lo: int, hi: int, reps: int = REPS) -> dict:
+    """One interleaved (lo, hi)-pair sweep: the two parallelism legs are
+    INTERLEAVED in pairs so both sample the same host-contention window
+    — this box's external load drifts over minutes and starves the wide
+    leg specifically, so leg-after-leg ordering biases the ratio.
+    Efficiency = median of the per-pair ratios (drift-robust)."""
     pairs = []
-    for i in range(REPS):
+    for _ in range(reps):
         pairs.append((_subprocess_cdc(lo, reps=1), _subprocess_cdc(hi, reps=1)))
     hashes = {r["state_hash"] for p in pairs for r in p}
     assert len(hashes) == 1, f"nondeterministic state: {hashes}"
@@ -310,22 +302,80 @@ def main_scaling():
     pair_effs = sorted(
         (p[1]["events_per_sec"] / p[0]["events_per_sec"]) / (hi / lo) for p in pairs
     )
-    med_lo = runs_lo[len(runs_lo) // 2]
-    med_hi = runs_hi[len(runs_hi) // 2]
-    n_events = pairs[0][0]["events"]
+    return {
+        "lo": lo,
+        "hi": hi,
+        "events_per_sec_lo": runs_lo[len(runs_lo) // 2],
+        "events_per_sec_hi": runs_hi[len(runs_hi) // 2],
+        "runs_lo": runs_lo,
+        "runs_hi": runs_hi,
+        "pair_efficiencies": [round(e, 3) for e in pair_effs],
+        "efficiency": round(pair_effs[len(pair_effs) // 2], 3),
+        "state_hash": pairs[0][0]["state_hash"],
+    }
+
+
+def main_scaling():
+    """One self-contained scaling VERDICT (BASELINE.md decision rule,
+    machine-applied): run the N→4N pair; if the LOW leg's median
+    throughput already exceeds the measured memory-bus ceiling, the
+    ratio measures bus contention, so automatically run the
+    complementary half-width pair (same 4x resource ratio, below the
+    ceiling) and report IT as the binding efficiency. Both sweeps, the
+    ceiling, and which one binds are all in the single JSON line."""
+    # Pre-generate + warm cache once (untimed), then fresh processes.
+    _ray_init(8)
+    ensure_changelog()
+    import ray
+
+    ray.shutdown()
+    os.sync()
+    # GRAFT_SCALING_LO/HI pin an explicit single pair (no auto-fallback —
+    # the manual-probe protocol); default is the auto-adjudicated rule.
+    explicit = "GRAFT_SCALING_LO" in os.environ or "GRAFT_SCALING_HI" in os.environ
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
+    # Steady-state legs by default (one untimed warmup replay inside each
+    # subprocess — see main_cdc_only); GRAFT_SCALING_COLD=1 restores the
+    # cold first-run protocol.
+    if os.environ.get("GRAFT_SCALING_COLD") != "1":
+        os.environ["GRAFT_CDC_WARMUP"] = "1"
+    primary = _scaling_sweep(lo, hi)
+    fallback = None
+    binding = "primary"
+    if (
+        not explicit
+        and lo >= 8
+        and primary["events_per_sec_lo"] > BUS_CEILING
+    ):
+        fallback = _scaling_sweep(max(1, lo // 2), max(1, hi // 2))
+        assert fallback["state_hash"] == primary["state_hash"], (
+            "state hash diverged between primary and fallback sweeps"
+        )
+        binding = "fallback"
+    bound = fallback if binding == "fallback" else primary
+    n_events = SYNTH["n_events"]
     out = {
         "metric": "cdc_scaling",
         "events": n_events,
-        f"sec_{lo}": round(n_events / med_lo if med_lo else 0, 3),
-        f"sec_{hi}": round(n_events / med_hi if med_hi else 0, 3),
-        f"events_per_sec_{lo}": med_lo,
-        f"events_per_sec_{hi}": med_hi,
-        f"runs_{lo}": runs_lo,
-        f"runs_{hi}": runs_hi,
-        "pair_efficiencies": [round(e, 3) for e in pair_effs],
-        "scaling_efficiency": round(pair_effs[len(pair_effs) // 2], 3),
+        "rule": (
+            f"efficiency = thr(4N)/(4*thr(N)) over interleaved pairs; if "
+            f"thr(N={lo}) median > bus ceiling {BUS_CEILING:.0f} ev/s "
+            f"(single-box memory-bus saturation, BASELINE.md), the "
+            f"{max(1, lo // 2)}->{max(1, hi // 2)} pair below the ceiling "
+            f"is the binding ratio"
+        ),
+        "bus_ceiling_ev_s": BUS_CEILING,
+        "primary": primary,
+        "fallback": fallback,
+        "binding": binding,
+        # Back-compat headline fields (the binding pair's numbers).
+        f"events_per_sec_{bound['lo']}": bound["events_per_sec_lo"],
+        f"events_per_sec_{bound['hi']}": bound["events_per_sec_hi"],
+        "scaling_efficiency": bound["efficiency"],
+        "meets_0.8": bound["efficiency"] >= 0.8,
         "state_hash_match": True,
-        "state_hash": pairs[0][0]["state_hash"][:16],
+        "state_hash": primary["state_hash"][:16],
     }
     print(json.dumps(out))
 
