@@ -144,6 +144,20 @@ def replicate(
             "at_version": target_v,
             "bootstrapped": True,
         }
+    # DDL replication: the feed's events use the source's CURRENT column
+    # names; replay any rename the source committed (its cumulative
+    # column_renames pin) onto the replica FIRST — otherwise negotiate
+    # would treat the renamed column as a new additive one.
+    src_renames = target.get("column_renames") or {}
+    if src_renames:
+        from engine.cdc.maintain import rename_column
+
+        dst_schema = sink.schema_from_b64(dst_m["schema_b64"])
+        for old_name, new_name in src_renames.items():
+            if old_name in dst_schema.names and new_name not in dst_schema.names:
+                rename_column(dst_lake, old_name, new_name)
+                dst_m = sink.read_manifest(dst_lake)
+                dst_schema = sink.schema_from_b64(dst_m["schema_b64"])
     cf = changefeed(src_lake, from_epoch=at, to_epoch=target_v)
     # The feed STREAMS into the ordinary epoch machinery — never pulled
     # to the driver (a busy interval's delta can be arbitrarily large).
@@ -199,6 +213,7 @@ def changefeed(
         return _changefeed_rekeyed(
             lake_dir, from_epoch, to_epoch, parts_new, schema_new,
             event_schema, int(m_new["num_partitions"]),
+            renames=m_new.get("column_renames"),
         )
     pids = sorted(set(parts_old) | set(parts_new))
     if not pids:
@@ -207,14 +222,20 @@ def changefeed(
         {"old": list(parts_old.get(p, [])), "new": list(parts_new.get(p, []))}
         for p in pids
     ]
+    # Align the OLD state across any rename boundary (the new manifest's
+    # cumulative map, maintain.rename_column) before conforming.
+    renames = m_new.get("column_renames")
 
     def _diff(batch: pa.Table) -> pa.Table:
+        from engine.cdc.schema import rename_table
+
         out = []
         for old_rels, new_rels in zip(
             batch.column("old").to_pylist(), batch.column("new").to_pylist()
         ):
             old = conform_table(
-                live_view(lake_dir, old_rels, schema_old), schema_new
+                rename_table(live_view(lake_dir, old_rels, schema_old), renames),
+                schema_new,
             )
             new = live_view(lake_dir, new_rels, schema_new)
             out.append(_diff_tables(old, new, schema_new, event_schema))
@@ -316,6 +337,7 @@ def _changefeed_rekeyed(
     schema_new: pa.Schema,
     event_schema: pa.Schema,
     num_partitions: int,
+    renames: dict | None = None,
 ) -> rd.Dataset:
     """Changefeed across a repartition boundary: stream the OLD state
     through one groupby(pid) exchange keyed at the NEW layout, then diff
@@ -333,7 +355,9 @@ def _changefeed_rekeyed(
     )
 
     def _key(t: pa.Table) -> pa.Table:
-        t = conform_table(t, schema_new)
+        from engine.cdc.schema import rename_table
+
+        t = conform_table(rename_table(t, renames), schema_new)
         pid = stable_hash_column(t.column("repo"), num_partitions)
         t = t.append_column("pid", pa.array(pid, type=pa.int64()))
         return t.append_column("__m", pa.nulls(t.num_rows, pa.int8()).fill_null(0))

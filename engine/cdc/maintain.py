@@ -46,6 +46,7 @@ def _maintenance_commit(
     only_pids: list[int] | None = None,
     label: str = "maintenance",
     track_summary: bool = False,
+    extra_pins: dict | None = None,
 ) -> dict:
     """Shared core: rewrite selected partitions through ``transform``
     (pa.Table → pa.Table, already in the NEW lake schema) and commit the
@@ -158,6 +159,13 @@ def _maintenance_commit(
                 if prev.get("update_mode")
                 else {}
             ),
+            # ... and the cumulative column-rename map (rename_column).
+            **(
+                {"column_renames": prev["column_renames"]}
+                if prev.get("column_renames")
+                else {}
+            ),
+            **(extra_pins or {}),
         },
     )
     from engine.cdc.replay import _write_lineage
@@ -200,6 +208,64 @@ def backfill(lake_dir: str, column: str, fn, dtype: pa.DataType | None = None) -
 
     return _maintenance_commit(
         lake_dir, _transform, new_event_schema, label=f"backfill:{column}"
+    )
+
+
+def rename_column(lake_dir: str, old: str, new: str) -> dict:
+    """ALTER-style column rename as one maintenance version (VERDICT r4
+    #8): every partition is rewritten with the column renamed (same
+    type, same values — the state is identical up to the name), the
+    event schema pin is updated, and the CUMULATIVE rename map is pinned
+    in the manifest as ``column_renames`` ({historical name → current
+    name}, chains composed). The pin makes the rename visible to:
+
+    - **ingestion** — later changelog epochs may still carry the OLD
+      name; prepare renames event batches to the current name before
+      conforming (engine/cdc/parse.py), so resume stays exact;
+    - **changefeed** — a feed spanning the rename aligns the old
+      version's state to the new names before diffing
+      (engine/cdc/bootstrap.py), and ``replicate`` replays the rename
+      on the replica as DDL before applying the feed;
+    - **summary** — a pinned ``summary_spec`` metric referencing the
+      old name is rewritten to the new one (same values, fold exact).
+
+    Key/meta/engine-managed columns (repo, path, seq, op, content,
+    content_sha256) cannot be renamed."""
+    prev = sink.read_manifest(lake_dir)
+    if prev is None:
+        raise FileNotFoundError(f"no committed manifest under {lake_dir}")
+    protected = ("repo", "path", "seq", "op", "content", "content_sha256")
+    if old in protected or new in protected:
+        raise ValueError(f"cannot rename {old!r} -> {new!r}: engine-managed/key column")
+    event_schema = sink.schema_from_b64(prev["schema_b64"])
+    if old not in event_schema.names:
+        raise ValueError(f"no column {old!r} in the lake schema")
+    if new in event_schema.names:
+        raise ValueError(f"column {new!r} already exists")
+    new_event_schema = pa.schema(
+        [pa.field(new, f.type) if f.name == old else f for f in event_schema]
+    )
+
+    def _transform(t: pa.Table) -> pa.Table:
+        return t.rename_columns([new if n == old else n for n in t.column_names])
+
+    # Compose the cumulative map: x→old becomes x→new; then old→new.
+    renames = dict(prev.get("column_renames") or {})
+    for k, v in list(renames.items()):
+        if v == old:
+            renames[k] = new
+    renames[old] = new
+    spec = prev.get("summary_spec")
+    if spec:
+        spec = [
+            {**m, "col": new} if m.get("col") == old else dict(m) for m in spec
+        ]
+    return _maintenance_commit(
+        lake_dir, _transform, new_event_schema, label=f"rename:{old}>{new}",
+        extra_pins={
+            "column_renames": renames,
+            **({"summary_spec": spec} if spec else {}),
+        },
     )
 
 
@@ -352,6 +418,11 @@ def repartition(lake_dir: str, num_partitions: int) -> dict:
                 if prev.get("update_mode")
                 else {}
             ),
+            **(
+                {"column_renames": prev["column_renames"]}
+                if prev.get("column_renames")
+                else {}
+            ),
         },
     )
     from engine.cdc.replay import _write_lineage
@@ -415,6 +486,9 @@ def main(argv: list[str] | None = None) -> None:
     cl = sub.add_parser("clone", help="zero-copy branch at the latest version")
     cl.add_argument("--dst", required=True)
     cl.add_argument("--epoch", type=int, default=None)
+    rn = sub.add_parser("rename", help="ALTER-style column rename")
+    rn.add_argument("--column", required=True, help="old name")
+    rn.add_argument("--to", required=True, help="new name")
     args = ap.parse_args(argv)
     if args.op != "clone" and not ray.is_initialized():
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
@@ -422,6 +496,8 @@ def main(argv: list[str] | None = None) -> None:
         m = compact(args.lake_dir)
     elif args.op == "repartition":
         m = repartition(args.lake_dir, args.partitions)
+    elif args.op == "rename":
+        m = rename_column(args.lake_dir, args.column, args.to)
     else:
         from engine.cdc.clone import clone_lake
 

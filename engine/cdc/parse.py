@@ -46,7 +46,10 @@ class PrepareEvents:
         deadletter_dir: str | None = None,
         epoch: int = 0,
         update_mode: str = "row",
+        renames_json: str | None = None,
     ):
+        import json
+
         from engine.cdc.sink import schema_from_b64
 
         self.target_schema = schema_from_b64(target_schema_b64)
@@ -55,6 +58,9 @@ class PrepareEvents:
         self.deadletter_dir = deadletter_dir
         self.epoch = epoch
         self.update_mode = update_mode
+        # Pinned column-rename map (maintain.rename_column): events may
+        # still carry pre-rename names; map them before conforming.
+        self.renames = json.loads(renames_json) if renames_json else None
 
     def _validate(self, batch: pa.Table) -> pa.Table:
         ok = pc.is_in(batch.column("op"), value_set=pa.array(OPS))
@@ -70,6 +76,10 @@ class PrepareEvents:
         return batch.filter(pc.fill_null(ok, False))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.renames:
+            from engine.cdc.schema import rename_table
+
+            batch = rename_table(batch, self.renames)
         batch = self._validate(batch)
         batch = conform_table(batch, self.target_schema)
         batch = assign_partitions(batch, self.num_partitions, self.num_salts)

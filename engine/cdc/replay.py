@@ -38,7 +38,7 @@ import ray
 from engine.cdc import sink, tailer
 from engine.cdc.merge import MergeApply, lww_collapse, merge_apply_group
 from engine.cdc.parse import prepare_batch
-from engine.cdc.schema import negotiate
+from engine.cdc.schema import negotiate, rename_schema
 from engine.schemas import LINEAGE_SCHEMA
 
 
@@ -157,11 +157,16 @@ def _shuffle_ctx(cfg: ReplayConfig):
     return restore
 
 
-def build_winners(log, lake_dir: str, epoch: int, cfg: ReplayConfig, target_b64: str):
+def build_winners(log, lake_dir: str, epoch: int, cfg: ReplayConfig, target_b64: str,
+                  renames: dict | None = None):
     """The commit-independent half of an epoch: tail → prepare (validate/
     conform/partition/per-batch LWW) → (pid, salt) shuffle → sub-LWW.
     Safe to run before earlier epochs have committed. ``log`` is a path
-    or any changelog source (tailer.as_source)."""
+    or any changelog source (tailer.as_source). ``renames`` is the lake's
+    pinned column-rename map (maintain.rename_column) applied to event
+    batches before conforming."""
+    import json as _json
+
     src = tailer.as_source(log)
     ds = src.read_epoch(epoch, parallelism_hint=2 * _cpus())
     ds = ds.map_batches(
@@ -173,6 +178,7 @@ def build_winners(log, lake_dir: str, epoch: int, cfg: ReplayConfig, target_b64:
             deadletter_dir=sink.lake_paths(lake_dir)["deadletter"],
             epoch=epoch,
             update_mode=cfg.update_mode,
+            renames_json=_json.dumps(renames, sort_keys=True) if renames else None,
         ),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
@@ -384,6 +390,13 @@ def merge_and_commit(
             # Pins the summary metric spec (like P): resume and
             # maintenance commits fold with the lake's own spec.
             **({"summary_spec": cfg.summary_spec} if cfg.summary_spec else {}),
+            # Carries the cumulative column-rename map forward
+            # (maintain.rename_column pins it; every commit keeps it).
+            **(
+                {"column_renames": prev_manifest["column_renames"]}
+                if prev_manifest and prev_manifest.get("column_renames")
+                else {}
+            ),
         },
     )
     _write_lineage(lake_dir, epoch, reports)
@@ -420,8 +433,13 @@ def run_epoch(
     prev_schema = (
         sink.schema_from_b64(prev_manifest["schema_b64"]) if prev_manifest else None
     )
-    target = negotiate(prev_schema, src.epoch_schema(epoch))  # M11
-    winners = build_winners(src, lake_dir, epoch, cfg, sink.schema_to_b64(target))
+    renames = (prev_manifest or {}).get("column_renames")
+    target = negotiate(
+        prev_schema, rename_schema(src.epoch_schema(epoch), renames)
+    )  # M11
+    winners = build_winners(
+        src, lake_dir, epoch, cfg, sink.schema_to_b64(target), renames
+    )
     v = version if version is not None else epoch
     return merge_and_commit(
         lake_dir, v, winners, target, cfg, prev_manifest, t0, changelog_pos=epoch
@@ -559,15 +577,21 @@ def _replay_available(
     restore = _shuffle_ctx(cfg)
     try:
         # Negotiate the full schema chain upfront (footer metadata only).
+        # The pinned column-rename map (maintain.rename_column) applies
+        # to every incoming epoch: producers may still emit pre-rename
+        # names after a lake-side ALTER.
+        renames = manifest.get("column_renames") if manifest else None
         targets: dict[int, pa.Schema] = {}
         prev_schema = sink.schema_from_b64(manifest["schema_b64"]) if manifest else None
         for k in todo:
-            prev_schema = negotiate(prev_schema, src.epoch_schema(k))
+            prev_schema = negotiate(
+                prev_schema, rename_schema(src.epoch_schema(k), renames)
+            )
             targets[k] = prev_schema
 
         def _prefetch(k: int):
             return build_winners(
-                src, lake_dir, k, cfg, sink.schema_to_b64(targets[k])
+                src, lake_dir, k, cfg, sink.schema_to_b64(targets[k]), renames
             ).materialize()
 
         with ThreadPoolExecutor(max_workers=1) as pool:
@@ -578,7 +602,7 @@ def _replay_available(
                     winners = pending[1].result()
                 else:
                     winners = build_winners(
-                        src, lake_dir, k, cfg, sink.schema_to_b64(targets[k])
+                        src, lake_dir, k, cfg, sink.schema_to_b64(targets[k]), renames
                     )
                 pending = None
                 if cfg.pipeline_epochs and i + 1 < len(todo):

@@ -47,6 +47,28 @@ def unify_types(a: pa.DataType, b: pa.DataType) -> pa.DataType | None:
             return pa.large_string()
         if x == pa.float32() and y == pa.float64():
             return pa.float64()
+    if pa.types.is_decimal(a) or pa.types.is_decimal(b):
+        # Decimal unification is lossless in (integer digits, scale)
+        # space: result scale = max scale, integer digits = max needed;
+        # ints join at their exact digit requirement (decimal↔float is
+        # LOSSY both ways and stays rejected).
+        def _dec_parts(t):
+            if pa.types.is_decimal(t):
+                return t.precision - t.scale, t.scale
+            if t in _INT_ORDER:
+                return {8: 3, 16: 5, 32: 10, 64: 19}[_INT_ORDER[t]], 0
+            if t in _UINT_ORDER:
+                return {8: 3, 16: 5, 32: 10, 64: 20}[_UINT_ORDER[t]], 0
+            return None
+        pa_, pb_ = _dec_parts(a), _dec_parts(b)
+        if pa_ is None or pb_ is None:
+            return None
+        digits, scale = max(pa_[0], pb_[0]), max(pa_[1], pb_[1])
+        if digits + scale <= 38:
+            return pa.decimal128(digits + scale, scale)
+        if digits + scale <= 76:
+            return pa.decimal256(digits + scale, scale)
+        return None
     ints = all(t in _INT_ORDER or t in _UINT_ORDER for t in (a, b))
     if ints:
         def signed_home(t):
@@ -132,3 +154,32 @@ def conform_table(table: pa.Table, target: pa.Schema) -> pa.Table:
 
 def subset_schema(schema: pa.Schema, names: list[str]) -> pa.Schema:
     return pa.schema([schema.field(n) for n in names])
+
+
+def rename_schema(schema: pa.Schema, renames: dict | None) -> pa.Schema:
+    """Apply the lake's pinned column-rename map (historical → current,
+    maintain.rename_column) to an EVENT schema: a producer still using a
+    pre-rename name maps to the current one. A name is only mapped when
+    the current name isn't already present (a schema carrying both is
+    ambiguous and left to conform_table to reject)."""
+    if not renames:
+        return schema
+    names = set(schema.names)
+    out = []
+    for f in schema:
+        new = renames.get(f.name)
+        out.append(pa.field(new, f.type) if new and new not in names else f)
+    return pa.schema(out)
+
+
+def rename_table(table: pa.Table, renames: dict | None) -> pa.Table:
+    """Table twin of :func:`rename_schema` (event batches / old lake
+    versions read across a rename boundary)."""
+    if not renames:
+        return table
+    names = set(table.column_names)
+    new_names = [
+        renames[n] if n in renames and renames[n] not in names else n
+        for n in table.column_names
+    ]
+    return table.rename_columns(new_names) if new_names != table.column_names else table

@@ -46,6 +46,10 @@ class SynthConfig:
     # Epoch index from which the additive column `size_bytes` appears
     # (None → never). Exercises M11 schema negotiation.
     evolve_at_epoch: int | None = None
+    # Epoch index from which an additive `price` decimal128(12,2) column
+    # appears (None → never) — exercises decimal negotiation/conform.
+    # Deterministic: price = ((seq * 7919) % 1e6) / 100.
+    decimal_at_epoch: int | None = None
     # Epoch index from which `size_bytes` widens int32 → int64 (requires
     # evolve_at_epoch < widen_at_epoch). Exercises lossless type widening.
     widen_at_epoch: int | None = None
@@ -184,15 +188,23 @@ def synth_changelog(sf_dir: str, out_dir: str, cfg: SynthConfig | None = None, *
                 dtype=object,
             )
             sb_type = pa.int64() if wide else pa.int32()
+        if cfg.decimal_at_epoch is not None and k >= cfg.decimal_at_epoch:
+            from decimal import Decimal
+
+            cents = (cols["seq"] * 7919) % 1_000_000
+            cols["price"] = np.array(
+                [Decimal(int(c)) / 100 for c in cents], dtype=object
+            )
         order = np.arange(n)
         if cfg.shuffle_within_epochs:
             rng = np.random.default_rng(cfg.seed * 1_000_003 + k)
             rng.shuffle(order)
+        col_type = {"price": pa.decimal128(12, 2)}
+        if "size_bytes" in cols:
+            col_type["size_bytes"] = sb_type
         table = pa.table(
             {
-                name: pa.array(
-                    arr[order], type=sb_type if name == "size_bytes" else None
-                )
+                name: pa.array(arr[order], type=col_type.get(name))
                 for name, arr in cols.items()
             }
         )

@@ -134,6 +134,125 @@ class MemorySource:
         return f"MemorySource(sealed={len(self._sealed)})"
 
 
+class StreamSource:
+    """External tail connector (the class-typical "binlog client"): a
+    byte stream of line-delimited JSON change events from ANY readable
+    file object — a subprocess's stdout, a socket file, a FIFO, a file
+    being appended — served through the standard source trio, so
+    ``replay(StreamSource(...), lake, follow=True)`` is a live CDC tail
+    off an external producer.
+
+    Wire protocol (one UTF-8 JSON object per line):
+
+    - event line — ``{"seq": ..., "op": "I|U|D", <payload columns>...}``
+    - seal line  — ``{"__seal__": <epoch:int>}``: the upstream
+      transaction boundary. Every event line received since the previous
+      seal belongs to this epoch; epoch numbers must be strictly
+      increasing (an empty epoch is legal — an idle boundary window).
+    - end-of-stream seals NOTHING: events after the last seal are an
+      uncommitted tail and are DISCARDED (counted in
+      ``tail_discarded``) — an at-least-once producer re-sends them
+      after reconnect, and the LWW fold absorbs the duplicates.
+
+    Malformed lines are skipped and counted (``lines_skipped``), never
+    fatal — wire noise must not kill a long-running tailer; event-LEVEL
+    validation stays where it belongs (the replay validator +
+    dead-letter queue).
+
+    A daemon reader thread drains the stream into sealed in-memory
+    Arrow epochs (chunked to ``batch_rows`` so Ray gets input blocks).
+    Pass ``schema`` for type exactness (JSON inference gives
+    int64/float64/string; missing keys become typed nulls — the
+    additive-evolution rule). Memory is bounded by seal frequency ×
+    replay cadence, exactly like any binlog client's buffer."""
+
+    def __init__(self, stream, schema: pa.Schema | None = None,
+                 batch_rows: int = 65536, name: str = "stream"):
+        import json
+        import threading
+
+        self._mem = MemorySource()
+        self._schema = schema
+        self._batch_rows = batch_rows
+        self._name = name
+        self._proc = None
+        self.lines_skipped = 0
+        self.tail_discarded = 0
+        self.done = threading.Event()
+
+        def _table(rows: list[dict]) -> pa.Table:
+            if schema is not None:
+                return pa.Table.from_pylist(rows, schema=schema)
+            return pa.Table.from_pylist(rows)
+
+        def _drain():
+            rows: list[dict] = []
+            last_epoch = -1
+            try:
+                for raw in stream:
+                    if isinstance(raw, bytes):
+                        raw = raw.decode("utf-8", errors="replace")
+                    raw = raw.strip()
+                    if not raw:
+                        continue
+                    try:
+                        obj = json.loads(raw)
+                        if not isinstance(obj, dict):
+                            raise ValueError("not an object")
+                    except Exception:
+                        self.lines_skipped += 1
+                        continue
+                    k = obj.get("__seal__")
+                    if k is not None:
+                        k = int(k)
+                        if k <= last_epoch:
+                            self.lines_skipped += 1  # stale/duplicate seal
+                            continue
+                        for lo in range(0, max(len(rows), 1), self._batch_rows):
+                            self._mem.append(k, _table(rows[lo:lo + self._batch_rows]))
+                        self._mem.seal(k)
+                        rows = []
+                        last_epoch = k
+                    else:
+                        rows.append(obj)
+            finally:
+                self.tail_discarded = len(rows)
+                self.done.set()
+
+        self._thread = threading.Thread(target=_drain, daemon=True, name=f"tail-{name}")
+        self._thread.start()
+
+    @classmethod
+    def from_subprocess(cls, cmd: list[str], schema: pa.Schema | None = None,
+                        **popen_kw):
+        """Spawn ``cmd`` and tail its stdout — the subprocess-connector
+        form (e.g. a vendor binlog client printing NDJSON)."""
+        import subprocess
+
+        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, **popen_kw)
+        src = cls(proc.stdout, schema=schema, name=cmd[0])
+        src._proc = proc
+        return src
+
+    def available_epochs(self) -> list[int]:
+        return self._mem.available_epochs()
+
+    def epoch_schema(self, epoch: int) -> pa.Schema:
+        return self._schema if self._schema is not None else self._mem.epoch_schema(epoch)
+
+    def read_epoch(self, epoch: int, parallelism_hint: int | None = None) -> rd.Dataset:
+        return self._mem.read_epoch(epoch, parallelism_hint)
+
+    def close(self, timeout: float = 10.0) -> None:
+        if self._proc is not None and self._proc.poll() is None:
+            self._proc.terminate()
+        self._thread.join(timeout=timeout)
+
+    def __repr__(self) -> str:
+        return (f"StreamSource({self._name!r}, "
+                f"sealed={len(self._mem.available_epochs())})")
+
+
 class DatasetSource:
     """A single sealed epoch backed by an existing ``ray.data.Dataset``
     (streaming — the dataset is never pulled to the driver). Used by the

@@ -176,3 +176,77 @@ def test_follow_patch_mode_from_memory_source(tmp_path, sf_dir):
         t.join(timeout=60)
     assert not t.is_alive()
     assert state_hash(lake) == oracle_state_hash(log, update_mode="column")
+
+
+PRODUCER = r'''
+import json, os, sys, time
+import pyarrow.parquet as pq
+
+log = sys.argv[1]
+sys.stdout.write("this is not json\n")  # wire noise: must be skipped
+for name in sorted(os.listdir(log)):
+    if not name.startswith("epoch="):
+        continue
+    edir = os.path.join(log, name)
+    for f in sorted(os.listdir(edir)):
+        if not f.endswith(".parquet"):
+            continue
+        for row in pq.read_table(os.path.join(edir, f)).to_pylist():
+            sys.stdout.write(json.dumps(row) + "\n")
+    sys.stdout.write(json.dumps({"__seal__": int(name.split("=")[1])}) + "\n")
+    sys.stdout.flush()
+    time.sleep(0.2)
+# Uncommitted tail after the last seal: must be discarded, not applied.
+sys.stdout.write(json.dumps({"seq": 999999, "op": "D", "repo": "repo-001",
+                             "path": "ghost", "commit": "x", "lang": "py",
+                             "content": "x"}) + "\n")
+sys.stdout.flush()
+'''
+
+
+def test_follow_from_subprocess_stream(tmp_path, sf_dir):
+    """External tail connector (VERDICT r4 #6): an NDJSON producer
+    subprocess streams the changelog through tailer.StreamSource;
+    replay(follow=True) converges to the sequential oracle. Wire noise
+    is skipped, the unsealed tail is discarded."""
+    import sys as _sys
+
+    from engine.cdc import tailer
+
+    log = synth_changelog(
+        sf_dir, f"{tmp_path}/log_ext",
+        SynthConfig(seed=42, n_events=1200, n_epochs=3, n_keys=300),
+    )
+    schema = tailer.epoch_schema(log, 0)
+    src = tailer.StreamSource.from_subprocess(
+        [_sys.executable, "-c", PRODUCER, log], schema=schema
+    )
+    lake = f"{tmp_path}/lake_ext"
+    try:
+        out = replay(
+            src, lake, ReplayConfig(num_partitions=4, num_salts=2),
+            follow=True, poll_s=0.1, idle_timeout_s=3.0,
+        )
+    finally:
+        src.close()
+    assert out["epochs_run"] == [0, 1, 2]
+    assert src.lines_skipped == 1  # the garbage line
+    assert src.tail_discarded == 1  # the post-seal ghost delete
+    assert state_hash(lake) == oracle_state_hash(log)
+
+    # Reconnect semantics: a fresh producer over the same log is a pure
+    # duplicate delivery — every epoch skips via the manifest.
+    src2 = tailer.StreamSource.from_subprocess(
+        [_sys.executable, "-c", PRODUCER, log], schema=schema
+    )
+    try:
+        out2 = replay(
+            src2, lake, ReplayConfig(num_partitions=4, num_salts=2),
+            follow=True, poll_s=0.1, idle_timeout_s=3.0,
+        )
+    finally:
+        src2.close()
+    # epochs_skipped reflects the FIRST drain (which may poll before the
+    # producer's first seal) — the binding assertion is zero re-runs.
+    assert out2["epochs_run"] == []
+    assert state_hash(lake) == oracle_state_hash(log)

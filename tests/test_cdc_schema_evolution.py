@@ -145,3 +145,59 @@ def test_all_null_column_epoch_negotiates_and_replays(tmp_path, ray_session):
     t = lake_table(lake)
     assert t.column("lang").to_pylist() == [None, "py"]
     assert t.schema.field("lang").type == pa.string()
+
+
+def test_unify_types_decimal_lattice():
+    """Decimal negotiation (VERDICT r4 #7): lossless widening in
+    (integer digits, scale) space; decimal↔float stays rejected."""
+    import pyarrow as pa
+
+    from engine.cdc.schema import unify_types
+
+    cases = [
+        (pa.decimal128(12, 2), pa.decimal128(10, 4), pa.decimal128(14, 4)),
+        (pa.decimal128(12, 2), pa.int32(), pa.decimal128(12, 2)),
+        (pa.decimal128(6, 2), pa.int64(), pa.decimal128(21, 2)),
+        # Combined digits past 38 promote to decimal256 (still lossless).
+        (pa.decimal128(38, 2), pa.decimal128(4, 30), pa.decimal256(66, 30)),
+        (pa.decimal128(12, 2), pa.null(), pa.decimal128(12, 2)),
+        (pa.decimal128(12, 2), pa.float64(), None),
+        (pa.decimal128(12, 2), pa.string(), None),
+    ]
+    for a, b, want in cases:
+        assert unify_types(a, b) == want == unify_types(b, a), (a, b)
+
+
+def test_decimal_payload_column_negotiates_and_replays(tmp_path, sf_dir):
+    """A decimal128(12,2) payload column appearing mid-stream must
+    negotiate additively, backfill as null, and replay to the sequential
+    oracle's state — in both LSM write modes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    log = synth_changelog(
+        sf_dir, f"{tmp_path}/log_dec",
+        SynthConfig(seed=5, n_events=2000, n_epochs=3, n_keys=400,
+                    decimal_at_epoch=1),
+    )
+    lake = f"{tmp_path}/lake_dec"
+    replay(log, lake, ReplayConfig(num_partitions=8, num_salts=2))
+    assert state_hash(lake) == oracle_state_hash(log)
+    t = lake_table(lake)
+    assert t.schema.field("price").type == pa.decimal128(12, 2)
+    epoch_size = (2000 + 2) // 3
+    early = t.filter(pc.less(t.column("seq"), epoch_size))
+    late = t.filter(pc.greater_equal(t.column("seq"), epoch_size))
+    assert early.column("price").null_count == early.num_rows  # backfill-as-null
+    assert late.column("price").null_count == 0
+    # Values are the documented pure function of seq.
+    import decimal
+
+    for seq, price in zip(late.column("seq").to_pylist()[:50],
+                          late.column("price").to_pylist()[:50]):
+        assert price == decimal.Decimal((seq * 7919) % 1_000_000) / 100
+
+    lake_d = f"{tmp_path}/lake_dec_delta"
+    replay(log, lake_d, ReplayConfig(num_partitions=8, num_salts=2,
+                                     write_mode="delta"))
+    assert state_hash(lake_d) == state_hash(lake)
