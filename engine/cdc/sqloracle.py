@@ -258,6 +258,51 @@ def patch_state_sql(cfg: SynthConfig, columns: list[str]) -> str:
     )
 
 
+def pid_sql(col: str, num_partitions: int) -> str:
+    """SQL mirror of engine.util.hashing.stable_hash_str % P (the lake's
+    pid assignment): first 8 bytes of sha256(utf8) big-endian — DuckDB
+    parses the hex prefix exactly via CAST('0x…' AS UBIGINT)."""
+    return (
+        f"CAST(CAST('0x' || substr(sha256({col}), 1, 16) AS UBIGINT) "
+        f"% {num_partitions} AS BIGINT)"
+    )
+
+
+def lineage_sql(cfg: SynthConfig, num_partitions: int) -> str:
+    """Per-(epoch, pid) lineage mirror for a ROW-mode replay: events_in /
+    seq bounds are plain group aggregates; upserts/deletes count each
+    key's EPOCH-level LWW winner by op (exactly what MergeApply reports);
+    rows_out is the partition's cumulative live-key count after the
+    epoch (rewrite semantics — delta mode reports the same rows_out via
+    its merge-on-read)."""
+    es = epoch_size(cfg)
+    ks = ", ".join(f"({k})" for k in range(cfg.n_epochs))
+    return (
+        f"WITH {events_cte(cfg)}, "
+        f"e2 AS (SELECT e.*, CAST(e.seq // {es} AS BIGINT) AS epoch, "
+        f"{pid_sql('e.repo', num_partitions)} AS pid FROM events e), "
+        "w AS (SELECT e2.*, row_number() OVER (PARTITION BY epoch, repo, path "
+        "ORDER BY seq DESC) AS rn FROM e2), "
+        "agg AS (SELECT epoch, pid, count(*) AS events_in, min(seq) AS seq_lo, "
+        "max(seq) AS seq_hi FROM e2 GROUP BY epoch, pid), "
+        "winners AS (SELECT epoch, pid, "
+        "CAST(count(*) FILTER (WHERE op <> 'D') AS BIGINT) AS upserts, "
+        "CAST(count(*) FILTER (WHERE op = 'D') AS BIGINT) AS deletes "
+        "FROM w WHERE rn = 1 GROUP BY epoch, pid), "
+        f"cum AS (SELECT k, pid, CAST(count(*) AS BIGINT) AS rows_out FROM ("
+        f"SELECT ep.k AS k, e2.pid AS pid, e2.op AS op, "
+        f"row_number() OVER (PARTITION BY ep.k, e2.repo, e2.path "
+        f"ORDER BY e2.seq DESC) AS rn FROM e2 JOIN (VALUES {ks}) ep(k) "
+        f"ON e2.seq < (ep.k + 1) * {es}) "
+        "WHERE rn = 1 AND op <> 'D' GROUP BY k, pid) "
+        "SELECT a.epoch, a.pid, a.seq_lo, a.seq_hi, "
+        "CAST(a.events_in AS BIGINT) AS events_in, w.upserts, w.deletes, "
+        "coalesce(c.rows_out, 0) AS rows_out "
+        "FROM agg a JOIN winners w USING (epoch, pid) "
+        "LEFT JOIN cum c ON c.k = a.epoch AND c.pid = a.pid"
+    )
+
+
 def enrich_sql(cfg: SynthConfig, epoch: int) -> str:
     """Epoch-``epoch``'s change events (repo, path, seq) left-joined
     against the FINAL lake state's content_sha256 — the stream-table

@@ -631,7 +631,17 @@ def q_cdc_multi_table(sf_dir):
     return rd.from_items(rows)
 
 
-@register_query("q_cdc_metrics")
+@register_query(
+    "q_cdc_metrics",
+    oracle=(
+        "SELECT epoch AS version, epoch AS changelog_pos, "
+        "CAST(NULL AS VARCHAR) AS maintenance, "
+        "CAST(sum(events_in) AS BIGINT) AS events_in, "
+        "CAST(sum(rows_out) AS BIGINT) AS rows_out_touched, "
+        "CAST(count(*) AS BIGINT) AS partitions_touched "
+        f"FROM ({sqloracle.lineage_sql(CFG_MAIN, 16)}) GROUP BY epoch"
+    ),
+)
 def q_cdc_metrics(sf_dir):
     """Per-version operational metrics from the commit chain
     (engine/cdc/metrics.py), self-checking: every manifest's totals must
@@ -727,9 +737,15 @@ def q_cdc_index_stats(sf_dir):
     )
 
 
-@register_query("q_cdc_lineage")
+@register_query(
+    "q_cdc_lineage",
+    oracle=sqloracle.lineage_sql(CFG_MAIN, 16),
+)
 def q_cdc_lineage(sf_dir):
-    """Per-partition lineage records (event-range, epoch, row counts)."""
+    """Per-partition lineage records (event-range, epoch, row counts).
+    Oracle: the SQL changelog mirror regrouped by (epoch, pid) — pid via
+    the sha256-based stable hash, epoch-level LWW winners for the
+    upsert/delete counts, cumulative live keys for rows_out."""
     work = _replayed_lake(sf_dir)
     ldir = f"{work}/lake/lineage"
     files = [os.path.join(ldir, f) for f in sorted(os.listdir(ldir))]
