@@ -36,6 +36,7 @@ CFG_PATCH = SynthConfig(seed=11, n_events=6000, n_epochs=3, n_keys=1200,
 CFG_VIEW = SynthConfig(seed=23, n_events=6000, n_epochs=3, n_keys=1200,
                        evolve_at_epoch=1)
 CFG_REPART = SynthConfig(seed=19, n_events=6000, n_epochs=3, n_keys=1200)
+CFG_ISSUES = SynthConfig(seed=77, n_events=3000, n_epochs=3, n_keys=500)
 
 _STATE_COLS = ["repo", "path", "content_sha256", "seq", "size_bytes"]
 _KEY_COLS = ["repo", "path", "content_sha256", "seq"]
@@ -592,13 +593,31 @@ def q_cdc_backfill(sf_dir):
     return read_lake(lake_m, columns=["repo", "path", "content_sha256", "seq", "n_chars"]).select_columns(["repo", "path", "content_sha256", "seq", "n_chars"])
 
 
-@register_query("q_cdc_multi_table")
+@register_query(
+    "q_cdc_multi_table",
+    oracle=(
+        "SELECT * FROM ("
+        + sqloracle.lww_state_sql(
+            CFG_MAIN, _KEY_COLS + ["tbl"], extra={"tbl": "'files'"}
+        )
+        + ") UNION ALL SELECT * FROM ("
+        + sqloracle.lww_state_sql(
+            CFG_ISSUES, _KEY_COLS + ["tbl"], extra={"tbl": "'issues'"}
+        )
+        + ")"
+    ),
+)
 def q_cdc_multi_table(sf_dir):
-    """Multi-table transactional CDC, self-checking: two changelogs (two
-    'source tables') replayed under the atomic cross-table txn log
-    (engine/cdc/txn.py); each table's final state must hash-equal an
-    independent single-table replay of its changelog, and a rerun must
-    commit zero new txns. Returns the per-txn version pins."""
+    """Multi-table transactional CDC: two changelogs (two 'source
+    tables') replayed under the atomic cross-table txn log
+    (engine/cdc/txn.py). Self-checks: each table's final state must
+    hash-equal an independent single-table replay of its changelog,
+    every committed txn must pin BOTH tables, and a rerun must commit
+    zero new txns. Returns the union of both tables' final states
+    (labelled by ``tbl``) — oracle: the two SQL changelog mirrors
+    UNION ALLed (engine/cdc/sqloracle.py)."""
+    import pyarrow as pa
+
     from engine.cdc.txn import (
         committed_txns, read_txn, replay_database, table_dir,
     )
@@ -608,10 +627,7 @@ def q_cdc_multi_table(sf_dir):
     db = f"{work}/db"
     logs = {
         "files": f"{work}/log",
-        "issues": synth_changelog(
-            sf_dir, f"{work}/log_issues",
-            SynthConfig(seed=77, n_events=3000, n_epochs=3, n_keys=500),
-        ),
+        "issues": synth_changelog(sf_dir, f"{work}/log_issues", CFG_ISSUES),
     }
     cfg = ReplayConfig(num_partitions=16, num_salts=2)
     replay_database(logs, db, cfg)
@@ -623,12 +639,24 @@ def q_cdc_multi_table(sf_dir):
         raise AssertionError("txn-replayed 'issues' diverged from single-table replay")
     if replay_database(logs, db, cfg)["txns_committed"]:
         raise AssertionError("rerun committed new txns (not idempotent)")
-    rows = [
-        {"txn": k, "table": name, "version": v}
-        for k in committed_txns(db)
-        for name, v in sorted(read_txn(db, k)["tables"].items())
-    ]
-    return rd.from_items(rows)
+    for k in committed_txns(db):
+        if set(read_txn(db, k)["tables"]) != set(logs):
+            raise AssertionError(f"txn {k} does not pin every table")
+
+    def _label(name):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "tbl", pa.array([name] * b.num_rows, type=pa.string())
+            )
+        return f
+
+    out = None
+    for name in logs:
+        ds = read_lake(table_dir(db, name), columns=_KEY_COLS).select_columns(
+            _KEY_COLS
+        ).map_batches(_label(name), batch_format="pyarrow")
+        out = ds if out is None else out.union(ds)
+    return out
 
 
 @register_query(
