@@ -91,6 +91,41 @@ def unify_types(a: pa.DataType, b: pa.DataType) -> pa.DataType | None:
             return pa.float64()
         if x in _UINT_ORDER and _UINT_ORDER[x] <= 32 and y == pa.float64():
             return pa.float64()
+    if pa.types.is_struct(a) and pa.types.is_struct(b):
+        # Nested-additive struct evolution: union of the field sets,
+        # common fields unified RECURSIVELY (a producer may add a field
+        # to a struct column mid-stream exactly like a top-level column;
+        # conform_table null-fills the missing field for older rows).
+        # Field order: a's fields, then b-only fields in b's order.
+        b_fields = {f.name: f for f in b}
+        fields = []
+        for f in a:
+            other = b_fields.get(f.name)
+            if other is None:
+                fields.append(f)
+                continue
+            u = unify_types(f.type, other.type)
+            if u is None:
+                return None
+            fields.append(pa.field(f.name, u))
+        a_names = {f.name for f in a}
+        fields += [f for f in b if f.name not in a_names]
+        return pa.struct(fields)
+    a_list = pa.types.is_list(a) or pa.types.is_large_list(a)
+    b_list = pa.types.is_list(b) or pa.types.is_large_list(b)
+    if a_list and b_list:
+        elem = unify_types(a.value_type, b.value_type)
+        if elem is None:
+            return None
+        if pa.types.is_large_list(a) or pa.types.is_large_list(b):
+            return pa.large_list(elem)
+        return pa.list_(elem)
+    if pa.types.is_map(a) and pa.types.is_map(b):
+        k = unify_types(a.key_type, b.key_type)
+        v = unify_types(a.item_type, b.item_type)
+        if k is None or v is None:
+            return None
+        return pa.map_(k, v)
     return None
 
 
@@ -128,6 +163,27 @@ def negotiate(prev: pa.Schema | None, new: pa.Schema) -> pa.Schema:
     return pa.schema(fields)
 
 
+def _conform_column(col: pa.ChunkedArray | pa.Array, target: pa.DataType):
+    """Cast a column to a (recursively) unified target type. Arrow's
+    ``cast`` covers every scalar widening but refuses struct→wider-struct
+    (pyarrow 16 requires identical field sets), so struct columns are
+    rebuilt field-by-field with typed-null fill for added fields."""
+    if col.type == target:
+        return col
+    if pa.types.is_struct(col.type) and pa.types.is_struct(target):
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        have = {f.name for f in col.type}
+        children = [
+            _conform_column(arr.field(f.name), f.type)
+            if f.name in have
+            else pa.nulls(len(arr), type=f.type)
+            for f in target
+        ]
+        mask = arr.is_null() if arr.null_count else None
+        return pa.StructArray.from_arrays(children, fields=list(target), mask=mask)
+    return col.cast(target)
+
+
 def conform_table(table: pa.Table, target: pa.Schema) -> pa.Table:
     """Conform a batch/base table to ``target``: inject missing columns as
     typed nulls and order columns as ``target``. Extra columns in the
@@ -142,7 +198,7 @@ def conform_table(table: pa.Table, target: pa.Schema) -> pa.Table:
         if f.name in table.column_names:
             col = table.column(f.name)
             if col.type != f.type:
-                col = col.cast(f.type)
+                col = _conform_column(col, f.type)
             cols.append(col)
         else:
             cols.append(pa.nulls(n, type=f.type))

@@ -67,6 +67,12 @@ class SynthConfig:
     # unknown op 'X', half a NULL repo key. The engine must dead-letter
     # them; the sequential oracle skips them by the same rule.
     bad_event_frac: float = 0.0
+    # Epoch index from which an additive `meta` STRUCT column appears
+    # (None → never); from struct_at_epoch+1 the struct itself gains a
+    # `forks` field — exercises recursive (nested-additive) schema
+    # negotiation. Deterministic pure functions of seq:
+    # stars=(seq*31)%97, license by seq%3, forks=(seq*17)%53.
+    struct_at_epoch: int | None = None
 
 
 def _load_doc_bases(sf_dir: str, max_chars: int):
@@ -195,11 +201,29 @@ def synth_changelog(sf_dir: str, out_dir: str, cfg: SynthConfig | None = None, *
             cols["price"] = np.array(
                 [Decimal(int(c)) / 100 for c in cents], dtype=object
             )
+        col_type = {"price": pa.decimal128(12, 2)}
+        if cfg.struct_at_epoch is not None and k >= cfg.struct_at_epoch:
+            licenses = ("mit", "apache-2.0", "gpl-3.0")
+            with_forks = k >= cfg.struct_at_epoch + 1
+            meta_fields = [("stars", pa.int64()), ("license", pa.string())]
+            if with_forks:
+                meta_fields.append(("forks", pa.int64()))
+            cols["meta"] = np.array(
+                [
+                    {
+                        "stars": int(s * 31) % 97,
+                        "license": licenses[int(s) % 3],
+                        **({"forks": int(s * 17) % 53} if with_forks else {}),
+                    }
+                    for s in cols["seq"]
+                ],
+                dtype=object,
+            )
+            col_type["meta"] = pa.struct(meta_fields)
         order = np.arange(n)
         if cfg.shuffle_within_epochs:
             rng = np.random.default_rng(cfg.seed * 1_000_003 + k)
             rng.shuffle(order)
-        col_type = {"price": pa.decimal128(12, 2)}
         if "size_bytes" in cols:
             col_type["size_bytes"] = sb_type
         table = pa.table(

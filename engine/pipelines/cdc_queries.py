@@ -113,6 +113,64 @@ def q_cdc_lsm_delta(sf_dir):
     return read_lake(lake_d, columns=["repo", "path", "content_sha256", "seq", "size_bytes"]).select_columns(["repo", "path", "content_sha256", "seq", "size_bytes"])
 
 
+CFG_STRUCT = SynthConfig(seed=31, n_events=6000, n_epochs=3, n_keys=1200,
+                         struct_at_epoch=1)
+_E_STRUCT = sqloracle.epoch_size(CFG_STRUCT)
+
+
+@register_query(
+    "q_cdc_struct_state",
+    oracle=sqloracle.lww_state_sql(
+        CFG_STRUCT,
+        _KEY_COLS + ["stars", "license", "forks"],
+        extra={
+            "stars": (
+                f"CASE WHEN seq >= {_E_STRUCT} "
+                "THEN CAST((seq * 31) % 97 AS BIGINT) END"
+            ),
+            "license": (
+                f"CASE WHEN seq >= {_E_STRUCT} THEN (CASE seq % 3 "
+                "WHEN 0 THEN 'mit' WHEN 1 THEN 'apache-2.0' "
+                "ELSE 'gpl-3.0' END) END"
+            ),
+            "forks": (
+                f"CASE WHEN seq >= {2 * _E_STRUCT} "
+                "THEN CAST((seq * 17) % 53 AS BIGINT) END"
+            ),
+        },
+    ),
+)
+def q_cdc_struct_state(sf_dir):
+    """Nested-additive schema evolution end-to-end: a STRUCT payload
+    column (``meta``) appears mid-stream and then gains a field one
+    epoch later (engine/cdc/schema.py recursive unify + struct-rebuild
+    conform). Returns the replayed final state with the struct
+    flattened; the oracle mirrors each struct field as its seq-gated
+    pure function over the SQL changelog (a pre-struct winner flattens
+    to NULLs exactly like the seq-gated CASE)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    work = _replayed_lake(sf_dir)
+    lake = f"{work}/lake_struct"
+    if not os.path.exists(lake):
+        log = synth_changelog(sf_dir, f"{work}/log_struct", CFG_STRUCT)
+        replay(log, lake, ReplayConfig(num_partitions=16, num_salts=2))
+
+    def _flatten(b: pa.Table) -> pa.Table:
+        meta = b.column("meta")
+        for name in ("stars", "license", "forks"):
+            b = b.append_column(name, pc.struct_field(meta, name))
+        return b.drop_columns(["meta"])
+
+    cols = _KEY_COLS + ["stars", "license", "forks"]
+    return (
+        read_lake(lake, columns=_KEY_COLS + ["meta"])
+        .map_batches(_flatten, batch_format="pyarrow")
+        .select_columns(cols)
+    )
+
+
 @register_query(
     "q_cdc_patch_state", oracle=sqloracle.patch_state_sql(CFG_PATCH, _KEY_COLS)
 )

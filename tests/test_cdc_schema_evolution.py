@@ -201,3 +201,89 @@ def test_decimal_payload_column_negotiates_and_replays(tmp_path, sf_dir):
     replay(log, lake_d, ReplayConfig(num_partitions=8, num_salts=2,
                                      write_mode="delta"))
     assert state_hash(lake_d) == state_hash(lake)
+
+
+def test_unify_types_nested_lattice():
+    """Struct/list/map unification is recursive and additive: structs
+    take the union of fields (common fields unified losslessly), lists
+    unify element types (large_list wins), maps unify key+item;
+    struct↔scalar and lossy nested changes stay rejected."""
+    import pyarrow as pa
+
+    from engine.cdc.schema import unify_types
+
+    s2 = pa.struct([("stars", pa.int64()), ("license", pa.string())])
+    s3 = pa.struct(
+        [("stars", pa.int64()), ("license", pa.string()), ("forks", pa.int64())]
+    )
+    s_narrow = pa.struct([("stars", pa.int32()), ("license", pa.string())])
+    s_lossy = pa.struct([("stars", pa.string())])
+    cases = [
+        (s2, s3, s3),                     # additive field
+        (s_narrow, s3, s3),               # added field + widened field
+        (s2, s2, s2),
+        (s2, pa.null(), s2),
+        (s2, s_lossy, None),              # int64 vs string inside: lossy
+        (s2, pa.int64(), None),           # struct vs scalar
+        (pa.list_(pa.int32()), pa.list_(pa.int64()), pa.list_(pa.int64())),
+        (pa.list_(pa.int32()), pa.large_list(pa.int64()),
+         pa.large_list(pa.int64())),
+        (pa.list_(pa.string()), pa.list_(pa.int64()), None),
+        (pa.map_(pa.string(), pa.int32()), pa.map_(pa.string(), pa.int64()),
+         pa.map_(pa.string(), pa.int64())),
+        # Nested struct-in-list unifies recursively too.
+        (pa.list_(s2), pa.list_(s3), pa.list_(s3)),
+    ]
+    for a, b, want in cases:
+        assert unify_types(a, b) == want == unify_types(b, a), (a, b)
+
+
+def test_struct_payload_column_negotiates_and_replays(tmp_path, sf_dir):
+    """A struct payload column appearing mid-stream — and then GAINING A
+    FIELD one epoch later (nested-additive evolution) — must negotiate,
+    backfill as null at both levels, and replay to the sequential
+    oracle's state in both LSM write modes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    log = synth_changelog(
+        sf_dir, f"{tmp_path}/log_struct",
+        SynthConfig(seed=9, n_events=2400, n_epochs=3, n_keys=400,
+                    struct_at_epoch=1),
+    )
+    lake = f"{tmp_path}/lake_struct"
+    replay(log, lake, ReplayConfig(num_partitions=8, num_salts=2))
+    assert state_hash(lake) == oracle_state_hash(log)
+    t = lake_table(lake)
+    assert t.schema.field("meta").type == pa.struct(
+        [("stars", pa.int64()), ("license", pa.string()), ("forks", pa.int64())]
+    )
+    epoch_size = 800
+    seq = t.column("seq")
+    early = t.filter(pc.less(seq, epoch_size))
+    mid = t.filter(
+        pc.and_(pc.greater_equal(seq, epoch_size), pc.less(seq, 2 * epoch_size))
+    )
+    late = t.filter(pc.greater_equal(seq, 2 * epoch_size))
+    assert early.num_rows and mid.num_rows and late.num_rows
+    # Pre-struct winners: whole struct null; epoch-1 winners: struct set
+    # but the later-added forks field null; epoch-2 winners: fully set.
+    assert early.column("meta").null_count == early.num_rows
+    m_mid = mid.column("meta").combine_chunks()
+    assert m_mid.null_count == 0
+    assert m_mid.field("forks").null_count == mid.num_rows
+    m_late = late.column("meta").combine_chunks()
+    assert m_late.null_count == 0 and m_late.field("forks").null_count == 0
+    licenses = ("mit", "apache-2.0", "gpl-3.0")
+    for row in late.select(["seq", "meta"]).to_pylist()[:50]:
+        s = row["seq"]
+        assert row["meta"] == {
+            "stars": (s * 31) % 97,
+            "license": licenses[s % 3],
+            "forks": (s * 17) % 53,
+        }
+
+    lake_d = f"{tmp_path}/lake_struct_delta"
+    replay(log, lake_d, ReplayConfig(num_partitions=8, num_salts=2,
+                                     write_mode="delta"))
+    assert state_hash(lake_d) == state_hash(lake)
