@@ -1050,13 +1050,39 @@ def q_seq_chunks(sf_dir):
     return chunk_documents(ds, "text", "doc_id", max_tokens=32)
 
 
-@register_query("q_seq_pack")  # greedy reset-on-overflow — not SQL-expressible;
-# self-checking (raises on over-budget multi-doc bins or lost docs)
+@register_query(
+    "q_seq_pack",
+    # Greedy reset-on-overflow packing IS SQL-expressible as a recursive
+    # CTE advancing one doc-rank per iteration in lockstep across langs
+    # (exact integer fold — validated against a sequential Python mirror).
+    # Recursion depth = max docs per lang: sub-second at the driver's
+    # sf0.01, ~35 s at sf0.1 (oracle-side cost only; the engine streams).
+    oracle="""WITH RECURSIVE t AS (
+  SELECT lang, doc_id,
+         CAST(length(text) - length(replace(text,' ','')) + 1 AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+), r AS (
+  SELECT lang, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin_idx, n_tokens AS running
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.lang, t.doc_id, t.n_tokens, t.rn,
+         CASE WHEN r.running + t.n_tokens > 256 THEN r.bin_idx + 1 ELSE r.bin_idx END,
+         CASE WHEN r.running + t.n_tokens > 256 THEN t.n_tokens ELSE r.running + t.n_tokens END
+  FROM r JOIN t ON t.lang = r.lang AND t.rn = r.rn + 1
+)
+SELECT lang, doc_id, bin_idx,
+       CAST(SUM(n_tokens) OVER (PARTITION BY lang, bin_idx) AS BIGINT) AS bin_tokens
+FROM r""",
+)
 def q_seq_pack(sf_dir):
     """Sequence packing: greedy in-order binning of documents into
     256-token training sequences, one stream per language, doc_id order
     (deterministic at any parallelism). The sequential greedy loop sees
-    only token counts; text never crosses the exchange."""
+    only token counts; text never crosses the exchange. Value-hash
+    checked against a recursive-CTE SQL mirror of the same fold (plus
+    the engine-side over-budget/lost-doc self-check)."""
     from engine.ops.sequence import pack_sequences
     from engine.ops.text import text_stats
 
