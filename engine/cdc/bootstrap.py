@@ -158,6 +158,18 @@ def replicate(
                 rename_column(dst_lake, old_name, new_name)
                 dst_m = sink.read_manifest(dst_lake)
                 dst_schema = sink.schema_from_b64(dst_m["schema_b64"])
+    # ... and any drop (the source's cumulative column_drops tombstones),
+    # after renames — tombstones store post-rename names.
+    src_drops = target.get("column_drops") or []
+    if src_drops:
+        from engine.cdc.maintain import drop_column
+
+        dst_schema = sink.schema_from_b64(dst_m["schema_b64"])
+        for name in src_drops:
+            if name in dst_schema.names:
+                drop_column(dst_lake, name)
+                dst_m = sink.read_manifest(dst_lake)
+                dst_schema = sink.schema_from_b64(dst_m["schema_b64"])
     cf = changefeed(src_lake, from_epoch=at, to_epoch=target_v)
     # The feed STREAMS into the ordinary epoch machinery — never pulled
     # to the driver (a busy interval's delta can be arbitrarily large).
@@ -214,6 +226,7 @@ def changefeed(
             lake_dir, from_epoch, to_epoch, parts_new, schema_new,
             event_schema, int(m_new["num_partitions"]),
             renames=m_new.get("column_renames"),
+            drops=m_new.get("column_drops"),
         )
     pids = sorted(set(parts_old) | set(parts_new))
     if not pids:
@@ -222,19 +235,23 @@ def changefeed(
         {"old": list(parts_old.get(p, [])), "new": list(parts_new.get(p, []))}
         for p in pids
     ]
-    # Align the OLD state across any rename boundary (the new manifest's
-    # cumulative map, maintain.rename_column) before conforming.
+    # Align the OLD state across any rename/drop boundary (the new
+    # manifest's cumulative pins) before conforming.
     renames = m_new.get("column_renames")
+    drops = m_new.get("column_drops")
 
     def _diff(batch: pa.Table) -> pa.Table:
-        from engine.cdc.schema import rename_table
+        from engine.cdc.schema import drop_table, rename_table
 
         out = []
         for old_rels, new_rels in zip(
             batch.column("old").to_pylist(), batch.column("new").to_pylist()
         ):
             old = conform_table(
-                rename_table(live_view(lake_dir, old_rels, schema_old), renames),
+                drop_table(
+                    rename_table(live_view(lake_dir, old_rels, schema_old), renames),
+                    drops,
+                ),
                 schema_new,
             )
             new = live_view(lake_dir, new_rels, schema_new)
@@ -338,6 +355,7 @@ def _changefeed_rekeyed(
     event_schema: pa.Schema,
     num_partitions: int,
     renames: dict | None = None,
+    drops: list | None = None,
 ) -> rd.Dataset:
     """Changefeed across a repartition boundary: stream the OLD state
     through one groupby(pid) exchange keyed at the NEW layout, then diff
@@ -355,9 +373,9 @@ def _changefeed_rekeyed(
     )
 
     def _key(t: pa.Table) -> pa.Table:
-        from engine.cdc.schema import rename_table
+        from engine.cdc.schema import drop_table, rename_table
 
-        t = conform_table(rename_table(t, renames), schema_new)
+        t = conform_table(drop_table(rename_table(t, renames), drops), schema_new)
         pid = stable_hash_column(t.column("repo"), num_partitions)
         t = t.append_column("pid", pa.array(pid, type=pa.int64()))
         return t.append_column("__m", pa.nulls(t.num_rows, pa.int8()).fill_null(0))

@@ -165,6 +165,12 @@ def _maintenance_commit(
                 if prev.get("column_renames")
                 else {}
             ),
+            # ... and the column-drop tombstones (drop_column).
+            **(
+                {"column_drops": prev["column_drops"]}
+                if prev.get("column_drops")
+                else {}
+            ),
             **(extra_pins or {}),
         },
     )
@@ -206,8 +212,18 @@ def backfill(lake_dir: str, column: str, fn, dtype: pa.DataType | None = None) -
             t = t.add_column(idx, target_lake.field(column), arr)
         return t
 
+    # Backfill of a drop-tombstoned name is the explicit re-add path:
+    # clear the tombstone so later change events carrying the column
+    # apply again (a producer that never stopped emitting the OLD
+    # column will now write into the re-added one — inherent to name
+    # reuse; pick a fresh name to avoid it).
+    extra_pins = None
+    drops = prev.get("column_drops") or []
+    if column in drops:
+        extra_pins = {"column_drops": [d for d in drops if d != column]}
     return _maintenance_commit(
-        lake_dir, _transform, new_event_schema, label=f"backfill:{column}"
+        lake_dir, _transform, new_event_schema, label=f"backfill:{column}",
+        extra_pins=extra_pins,
     )
 
 
@@ -242,6 +258,14 @@ def rename_column(lake_dir: str, old: str, new: str) -> dict:
         raise ValueError(f"no column {old!r} in the lake schema")
     if new in event_schema.names:
         raise ValueError(f"column {new!r} already exists")
+    if new in (prev.get("column_drops") or []):
+        # Renaming ONTO a tombstoned name is ambiguous: producers still
+        # emitting the dropped column would have those stale values read
+        # as the renamed column's. Re-adding a dropped name is backfill's
+        # explicit job.
+        raise ValueError(
+            f"column {new!r} is drop-tombstoned; backfill(dtype=) re-adds it explicitly"
+        )
     new_event_schema = pa.schema(
         [pa.field(new, f.type) if f.name == old else f for f in event_schema]
     )
@@ -266,6 +290,60 @@ def rename_column(lake_dir: str, old: str, new: str) -> dict:
             "column_renames": renames,
             **({"summary_spec": spec} if spec else {}),
         },
+    )
+
+
+def drop_column(lake_dir: str, column: str) -> dict:
+    """ALTER-style column drop as one maintenance version (the
+    non-additive-evolution counterpart of :func:`rename_column`): every
+    partition is rewritten without the column, the event schema pin
+    shrinks, and the name joins the CUMULATIVE ``column_drops`` tombstone
+    list pinned in the manifest. The pin makes the drop visible to:
+
+    - **ingestion** — later changelog epochs may still carry the dropped
+      column; prepare discards it AFTER applying the rename map
+      (tombstones store current names), so negotiate never re-adds it
+      additively and resume stays exact (engine/cdc/parse.py);
+    - **changefeed** — a feed spanning the drop aligns the old version's
+      state by dropping the column before conforming
+      (engine/cdc/bootstrap.py), and ``replicate`` replays the drop on
+      the replica as DDL before applying the feed;
+    - **re-add** — ``backfill(column, dtype=)`` clears the tombstone
+      explicitly; ``rename_column`` ONTO a tombstoned name is rejected.
+
+    Key/meta/engine-managed columns (repo, path, seq, op, content,
+    content_sha256) cannot be dropped, and a column referenced by the
+    pinned ``summary_spec`` must have its metric retired first (the
+    incremental summary fold could no longer be maintained)."""
+    prev = sink.read_manifest(lake_dir)
+    if prev is None:
+        raise FileNotFoundError(f"no committed manifest under {lake_dir}")
+    protected = ("repo", "path", "seq", "op", "content", "content_sha256")
+    if column in protected:
+        raise ValueError(f"cannot drop {column!r}: engine-managed/key column")
+    event_schema = sink.schema_from_b64(prev["schema_b64"])
+    if column not in event_schema.names:
+        raise ValueError(f"no column {column!r} in the lake schema")
+    for m in prev.get("summary_spec") or []:
+        if m.get("col") == column:
+            raise ValueError(
+                f"column {column!r} is referenced by pinned summary metric "
+                f"{m.get('name')!r}; cannot drop"
+            )
+    new_event_schema = pa.schema([f for f in event_schema if f.name != column])
+
+    def _transform(t: pa.Table) -> pa.Table:
+        return t.drop_columns([column]) if column in t.column_names else t
+
+    # The tombstone stores the CURRENT name; existing rename entries
+    # pointing at it stay — an old-name event renames onto the dropped
+    # name first, then the drop discards it (same logical column).
+    drops = list(prev.get("column_drops") or [])
+    if column not in drops:
+        drops.append(column)
+    return _maintenance_commit(
+        lake_dir, _transform, new_event_schema, label=f"drop:{column}",
+        extra_pins={"column_drops": drops},
     )
 
 
@@ -423,6 +501,11 @@ def repartition(lake_dir: str, num_partitions: int) -> dict:
                 if prev.get("column_renames")
                 else {}
             ),
+            **(
+                {"column_drops": prev["column_drops"]}
+                if prev.get("column_drops")
+                else {}
+            ),
         },
     )
     from engine.cdc.replay import _write_lineage
@@ -489,6 +572,8 @@ def main(argv: list[str] | None = None) -> None:
     rn = sub.add_parser("rename", help="ALTER-style column rename")
     rn.add_argument("--column", required=True, help="old name")
     rn.add_argument("--to", required=True, help="new name")
+    dp = sub.add_parser("drop", help="ALTER-style column drop")
+    dp.add_argument("--column", required=True)
     args = ap.parse_args(argv)
     if args.op != "clone" and not ray.is_initialized():
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
@@ -498,6 +583,8 @@ def main(argv: list[str] | None = None) -> None:
         m = repartition(args.lake_dir, args.partitions)
     elif args.op == "rename":
         m = rename_column(args.lake_dir, args.column, args.to)
+    elif args.op == "drop":
+        m = drop_column(args.lake_dir, args.column)
     else:
         from engine.cdc.clone import clone_lake
 

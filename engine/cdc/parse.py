@@ -47,6 +47,7 @@ class PrepareEvents:
         epoch: int = 0,
         update_mode: str = "row",
         renames_json: str | None = None,
+        drops_json: str | None = None,
     ):
         import json
 
@@ -61,6 +62,10 @@ class PrepareEvents:
         # Pinned column-rename map (maintain.rename_column): events may
         # still carry pre-rename names; map them before conforming.
         self.renames = json.loads(renames_json) if renames_json else None
+        # Pinned column-drop tombstones (maintain.drop_column): events may
+        # still carry dropped columns; discard them (after renaming — the
+        # tombstones store current names) or negotiate would re-add them.
+        self.drops = json.loads(drops_json) if drops_json else None
 
     def _validate(self, batch: pa.Table) -> pa.Table:
         ok = pc.is_in(batch.column("op"), value_set=pa.array(OPS))
@@ -80,6 +85,10 @@ class PrepareEvents:
             from engine.cdc.schema import rename_table
 
             batch = rename_table(batch, self.renames)
+        if self.drops:
+            from engine.cdc.schema import drop_table
+
+            batch = drop_table(batch, self.drops)
         batch = self._validate(batch)
         batch = conform_table(batch, self.target_schema)
         batch = assign_partitions(batch, self.num_partitions, self.num_salts)

@@ -38,7 +38,7 @@ import ray
 from engine.cdc import sink, tailer
 from engine.cdc.merge import MergeApply, lww_collapse, merge_apply_group
 from engine.cdc.parse import prepare_batch
-from engine.cdc.schema import negotiate, rename_schema
+from engine.cdc.schema import drop_schema, negotiate, rename_schema
 from engine.schemas import LINEAGE_SCHEMA
 
 
@@ -158,13 +158,14 @@ def _shuffle_ctx(cfg: ReplayConfig):
 
 
 def build_winners(log, lake_dir: str, epoch: int, cfg: ReplayConfig, target_b64: str,
-                  renames: dict | None = None):
+                  renames: dict | None = None, drops: list | None = None):
     """The commit-independent half of an epoch: tail → prepare (validate/
     conform/partition/per-batch LWW) → (pid, salt) shuffle → sub-LWW.
     Safe to run before earlier epochs have committed. ``log`` is a path
     or any changelog source (tailer.as_source). ``renames`` is the lake's
     pinned column-rename map (maintain.rename_column) applied to event
-    batches before conforming."""
+    batches before conforming; ``drops`` the pinned column-drop
+    tombstones (maintain.drop_column) discarded after renaming."""
     import json as _json
 
     src = tailer.as_source(log)
@@ -179,6 +180,7 @@ def build_winners(log, lake_dir: str, epoch: int, cfg: ReplayConfig, target_b64:
             epoch=epoch,
             update_mode=cfg.update_mode,
             renames_json=_json.dumps(renames, sort_keys=True) if renames else None,
+            drops_json=_json.dumps(sorted(drops)) if drops else None,
         ),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
@@ -397,6 +399,12 @@ def merge_and_commit(
                 if prev_manifest and prev_manifest.get("column_renames")
                 else {}
             ),
+            # ... and the column-drop tombstones (maintain.drop_column).
+            **(
+                {"column_drops": prev_manifest["column_drops"]}
+                if prev_manifest and prev_manifest.get("column_drops")
+                else {}
+            ),
         },
     )
     _write_lineage(lake_dir, epoch, reports)
@@ -434,11 +442,13 @@ def run_epoch(
         sink.schema_from_b64(prev_manifest["schema_b64"]) if prev_manifest else None
     )
     renames = (prev_manifest or {}).get("column_renames")
+    drops = (prev_manifest or {}).get("column_drops")
     target = negotiate(
-        prev_schema, rename_schema(src.epoch_schema(epoch), renames)
+        prev_schema,
+        drop_schema(rename_schema(src.epoch_schema(epoch), renames), drops),
     )  # M11
     winners = build_winners(
-        src, lake_dir, epoch, cfg, sink.schema_to_b64(target), renames
+        src, lake_dir, epoch, cfg, sink.schema_to_b64(target), renames, drops
     )
     v = version if version is not None else epoch
     return merge_and_commit(
@@ -581,17 +591,19 @@ def _replay_available(
         # to every incoming epoch: producers may still emit pre-rename
         # names after a lake-side ALTER.
         renames = manifest.get("column_renames") if manifest else None
+        drops = manifest.get("column_drops") if manifest else None
         targets: dict[int, pa.Schema] = {}
         prev_schema = sink.schema_from_b64(manifest["schema_b64"]) if manifest else None
         for k in todo:
             prev_schema = negotiate(
-                prev_schema, rename_schema(src.epoch_schema(k), renames)
+                prev_schema,
+                drop_schema(rename_schema(src.epoch_schema(k), renames), drops),
             )
             targets[k] = prev_schema
 
         def _prefetch(k: int):
             return build_winners(
-                src, lake_dir, k, cfg, sink.schema_to_b64(targets[k]), renames
+                src, lake_dir, k, cfg, sink.schema_to_b64(targets[k]), renames, drops
             ).materialize()
 
         with ThreadPoolExecutor(max_workers=1) as pool:
@@ -602,7 +614,8 @@ def _replay_available(
                     winners = pending[1].result()
                 else:
                     winners = build_winners(
-                        src, lake_dir, k, cfg, sink.schema_to_b64(targets[k]), renames
+                        src, lake_dir, k, cfg, sink.schema_to_b64(targets[k]),
+                        renames, drops,
                     )
                 pending = None
                 if cfg.pipeline_epochs and i + 1 < len(todo):

@@ -239,3 +239,25 @@ def rename_table(table: pa.Table, renames: dict | None) -> pa.Table:
         for n in table.column_names
     ]
     return table.rename_columns(new_names) if new_names != table.column_names else table
+
+
+def drop_schema(schema: pa.Schema, drops: list | None) -> pa.Schema:
+    """Apply the lake's pinned column-drop tombstones
+    (maintain.drop_column) to an EVENT schema: a producer still emitting
+    a dropped column has it discarded rather than re-added additively by
+    :func:`negotiate`. Applied AFTER :func:`rename_schema` (the pin
+    stores current names). Key/meta columns are never droppable, so no
+    guard is needed here."""
+    if not drops:
+        return schema
+    dead = set(drops)
+    return pa.schema([f for f in schema if f.name not in dead])
+
+
+def drop_table(table: pa.Table, drops: list | None) -> pa.Table:
+    """Table twin of :func:`drop_schema` (event batches / old lake
+    versions read across a drop boundary)."""
+    if not drops:
+        return table
+    dead = [n for n in table.column_names if n in set(drops)]
+    return table.drop_columns(dead) if dead else table
