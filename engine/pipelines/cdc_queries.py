@@ -652,6 +652,47 @@ def q_cdc_backfill(sf_dir):
 
 
 @register_query(
+    "q_cdc_drop_state",
+    # A mid-stream drop equals dropping at the END under row-LWW (the
+    # dropped column's values never influence any other column), so the
+    # oracle is the ordinary SQL changelog mirror without 'lang'.
+    oracle=sqloracle.lww_state_sql(CFG_MAIN, _KEY_COLS + ["size_bytes"]),
+)
+def q_cdc_drop_state(sf_dir):
+    """Non-additive schema evolution end-to-end, oracle-checked: replay
+    part of the changelog, DROP a payload column (one maintenance
+    version pinning the tombstone; changelog position unchanged), resume
+    — the remaining epoch's events still carry the column and must have
+    it discarded via the pin, never re-added additively
+    (engine/cdc/maintain.py::drop_column, schema.py::drop_schema)."""
+    from engine.cdc import sink
+    from engine.cdc.maintain import drop_column
+    from engine.cdc.verify import canonical_digest, lake_table, read_lake
+
+    work = _replayed_lake(sf_dir)
+    lake_d = f"{work}/lake_drop"
+    cfg = ReplayConfig(num_partitions=16, num_salts=2)
+    if not os.path.exists(lake_d):
+        replay(f"{work}/log", lake_d, cfg, max_epoch=1)
+        drop_column(lake_d, "lang")
+        out = replay(f"{work}/log", lake_d, cfg)
+        if out["epochs_run"] != [2]:
+            raise AssertionError(f"resume after drop ran {out['epochs_run']}")
+    m = sink.read_manifest(lake_d)
+    if m.get("column_drops") != ["lang"]:
+        raise AssertionError(f"tombstone pin lost: {m.get('column_drops')}")
+    t = lake_table(lake_d)
+    if "lang" in t.column_names:
+        raise AssertionError("dropped column re-appeared after resume")
+    got = canonical_digest(t)
+    ref = canonical_digest(lake_table(f"{work}/lake"), exclude=("content", "lang"))
+    if got != ref:
+        raise AssertionError(f"drop lake diverged: {got} != {ref}")
+    cols = ["repo", "path", "content_sha256", "seq", "size_bytes"]
+    return read_lake(lake_d, columns=cols).select_columns(cols)
+
+
+@register_query(
     "q_cdc_multi_table",
     oracle=(
         "SELECT * FROM ("
