@@ -132,6 +132,30 @@ def test_backfill_readds_dropped_name_and_clears_tombstone(tmp_path, sf_dir):
             assert got_lang is None  # backfilled
 
 
+def test_drop_on_patch_mode_lake(tmp_path, sf_dir):
+    """Column-mode (patch) lake × drop: each payload column folds
+    independently and the row seq is the latest post-barrier I/U seq
+    regardless of payload, so a patch whose only change was the dropped
+    column becomes a seq-bump no-op — mid-stream drop still equals
+    drop-at-end, and both pins (update_mode, column_drops) must survive a
+    resume with the caller's DEFAULT row-mode config."""
+    log = synth_changelog(
+        sf_dir, f"{tmp_path}/log_patch",
+        SynthConfig(seed=33, n_events=2500, n_epochs=3, n_keys=500,
+                    op_mix=(30, 60, 10), patch_null_frac=0.5),
+    )
+    lake, ref = f"{tmp_path}/lake_patch", f"{tmp_path}/ref_patch"
+    replay(log, ref, ReplayConfig(**CFG, update_mode="column"))
+    drop_column(ref, "lang")
+    replay(log, lake, ReplayConfig(**CFG, update_mode="column"), max_epoch=1)
+    drop_column(lake, "lang")
+    replay(log, lake, ReplayConfig(**CFG))  # default cfg: pins must win
+    m = sink.read_manifest(lake)
+    assert m["update_mode"] == "column"
+    assert m["column_drops"] == ["lang"]
+    assert state_hash(lake) == state_hash(ref)
+
+
 def test_replicate_follows_source_through_drop(tmp_path, sf_dir):
     """Changefeed DDL replication: a replica caught up pre-drop must
     follow the source through drop + further epochs and stay
