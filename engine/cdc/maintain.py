@@ -574,7 +574,14 @@ def main(argv: list[str] | None = None) -> None:
     rn.add_argument("--to", required=True, help="new name")
     dp = sub.add_parser("drop", help="ALTER-style column drop")
     dp.add_argument("--column", required=True)
+    sub.add_parser("history", help="DESCRIBE HISTORY: one line per retained version")
     args = ap.parse_args(argv)
+    if args.op == "history":  # metadata-only, no Ray
+        from engine.cdc.verify import lake_history
+
+        for row in lake_history(args.lake_dir).to_pylist():
+            print(json.dumps(row))
+        return
     if args.op != "clone" and not ray.is_initialized():
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     if args.op == "compact":

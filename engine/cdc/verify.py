@@ -99,6 +99,48 @@ def state_hash(lake_dir: str, epoch: int | None = None) -> str:
     return canonical_digest(lake_table(lake_dir, epoch))
 
 
+def lake_history(lake_dir: str) -> pa.Table:
+    """DESCRIBE-HISTORY over the committed manifests (the lakehouse
+    audit log): one row per retained version — kind ('replay' or the
+    maintenance label), changelog position, wall seconds, per-version
+    lineage totals (events/rows/bytes), partitions touched, and the
+    manifest pins (P, update_mode). Driver-side metadata only: reads the
+    manifest JSONs, never a data file; versions reclaimed by vacuum
+    retention are simply absent."""
+    import os
+
+    mdir = os.path.join(lake_dir, sink.MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        raise FileNotFoundError(f"no manifest dir under {lake_dir}")
+    versions = sorted(
+        int(n[len("epoch-"):-len(".json")])
+        for n in os.listdir(mdir)
+        if n.startswith("epoch-") and n.endswith(".json")
+    )
+    rows = []
+    for v in versions:
+        m = sink.read_manifest(lake_dir, v)
+        lin = m.get("lineage") or []
+        rows.append(
+            {
+                "version": v,
+                "kind": m.get("maintenance") or "replay",
+                "changelog_pos": sink.changelog_pos(m),
+                "wall_s": float(m.get("wall_s") or 0.0),
+                "events_in": sum(int(r.get("events_in", 0)) for r in lin),
+                "rows_out": sum(int(r.get("rows_out", 0)) for r in lin),
+                "bytes_written": sum(int(r.get("bytes_written", 0)) for r in lin),
+                "partitions_touched": len(lin),
+                "num_partitions": m.get("num_partitions"),
+                "update_mode": m.get("update_mode") or "row",
+                "n_columns": len(sink.schema_from_b64(m["schema_b64"]).names),
+            }
+        )
+    return pa.Table.from_pylist(rows) if rows else pa.table(
+        {"version": pa.array([], pa.int64())}
+    )
+
+
 def lake_lookup(
     lake_dir: str, repo: str, path: str | None = None, epoch: int | None = None
 ) -> pa.Table:

@@ -276,3 +276,57 @@ def test_maintenance_carries_update_mode_pin(tmp_path, sf_dir):
     replay(log, lake, ReplayConfig(**CFG))
     assert sink.read_manifest(lake)["update_mode"] == "column"
     assert state_hash(lake) == oracle_state_hash(log, update_mode="column")
+
+
+def test_lake_history_audit_log(tmp_path, sf_dir):
+    """lake_history (DESCRIBE HISTORY) reads the version chain straight
+    off the committed manifests: kinds in operation order, changelog_pos
+    advancing only on replay versions, pins visible, per-version lineage
+    totals consistent, and the CLI prints one JSON line per version."""
+    import json as _json
+
+    from engine.cdc.maintain import drop_column, main as maintain_cli, rename_column, repartition
+    from engine.cdc.verify import lake_history
+
+    log = synth_changelog(
+        sf_dir, f"{tmp_path}/log_hist",
+        SynthConfig(seed=7, n_events=1800, n_epochs=2, n_keys=400),
+    )
+    lake = f"{tmp_path}/lake_hist"
+    replay(log, lake, ReplayConfig(**CFG), max_epoch=0)
+    compact(lake)
+    rename_column(lake, "lang", "language")
+    drop_column(lake, "language")
+    replay(log, lake, ReplayConfig(**CFG))  # epoch 1 resumes after DDL
+    repartition(lake, 4)
+    h = lake_history(lake).to_pylist()
+    assert [r["kind"] for r in h] == [
+        "replay", "compact", "rename:lang>language", "drop:language",
+        "replay", "repartition:4",
+    ]
+    assert [r["version"] for r in h] == list(range(6))
+    assert [r["changelog_pos"] for r in h] == [0, 0, 0, 0, 1, 1]
+    assert h[-1]["num_partitions"] == 4
+    assert all(r["update_mode"] == "row" for r in h)
+    # The drop version really shrank the schema by one column.
+    assert h[3]["n_columns"] == h[2]["n_columns"] - 1
+    # Replay versions carry events; pure-maintenance versions don't.
+    assert h[0]["events_in"] > 0 and h[4]["events_in"] > 0
+    assert h[1]["events_in"] == h[2]["events_in"] == h[3]["events_in"] == 0
+    # compact is a no-op version here (rewrite mode leaves one file per
+    # partition), so it touches nothing; every other version writes rows.
+    assert h[1]["partitions_touched"] == 0
+    assert all(r["rows_out"] > 0 for r in h if r["partitions_touched"] > 0)
+    assert {r["kind"] for r in h if r["partitions_touched"] > 0} == {
+        "replay", "rename:lang>language", "drop:language", "repartition:4",
+    }
+    # CLI twin: one JSON line per version (metadata-only, no Ray).
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        maintain_cli(["--lake-dir", lake, "history"])
+    lines = [l for l in buf.getvalue().splitlines() if l.strip()]
+    assert len(lines) == 6
+    assert _json.loads(lines[-1])["kind"] == "repartition:4"
