@@ -156,6 +156,65 @@ def test_drop_on_patch_mode_lake(tmp_path, sf_dir):
     assert state_hash(lake) == state_hash(ref)
 
 
+def test_ddl_chain_property(tmp_path, sf_dir):
+    """Hypothesis: ANY valid interleaved chain of renames/drops (no
+    re-add) over the payload columns, applied mid-stream with the rest
+    of the changelog still emitting ORIGINAL names, yields the same
+    state as the uninterrupted replay with the same chain applied at the
+    end — i.e. the rename map + drop tombstones compose associatively
+    with row-LWW replay."""
+    from hypothesis import assume, given, settings
+    from hypothesis import strategies as st
+
+    log = synth_changelog(
+        sf_dir, f"{tmp_path}/log_fuzz",
+        SynthConfig(seed=42, n_events=1200, n_epochs=2, n_keys=300),
+    )
+    case = [0]
+
+    ops_strategy = st.lists(
+        st.tuples(st.sampled_from(["rename", "drop"]), st.integers(0, 1)),
+        min_size=1, max_size=4,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(ops=ops_strategy)
+    def _check(ops):
+        cols = {0: "commit", 1: "lang"}  # logical column -> current name
+        applied = []
+        fresh = iter(f"col_{i}" for i in range(10))
+        for kind, idx in ops:
+            cur = cols.get(idx)
+            if cur is None:
+                continue  # already dropped — invalid op, skip
+            if kind == "rename":
+                new = next(fresh)
+                applied.append(("rename", cur, new))
+                cols[idx] = new
+            else:
+                applied.append(("drop", cur))
+                cols[idx] = None
+        assume(applied)
+        case[0] += 1
+        lake, ref = f"{tmp_path}/fz{case[0]}", f"{tmp_path}/fzr{case[0]}"
+
+        def run_chain(lk):
+            for op in applied:
+                if op[0] == "rename":
+                    rename_column(lk, op[1], op[2])
+                else:
+                    drop_column(lk, op[1])
+
+        replay(log, lake, ReplayConfig(**CFG), max_epoch=0)
+        run_chain(lake)
+        replay(log, lake, ReplayConfig(**CFG))  # epoch 1: original names
+        replay(log, ref, ReplayConfig(**CFG))
+        run_chain(ref)
+        assert state_hash(lake) == state_hash(ref)
+
+    _check()
+
+
 def test_replicate_follows_source_through_drop(tmp_path, sf_dir):
     """Changefeed DDL replication: a replica caught up pre-drop must
     follow the source through drop + further epochs and stay
