@@ -47,6 +47,7 @@ def _maintenance_commit(
     label: str = "maintenance",
     track_summary: bool = False,
     extra_pins: dict | None = None,
+    split_fn=None,
 ) -> dict:
     """Shared core: rewrite selected partitions through ``transform``
     (pa.Table → pa.Table, already in the NEW lake schema) and commit the
@@ -57,7 +58,15 @@ def _maintenance_commit(
     ``transform`` then returns ``(kept, removed)`` and the per-repo
     incremental summary is folded forward exactly like a merge epoch
     (so summary == full recompute stays true at every version); the
-    default carries the previous summary file (rows untouched)."""
+    default carries the previous summary file (rows untouched).
+
+    ``split_fn`` (pa.Table → list[pa.Table]) optionally splits each
+    rewritten partition into SEVERAL base files with KEY-DISJOINT row
+    subsets (cluster_by's sorted size-targeted slices) — sound for
+    live_view because an op-less base row never contends with another
+    base row of the same key, and each file gets its own zone-map entry
+    (that per-file granularity is the whole point: scan_lake skips
+    excluded base files individually)."""
     prev = sink.read_manifest(lake_dir)
     if prev is None:
         raise FileNotFoundError(f"no committed manifest under {lake_dir}")
@@ -84,25 +93,31 @@ def _maintenance_commit(
                     t, removed = t
                 if t.schema != lake_schema:
                     t = t.select(lake_schema.names).cast(lake_schema)
-                rel = os.path.join(
-                    "data", f"part={pid}",
-                    f"base-{version:05d}-{uuid.uuid4().hex[:12]}.parquet",
-                )
-                abs_path = os.path.join(lake_dir, rel)
-                os.makedirs(os.path.dirname(abs_path), exist_ok=True)
-                pq.write_table(t, abs_path)
+                pieces = split_fn(t) if split_fn is not None else [t]
+                rels, stats, nbytes = [], {}, 0
+                for piece in pieces:
+                    rel = os.path.join(
+                        "data", f"part={pid}",
+                        f"base-{version:05d}-{uuid.uuid4().hex[:12]}.parquet",
+                    )
+                    abs_path = os.path.join(lake_dir, rel)
+                    os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+                    pq.write_table(piece, abs_path)
+                    rels.append(rel)
+                    stats[rel] = file_stats(piece)
+                    nbytes += os.path.getsize(abs_path)
                 seqs = t.column("seq")
                 rows.append(
                     {
                         "pid": pid,
                         "epoch": version,
-                        "files": [rel],
+                        "files": rels,
                         "seq_lo": int(pc.min(seqs).as_py()) if t.num_rows else -1,
                         "seq_hi": int(pc.max(seqs).as_py()) if t.num_rows else -1,
                         "events_in": 0,
                         "upserts": 0,
                         "rows_out": t.num_rows,
-                        "bytes_written": os.path.getsize(abs_path),
+                        "bytes_written": nbytes,
                         "duration_s": time.monotonic() - tp,
                         "deletes": int(removed.num_rows) if removed is not None else 0,
                         "summary_delta": _summary_delta(
@@ -111,7 +126,7 @@ def _maintenance_commit(
                         )
                         if removed is not None
                         else "{}",
-                        "stats": json.dumps({rel: file_stats(t)}),
+                        "stats": json.dumps(stats),
                     }
                 )
             return pa.Table.from_pylist(rows)
@@ -529,6 +544,81 @@ def compact(lake_dir: str) -> dict:
     )
 
 
+def cluster_by(
+    lake_dir: str,
+    columns: list[str],
+    target_rows: int = 1 << 20,
+    num_files: int | None = None,
+) -> dict:
+    """OPTIMIZE-style sort-clustering as one maintenance version: rewrite
+    every partition's live view SORTED by ``columns`` and SPLIT into
+    size-targeted base files, so each file's manifest zone map
+    (``file_stats``) covers a narrow value range of the clustered
+    columns and ``scan_lake`` predicates on them skip most base files
+    without touching storage. Partition assignment (pid = hash(repo) % P)
+    is untouched — clustering reorders rows WITHIN partitions, zero
+    shuffle, one task per partition (the same scale shape as compact;
+    at any lake size the unit of work is one partition's live view).
+
+    - ``target_rows`` bounds rows per output file (``num_files``
+      overrides with an exact per-partition file count — tests/toy
+      lakes); the last slice absorbs the remainder.
+    - Ties sort by (repo, path) after ``columns``, so the rewrite is
+      deterministic and the state hash is invariant (live state is a
+      set; the canonical digest is layout-independent).
+    - Deltas are folded in by the rewrite (it reads the live view), so
+      the partition comes out delta-free; later epochs stack new deltas
+      on the FIRST base file's list as usual and the clustering decays
+      until the next run — run it after compaction windows, like any
+      OPTIMIZE job. ``compact`` merges the split files back to one.
+    - Clustering on ``content``/``content_sha256`` is rejected: zone
+      maps exclude oversized/opaque strings (merge.file_stats), so no
+      scan could ever prune on them.
+    - All lake-semantics pins (P, summary_spec, update_mode, renames,
+      drops) carry forward via the shared maintenance core; resume
+      after a cluster_by stays exact.
+    """
+    prev = sink.read_manifest(lake_dir)
+    if prev is None:
+        raise FileNotFoundError(f"no committed manifest under {lake_dir}")
+    if not columns:
+        raise ValueError("cluster_by needs at least one column")
+    event_schema = sink.schema_from_b64(prev["schema_b64"])
+    lake_schema = lake_schema_for(event_schema)
+    for c in columns:
+        if c in ("content", "content_sha256"):
+            raise ValueError(
+                f"cannot cluster on {c!r}: zone maps never index it, no scan could prune"
+            )
+        if c not in lake_schema.names:
+            raise ValueError(f"no column {c!r} in the lake schema")
+    if num_files is not None and num_files < 1:
+        raise ValueError(f"num_files must be >= 1, got {num_files}")
+    if target_rows < 1:
+        raise ValueError(f"target_rows must be >= 1, got {target_rows}")
+    keys = [(c, "ascending") for c in columns] + [
+        (k, "ascending") for k in ("repo", "path") if k not in columns
+    ]
+
+    def _transform(t: pa.Table) -> pa.Table:
+        return t.sort_by(keys)
+
+    def _split(t: pa.Table) -> list[pa.Table]:
+        n = t.num_rows
+        k = num_files if num_files is not None else max(1, -(-n // target_rows))
+        if n == 0 or k == 1:
+            return [t]
+        step = -(-n // k)
+        return [t.slice(off, step) for off in range(0, n, step)]
+
+    return _maintenance_commit(
+        lake_dir,
+        _transform,
+        label=f"cluster:{','.join(columns)}",
+        split_fn=_split,
+    )
+
+
 def retry_on_conflict(fn, attempts: int = 3):
     """Run a maintenance operation, rebasing on :class:`sink.CommitConflict`.
 
@@ -574,6 +664,9 @@ def main(argv: list[str] | None = None) -> None:
     rn.add_argument("--to", required=True, help="new name")
     dp = sub.add_parser("drop", help="ALTER-style column drop")
     dp.add_argument("--column", required=True)
+    cb = sub.add_parser("cluster", help="OPTIMIZE: sort-cluster + split for zone-map pruning")
+    cb.add_argument("--by", required=True, help="comma-separated cluster columns")
+    cb.add_argument("--target-rows", type=int, default=1 << 20)
     sub.add_parser("history", help="DESCRIBE HISTORY: one line per retained version")
     args = ap.parse_args(argv)
     if args.op == "history":  # metadata-only, no Ray
@@ -592,6 +685,10 @@ def main(argv: list[str] | None = None) -> None:
         m = rename_column(args.lake_dir, args.column, args.to)
     elif args.op == "drop":
         m = drop_column(args.lake_dir, args.column)
+    elif args.op == "cluster":
+        m = cluster_by(
+            args.lake_dir, args.by.split(","), target_rows=args.target_rows
+        )
     else:
         from engine.cdc.clone import clone_lake
 

@@ -147,6 +147,11 @@ def scan_lake(
     kept, pruned = prune_partitions(manifest, filters)
     scan_lake.last_pruned = len(pruned)
     scan_lake.last_total = len(pruned) + len(kept)
+    # File-granularity skipping diagnostics (cluster_by's win shows up
+    # here even when every partition survives partition-level pruning).
+    all_files = sink.active_files(manifest)
+    scan_lake.last_files_total = sum(len(r) for r in all_files.values())
+    scan_lake.last_files_read = sum(len(r) for r in kept.values())
     out_schema = (
         schema
         if columns is None

@@ -542,6 +542,50 @@ def q_cdc_zonemap_scan(sf_dir):
     return rd.from_arrow(out.select(["repo", "path", "seq", "content_sha256"]))
 
 
+CFG_CLUSTER = SynthConfig(seed=53, n_events=6000, n_epochs=3, n_keys=1200)
+
+
+@register_query(
+    "q_cdc_cluster_scan",
+    oracle=sqloracle.lww_state_sql(
+        CFG_CLUSTER,
+        ["repo", "path", "content_sha256", "seq", "lang"],
+        where="lang = 'es'",
+    ),
+)
+def q_cdc_cluster_scan(sf_dir):
+    """OPTIMIZE-style sort-clustering (engine/cdc/maintain.py::cluster_by),
+    self-checking + oracle-checked: replay, cluster the lake by ``lang``
+    into 4 size-targeted base files per partition (one maintenance
+    version, zero shuffle), assert the state hash is invariant and that
+    a lang-predicate ``scan_lake`` now SKIPS base files via the per-file
+    zone maps (file-granularity data skipping — the reason the op
+    exists), then return the pruned scan's rows. Oracle: the SQL
+    changelog mirror's LWW state filtered to the same predicate, so the
+    driver value-hashes that pruning lost nothing."""
+    from engine.cdc.maintain import cluster_by
+    from engine.cdc.scan import scan_lake
+    from engine.cdc.verify import state_hash
+    from engine.util.collect import pull_arrow
+
+    work = tempfile.mkdtemp(prefix="cdc_cluster_q_")
+    log = synth_changelog(sf_dir, f"{work}/log", CFG_CLUSTER)
+    lake = f"{work}/lake"
+    replay(log, lake, ReplayConfig(num_partitions=16, num_salts=2))
+    h0 = state_hash(lake)
+    cluster_by(lake, ["lang"], num_files=4)
+    if state_hash(lake) != h0:
+        raise AssertionError("cluster_by changed the live state")
+    cols = ["repo", "path", "content_sha256", "seq", "lang"]
+    got = pull_arrow(scan_lake(lake, [("lang", "=", "es")], columns=cols))
+    if scan_lake.last_files_read >= scan_lake.last_files_total:
+        raise AssertionError(
+            "clustered scan skipped no base files "
+            f"({scan_lake.last_files_read}/{scan_lake.last_files_total})"
+        )
+    return rd.from_arrow(got.select(cols))
+
+
 @register_query(
     "q_cdc_time_travel",
     oracle=sqloracle.lww_state_sql(CFG_MAIN, _KEY_COLS, upto_epoch=0),
