@@ -586,6 +586,72 @@ def q_cdc_cluster_scan(sf_dir):
     return rd.from_arrow(got.select(cols))
 
 
+CFG_MERGE = SynthConfig(seed=61, n_events=6000, n_epochs=3, n_keys=1200)
+_MERGE_WM = CFG_MERGE.n_events - 1  # applied watermark after full replay
+_SQL_MERGE = (
+    f"WITH {sqloracle.events_cte(CFG_MERGE)}, "
+    "w AS (SELECT e.*, row_number() OVER (PARTITION BY repo, path "
+    "ORDER BY seq DESC) AS rn FROM events e), "
+    "base AS (SELECT repo, path, seq, content FROM w WHERE rn = 1 AND op <> 'D'), "
+    "ups AS (SELECT printf('merge-%02d', CAST(s.i % 7 AS INT)) AS repo, "
+    "printf('new/f%04d.py', CAST(s.i AS INT)) AS path, 'U' AS op, "
+    "'merged content #' || CAST(s.i AS VARCHAR) AS content "
+    "FROM generate_series(0, 199) s(i)), "
+    "upd AS (SELECT repo, path, 'U' AS op, 'rewritten ' || path AS content "
+    "FROM base WHERE repo = 'repo-002'), "
+    "dels AS (SELECT repo, path, 'D' AS op, CAST(NULL AS VARCHAR) AS content "
+    "FROM base WHERE repo = 'repo-001'), "
+    "mrg AS (SELECT * FROM ups UNION ALL SELECT * FROM upd "
+    "UNION ALL SELECT * FROM dels), "
+    f"stamped AS (SELECT repo, path, op, content, {_MERGE_WM} "
+    "+ row_number() OVER (ORDER BY repo, path) AS seq FROM mrg), "
+    "final AS ("
+    "SELECT b.repo, b.path, b.seq, b.content FROM base b "
+    "LEFT JOIN stamped s USING (repo, path) WHERE s.seq IS NULL "
+    "UNION ALL SELECT repo, path, seq, content FROM stamped WHERE op <> 'D') "
+    "SELECT repo, path, CAST(seq AS BIGINT) AS seq, "
+    "sha256(content) AS content_sha256 FROM final"
+)
+
+
+@register_query("q_cdc_merge_into", oracle=_SQL_MERGE)
+def q_cdc_merge_into(sf_dir):
+    """MERGE INTO through the changelog (engine/cdc/dml.py): replay the
+    flagship stream, then apply one batch that INSERTS 200 new keys,
+    REWRITES every live row of repo-002, and DELETES every live row of
+    repo-001 — published as the next sealed changelog epoch with
+    deterministic (repo, path)-sorted seq stamping above the applied
+    watermark, folded by an ordinary replay. Oracle: the SQL changelog
+    mirror's LWW state with the SAME batch union-stamped on top — the
+    driver value-hashes that DML through the log lands exactly where
+    SQL MERGE INTO semantics say it must."""
+    import pyarrow as pa
+
+    from engine.cdc.dml import merge_into
+    from engine.cdc.verify import lake_lookup
+
+    work = tempfile.mkdtemp(prefix="cdc_merge_q_")
+    log = synth_changelog(sf_dir, f"{work}/log", CFG_MERGE)
+    lake = f"{work}/lake"
+    replay(log, lake, ReplayConfig(num_partitions=16, num_salts=2))
+    rows = [
+        {"repo": f"merge-{i % 7:02d}", "path": f"new/f{i:04d}.py",
+         "op": "U", "content": f"merged content #{i}"}
+        for i in range(200)
+    ]
+    rows += [
+        {"repo": "repo-002", "path": p, "op": "U", "content": f"rewritten {p}"}
+        for p in lake_lookup(lake, "repo-002").column("path").to_pylist()
+    ]
+    rows += [
+        {"repo": "repo-001", "path": p, "op": "D", "content": None}
+        for p in lake_lookup(lake, "repo-001").column("path").to_pylist()
+    ]
+    merge_into(lake, log, pa.Table.from_pylist(rows))
+    cols = ["repo", "path", "seq", "content_sha256"]
+    return read_lake(lake, columns=cols).select_columns(cols)
+
+
 @register_query(
     "q_cdc_time_travel",
     oracle=sqloracle.lww_state_sql(CFG_MAIN, _KEY_COLS, upto_epoch=0),

@@ -1,0 +1,139 @@
+"""merge_into (engine/cdc/dml.py): changelog-routed batch DML — upsert/
+update/delete semantics, deterministic seq stamping, watermark guards,
+and log-replay equivalence (a fresh replay of the same log reproduces
+the merged state byte-identically)."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from engine.cdc.dml import merge_into
+from engine.cdc.parse import _seq_watermark
+from engine.cdc.replay import ReplayConfig, replay
+from engine.cdc.synth import SynthConfig, synth_changelog
+from engine.cdc.verify import lake_lookup, lake_table, state_hash
+
+CFG = dict(num_partitions=8, num_salts=2)
+
+
+def _build(tmp_path, sf_dir, name="m", **kw):
+    log = synth_changelog(
+        sf_dir, f"{tmp_path}/log_{name}",
+        SynthConfig(seed=33, n_events=3000, n_epochs=2, n_keys=600, **kw),
+    )
+    lake = f"{tmp_path}/lake_{name}"
+    replay(log, lake, ReplayConfig(**CFG))
+    return log, lake
+
+
+def test_merge_upsert_update_delete_and_replay_equivalence(tmp_path, sf_dir):
+    log, lake = _build(tmp_path, sf_dir)
+    wm = _seq_watermark(lake)
+    base = lake_table(lake)
+    del_keys = lake_lookup(lake, "repo-001")
+    upd_keys = lake_lookup(lake, "repo-002")
+    assert del_keys.num_rows and upd_keys.num_rows
+    rows = (
+        [
+            {"repo": "merge-00", "path": f"new/f{i:03d}.py", "op": "U",
+             "content": f"merged #{i}"}
+            for i in range(5)
+        ]
+        + [
+            {"repo": "repo-002", "path": p, "op": "U", "content": f"rewritten {p}"}
+            for p in upd_keys.column("path").to_pylist()
+        ]
+        + [
+            {"repo": "repo-001", "path": p, "op": "D", "content": None}
+            for p in del_keys.column("path").to_pylist()
+        ]
+    )
+    out = merge_into(lake, log, pa.Table.from_pylist(rows))
+    assert out["rows"] == len(rows)
+    assert out["seq_lo"] == wm + 1 and out["seq_hi"] == wm + len(rows)
+    assert out["replay"]["epochs_run"] == [out["epoch"]]
+
+    final = lake_table(lake)
+    # Deletes removed every repo-001 key; upserts added 5 new keys.
+    assert "repo-001" not in set(final.column("repo").to_pylist())
+    merged = final.filter(pc.equal(final.column("repo"), "merge-00"))
+    assert merged.num_rows == 5
+    assert sorted(merged.column("content").to_pylist()) == [
+        f"merged #{i}" for i in range(5)
+    ]
+    # Updated rows carry the new content and a stamped (post-wm) seq.
+    upd = final.filter(pc.equal(final.column("repo"), "repo-002"))
+    assert upd.num_rows == upd_keys.num_rows
+    assert all(c.startswith("rewritten ") for c in upd.column("content").to_pylist())
+    assert pc.min(upd.column("seq")).as_py() > wm
+    # Row count: base - deleted + new (updates replace in place).
+    assert final.num_rows == base.num_rows - del_keys.num_rows + 5
+
+    # The merge is ordinary log history: a FRESH replay of the same log
+    # reproduces the merged state byte-identically.
+    lake2 = f"{tmp_path}/lake_fresh"
+    replay(log, lake2, ReplayConfig(**CFG))
+    assert state_hash(lake2) == state_hash(lake)
+
+
+def test_merge_seq_stamping_is_key_sorted(tmp_path, sf_dir):
+    log, lake = _build(tmp_path, sf_dir, name="s")
+    wm = _seq_watermark(lake)
+    rows = [  # deliberately unsorted input
+        {"repo": "zz", "path": "b", "content": "3"},
+        {"repo": "aa", "path": "x", "content": "1"},
+        {"repo": "mm", "path": "k", "content": "2"},
+    ]
+    merge_into(lake, log, pa.Table.from_pylist(rows))  # default_op='U'
+    final = lake_table(lake)
+    got = {
+        r: s
+        for r, s in zip(
+            final.column("repo").to_pylist(), final.column("seq").to_pylist()
+        )
+        if r in ("zz", "aa", "mm")
+    }
+    assert got == {"aa": wm + 1, "mm": wm + 2, "zz": wm + 3}
+
+
+def test_merge_duplicate_key_last_wins(tmp_path, sf_dir):
+    log, lake = _build(tmp_path, sf_dir, name="d")
+    rows = [
+        {"repo": "dup", "path": "p", "content": "first"},
+        {"repo": "dup", "path": "p", "content": "second"},
+    ]
+    merge_into(lake, log, pa.Table.from_pylist(rows))
+    final = lake_table(lake)
+    dup = final.filter(pc.equal(final.column("repo"), "dup"))
+    assert dup.num_rows == 1
+    assert dup.column("content").to_pylist() == ["second"]
+
+
+def test_merge_guards(tmp_path, sf_dir):
+    log, lake = _build(tmp_path, sf_dir, name="g")
+    wm = _seq_watermark(lake)
+    with pytest.raises(ValueError, match="key column"):
+        merge_into(lake, log, pa.table({"repo": ["a"], "content": ["x"]}))
+    with pytest.raises(ValueError, match="empty"):
+        merge_into(lake, log, pa.table({"repo": pa.array([], pa.string()),
+                                        "path": pa.array([], pa.string())}))
+    with pytest.raises(ValueError, match="op values"):
+        merge_into(
+            lake, log,
+            pa.table({"repo": ["a"], "path": ["p"], "op": ["X"]}),
+        )
+    with pytest.raises(ValueError, match="watermark"):
+        merge_into(
+            lake, log,
+            pa.table({"repo": ["a"], "path": ["p"], "seq": [wm]}),
+        )
+    # Producer-assigned seqs above the watermark are accepted verbatim.
+    out = merge_into(
+        lake, log,
+        pa.table({"repo": ["a"], "path": ["p"], "seq": [wm + 100],
+                  "content": ["explicit"]}),
+    )
+    assert out["seq_lo"] == out["seq_hi"] == wm + 100
+    final = lake_table(lake)
+    row = final.filter(pc.equal(final.column("repo"), "a"))
+    assert row.column("seq").to_pylist() == [wm + 100]
