@@ -186,6 +186,12 @@ def _maintenance_commit(
                 if prev.get("column_drops")
                 else {}
             ),
+            # ... and the ingestion expectations (data-quality pin).
+            **(
+                {"expectations": prev["expectations"]}
+                if prev.get("expectations")
+                else {}
+            ),
             **(extra_pins or {}),
         },
     )
@@ -521,6 +527,11 @@ def repartition(lake_dir: str, num_partitions: int) -> dict:
                 if prev.get("column_drops")
                 else {}
             ),
+            **(
+                {"expectations": prev["expectations"]}
+                if prev.get("expectations")
+                else {}
+            ),
         },
     )
     from engine.cdc.replay import _write_lineage
@@ -616,6 +627,31 @@ def cluster_by(
         _transform,
         label=f"cluster:{','.join(columns)}",
         split_fn=_split,
+    )
+
+
+def set_expectations(lake_dir: str, rules: list | None) -> dict:
+    """ALTER-style change of the lake's pinned ingestion expectations
+    (data-quality contract) as one metadata-only maintenance version —
+    no partition is rewritten; the pin just changes, auditable in
+    ``lake_history`` like any DDL. ``rules=None`` clears enforcement.
+    On an EXISTING lake this is the only way to change expectations:
+    resume adopts the manifest pin over the caller's ReplayConfig in
+    both directions (a stale caller config can neither relax nor
+    invent rules). Rules apply to epochs folded AFTER this version —
+    already-committed state is never retro-quarantined (use
+    maintain.purge for that)."""
+    if rules is not None:
+        from engine.cdc.parse import validate_expectations
+
+        validate_expectations(rules)
+    label = f"expectations:{len(rules)}" if rules is not None else "expectations:clear"
+    return _maintenance_commit(
+        lake_dir,
+        lambda t: t,
+        only_pids=[],
+        label=label,
+        extra_pins={"expectations": rules},
     )
 
 

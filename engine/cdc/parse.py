@@ -48,6 +48,7 @@ class PrepareEvents:
         update_mode: str = "row",
         renames_json: str | None = None,
         drops_json: str | None = None,
+        expectations_json: str | None = None,
     ):
         import json
 
@@ -66,6 +67,18 @@ class PrepareEvents:
         # still carry dropped columns; discard them (after renaming — the
         # tombstones store current names) or negotiate would re-add them.
         self.drops = json.loads(drops_json) if drops_json else None
+        # Pinned data-quality expectations (replay.set/first commit):
+        # declarative per-column rules enforced at ingestion; failing
+        # I/U events join the dead-letter queue (see _expect).
+        self.expectations = (
+            json.loads(expectations_json) if expectations_json else None
+        )
+
+    def _deadletter(self, bad: pa.Table) -> None:
+        if self.deadletter_dir and bad.num_rows:
+            ddir = os.path.join(self.deadletter_dir, f"epoch={self.epoch:05d}")
+            os.makedirs(ddir, exist_ok=True)
+            pq.write_table(bad, os.path.join(ddir, f"bad-{uuid.uuid4().hex}.parquet"))
 
     def _validate(self, batch: pa.Table) -> pa.Table:
         ok = pc.is_in(batch.column("op"), value_set=pa.array(OPS))
@@ -73,12 +86,67 @@ class PrepareEvents:
             ok = pc.and_(ok, pc.is_valid(batch.column(col)))
         if pc.all(ok).as_py() in (True, None):
             return batch
-        bad = batch.filter(pc.invert(pc.fill_null(ok, False)))
-        if self.deadletter_dir and bad.num_rows:
-            ddir = os.path.join(self.deadletter_dir, f"epoch={self.epoch:05d}")
-            os.makedirs(ddir, exist_ok=True)
-            pq.write_table(bad, os.path.join(ddir, f"bad-{uuid.uuid4().hex}.parquet"))
+        self._deadletter(batch.filter(pc.invert(pc.fill_null(ok, False))))
         return batch.filter(pc.fill_null(ok, False))
+
+    def _expect(self, batch: pa.Table) -> pa.Table:
+        """Enforce the lake's pinned declarative expectations (data-
+        quality constraints) — vectorized, pre-conform, per provided
+        column. An event failing ANY applicable rule is dead-lettered
+        whole (the same quarantine/requeue loop as malformed events).
+
+        Applicability (the producer contract, mirrored by the SQL oracle
+        in engine/pipelines/cdc_queries.py::q_cdc_expectations):
+
+        - D events are ALWAYS exempt — a tombstone has no payload
+          contract, and dropping one would silently resurrect its key;
+        - a column the batch doesn't carry is not judged (additive
+          evolution: old producers can't violate rules on columns they
+          predate — the conform null-backfill is schema mechanics, not
+          a data value);
+        - NULL values are exempt for in/between/matches (constraints
+          bind provided values; nullability is not_null's job);
+        - not_null on a U event is exempt in update_mode='column'
+          (patch semantics: null MEANS unchanged)."""
+        ok = None
+        op = batch.column("op")
+        exempt = pc.equal(op, "D")
+        for r in self.expectations:
+            c = r["col"]
+            if c not in batch.column_names:
+                continue
+            col, rule = batch.column(c), r["rule"]
+            if rule == "not_null":
+                v = pc.is_valid(col)
+                if self.update_mode == "column":
+                    v = pc.or_(v, pc.equal(op, "U"))
+            elif rule == "in":
+                v = pc.or_kleene(
+                    pc.is_null(col),
+                    pc.is_in(col, value_set=pa.array(r["values"], col.type)),
+                )
+            elif rule == "between":
+                v = pc.or_kleene(
+                    pc.is_null(col),
+                    pc.and_kleene(
+                        pc.greater_equal(col, r["lo"]),
+                        pc.less_equal(col, r["hi"]),
+                    ),
+                )
+            elif rule == "matches":
+                v = pc.or_kleene(
+                    pc.is_null(col),
+                    pc.match_substring_regex(col, r["pattern"]),
+                )
+            else:  # validated driver-side; defensive for hand-built cfgs
+                raise ValueError(f"unknown expectation rule {rule!r}")
+            v = pc.or_kleene(v, exempt)
+            ok = v if ok is None else pc.and_kleene(ok, v)
+        if ok is None or pc.all(ok).as_py() in (True, None):
+            return batch
+        keep = pc.fill_null(ok, False)
+        self._deadletter(batch.filter(pc.invert(keep)))
+        return batch.filter(keep)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.renames:
@@ -90,6 +158,8 @@ class PrepareEvents:
 
             batch = drop_table(batch, self.drops)
         batch = self._validate(batch)
+        if self.expectations:
+            batch = self._expect(batch)
         batch = conform_table(batch, self.target_schema)
         batch = assign_partitions(batch, self.num_partitions, self.num_salts)
         if self.update_mode == "column":
@@ -107,6 +177,45 @@ class PrepareEvents:
 
 
 _WORKER_CACHE: dict[tuple, PrepareEvents] = {}
+
+_EXPECT_RULES = {
+    "not_null": (),
+    "in": ("values",),
+    "between": ("lo", "hi"),
+    "matches": ("pattern",),
+}
+
+
+def validate_expectations(rules) -> None:
+    """Driver-side shape check for a declarative expectations list (run
+    before any pipeline launches / before pinning): each rule is
+    ``{"col": name, "rule": kind, ...kind params}`` with kind one of
+    not_null / in(values) / between(lo, hi) / matches(pattern). Key and
+    engine-managed columns can't carry rules (the validator already
+    guards keys; a rule quarantining tombstones would corrupt LWW)."""
+    if not isinstance(rules, (list, tuple)):
+        raise ValueError("expectations must be a list of rule dicts")
+    for r in rules:
+        if not isinstance(r, dict) or "col" not in r or "rule" not in r:
+            raise ValueError(f"bad expectation {r!r}: need col and rule")
+        if r["col"] in ("repo", "path", "seq", "op"):
+            raise ValueError(
+                f"expectation on {r['col']!r}: key/engine columns are "
+                "guarded by the validator, not expectations"
+            )
+        params = _EXPECT_RULES.get(r["rule"])
+        if params is None:
+            raise ValueError(
+                f"unknown expectation rule {r['rule']!r} "
+                f"(want one of {sorted(_EXPECT_RULES)})"
+            )
+        missing = [p for p in params if p not in r]
+        if missing:
+            raise ValueError(f"expectation {r!r} missing {missing}")
+        if r["rule"] == "matches":
+            import re
+
+            re.compile(r["pattern"])  # raises on a bad pattern
 
 
 def prepare_batch(batch: pa.Table, **cfg) -> pa.Table:

@@ -133,6 +133,15 @@ class ReplayConfig:
     # exchange="full" (the late-materialization locator path assumes
     # row-level collapse).
     update_mode: str = "row"
+    # Declarative data-quality expectations, enforced at ingestion
+    # (engine/cdc/parse.py::PrepareEvents._expect): a list of
+    # {"col", "rule", ...} dicts — not_null / in / between / matches.
+    # Failing I/U events are dead-lettered (same quarantine/requeue loop
+    # as malformed events); D events are always exempt. PINNED in the
+    # manifest at lake creation like update_mode — on an existing lake
+    # the pin wins over this field in both directions (use
+    # maintain.set_expectations to change it as an audited DDL version).
+    expectations: list | None = None
 
 
 def _cpus() -> int:
@@ -168,6 +177,10 @@ def build_winners(log, lake_dir: str, epoch: int, cfg: ReplayConfig, target_b64:
     tombstones (maintain.drop_column) discarded after renaming."""
     import json as _json
 
+    if cfg.expectations:
+        from engine.cdc.parse import validate_expectations
+
+        validate_expectations(cfg.expectations)
     src = tailer.as_source(log)
     ds = src.read_epoch(epoch, parallelism_hint=2 * _cpus())
     ds = ds.map_batches(
@@ -181,6 +194,11 @@ def build_winners(log, lake_dir: str, epoch: int, cfg: ReplayConfig, target_b64:
             update_mode=cfg.update_mode,
             renames_json=_json.dumps(renames, sort_keys=True) if renames else None,
             drops_json=_json.dumps(sorted(drops)) if drops else None,
+            expectations_json=(
+                _json.dumps(cfg.expectations, sort_keys=True)
+                if cfg.expectations
+                else None
+            ),
         ),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
@@ -392,6 +410,12 @@ def merge_and_commit(
             # Pins the summary metric spec (like P): resume and
             # maintenance commits fold with the lake's own spec.
             **({"summary_spec": cfg.summary_spec} if cfg.summary_spec else {}),
+            # Pins the ingestion expectations (data-quality contract):
+            # a stale-config resume must keep enforcing — or keep NOT
+            # enforcing — exactly what the lake committed to.
+            **(
+                {"expectations": cfg.expectations} if cfg.expectations else {}
+            ),
             # Carries the cumulative column-rename map forward
             # (maintain.rename_column pins it; every commit keeps it).
             **(
@@ -438,6 +462,8 @@ def run_epoch(
         pin_um = prev_manifest.get("update_mode")
         if pin_um and pin_um != cfg.update_mode:
             cfg = _dc_replace(cfg, update_mode=pin_um)
+        if prev_manifest.get("expectations") != cfg.expectations:
+            cfg = _dc_replace(cfg, expectations=prev_manifest.get("expectations"))
     prev_schema = (
         sink.schema_from_b64(prev_manifest["schema_b64"]) if prev_manifest else None
     )
@@ -566,6 +592,10 @@ def _replay_available(
     pin_um = manifest.get("update_mode") if manifest else None
     if pin_um and pin_um != cfg.update_mode:
         cfg = _dc_replace(cfg, update_mode=pin_um)
+    # And the ingestion expectations (data-quality contract) — enforced
+    # or not per the lake's committed pin, never per the caller's mood.
+    if manifest is not None and manifest.get("expectations") != cfg.expectations:
+        cfg = _dc_replace(cfg, expectations=manifest.get("expectations"))
     ran, ran_versions, skipped = [], [], []
     t0 = time.monotonic()
     todo = []

@@ -178,17 +178,24 @@ def events_cte(cfg: SynthConfig, upto_epoch: int | None = None) -> str:
 
 
 def state_query(
-    cfg: SynthConfig, select: str, upto_epoch: int | None = None
+    cfg: SynthConfig,
+    select: str,
+    upto_epoch: int | None = None,
+    events_where: str | None = None,
 ) -> str:
     """Prepend the changelog + row-mode LWW CTE chain to an arbitrary
     final SELECT over ``state`` (columns: seq, op, repo, path, lang,
     content[, size_bytes]) — for aggregate-shaped oracles (summaries,
     per-lang counts) that don't fit the fixed projection of
-    :func:`lww_state_sql`."""
+    :func:`lww_state_sql`. ``events_where`` filters the EVENT stream
+    before the LWW window (the ingestion-expectations mirror: a
+    quarantined event never contends, so an older surviving event wins
+    instead)."""
+    ew = f" WHERE {events_where}" if events_where else ""
     return (
         f"WITH {events_cte(cfg, upto_epoch)}, "
         "w AS (SELECT e.*, row_number() OVER "
-        "(PARTITION BY repo, path ORDER BY seq DESC) AS rn FROM events e), "
+        f"(PARTITION BY repo, path ORDER BY seq DESC) AS rn FROM events e{ew}), "
         "state AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D') "
         f"{select}"
     )
@@ -200,6 +207,7 @@ def lww_state_sql(
     upto_epoch: int | None = None,
     where: str | None = None,
     extra: dict[str, str] | None = None,
+    events_where: str | None = None,
 ) -> str:
     """Final row-mode lake state: per-key max-seq winner, D excluded.
     ``columns`` picks the output projection; content_sha256 / size_bytes
@@ -223,7 +231,7 @@ def lww_state_sql(
     q = f"SELECT {proj} FROM state"
     if where:
         q += f" WHERE {where}"
-    return state_query(cfg, q, upto_epoch)
+    return state_query(cfg, q, upto_epoch, events_where=events_where)
 
 
 def patch_state_sql(cfg: SynthConfig, columns: list[str]) -> str:

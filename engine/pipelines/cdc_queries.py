@@ -614,6 +614,49 @@ _SQL_MERGE = (
 )
 
 
+CFG_EXPECT = SynthConfig(seed=71, n_events=6000, n_epochs=3, n_keys=1200,
+                         evolve_at_epoch=2)
+_EXPECT_RULES = [
+    {"col": "lang", "rule": "in", "values": ["en", "fr", "es"]},
+    {"col": "size_bytes", "rule": "between", "lo": 0, "hi": 360},
+]
+_SQL_EXPECT = sqloracle.lww_state_sql(
+    CFG_EXPECT,
+    ["repo", "path", "content_sha256", "seq", "lang"],
+    events_where=(
+        "op = 'D' OR (lang IN ('en', 'fr', 'es') "
+        "AND (size_bytes IS NULL OR size_bytes BETWEEN 0 AND 360))"
+    ),
+)
+
+
+@register_query("q_cdc_expectations", oracle=_SQL_EXPECT)
+def q_cdc_expectations(sf_dir):
+    """Declarative ingestion expectations (data-quality constraints,
+    engine/cdc/parse.py::_expect): replay with a pinned rule set — lang
+    must be in {en, fr, es}; the evolution column size_bytes, once it
+    appears, must lie in [0, 360] — so failing I/U events are
+    dead-lettered and an OLDER surviving event wins their key. Oracle:
+    the SQL changelog mirror with the same predicate filtering the
+    event stream BEFORE the LWW window (events_where), so the driver
+    value-hashes both what was kept and what quarantining did to the
+    winners."""
+    work = tempfile.mkdtemp(prefix="cdc_expect_q_")
+    log = synth_changelog(sf_dir, f"{work}/log", CFG_EXPECT)
+    lake = f"{work}/lake"
+    replay(
+        log, lake,
+        ReplayConfig(num_partitions=16, num_salts=2,
+                     expectations=_EXPECT_RULES),
+    )
+    from engine.cdc import sink as _sink
+
+    if _sink.read_manifest(lake).get("expectations") != _EXPECT_RULES:
+        raise AssertionError("expectations pin missing from the manifest")
+    cols = ["repo", "path", "content_sha256", "seq", "lang"]
+    return read_lake(lake, columns=cols).select_columns(cols)
+
+
 @register_query("q_cdc_merge_into", oracle=_SQL_MERGE)
 def q_cdc_merge_into(sf_dir):
     """MERGE INTO through the changelog (engine/cdc/dml.py): replay the
