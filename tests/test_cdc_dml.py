@@ -109,6 +109,49 @@ def test_merge_duplicate_key_last_wins(tmp_path, sf_dir):
     assert dup.column("content").to_pylist() == ["second"]
 
 
+def test_merge_into_respects_pinned_expectations(tmp_path, sf_dir):
+    """DML goes through the changelog, so the lake's pinned data-quality
+    contract applies to it like to any producer: a violating merge row
+    is quarantined, the rest of the batch lands."""
+    import os
+
+    from engine.cdc import sink
+
+    log = synth_changelog(
+        sf_dir, f"{tmp_path}/log_e",
+        SynthConfig(seed=33, n_events=3000, n_epochs=2, n_keys=600),
+    )
+    lake = f"{tmp_path}/lake_e"
+    rules = [{"col": "lang", "rule": "in", "values": ["en", "fr"]}]
+    replay(log, lake, ReplayConfig(expectations=rules, **CFG))
+    dl_before = _deadletter_rows(lake)
+    rows = [
+        {"repo": "dml", "path": "good", "lang": "en", "content": "ok"},
+        {"repo": "dml", "path": "bad", "lang": "xx", "content": "nope"},
+    ]
+    merge_into(lake, log, pa.Table.from_pylist(rows))
+    final = lake_table(lake)
+    dml = final.filter(pc.equal(final.column("repo"), "dml"))
+    assert dml.column("path").to_pylist() == ["good"]
+    assert _deadletter_rows(lake) == dl_before + 1
+
+
+def _deadletter_rows(lake) -> int:
+    import os
+
+    import pyarrow.parquet as pq
+
+    from engine.cdc import sink
+
+    ddir = sink.lake_paths(lake)["deadletter"]
+    n = 0
+    for dp, _, names in os.walk(ddir):
+        for f in names:
+            if f.endswith(".parquet"):
+                n += pq.read_table(os.path.join(dp, f)).num_rows
+    return n
+
+
 def test_merge_guards(tmp_path, sf_dir):
     log, lake = _build(tmp_path, sf_dir, name="g")
     wm = _seq_watermark(lake)
