@@ -371,6 +371,97 @@ def test_lifecycle_fuzz_replica_follows_any_history(tmp_path, sf_dir):
     check()
 
 
+def test_lifecycle_fuzz_dml_quality_clustering(tmp_path, sf_dir):
+    """Hypothesis over histories including the round-5 continuation ops:
+    random interleavings of replay chunks, merge_into batches (through a
+    per-example hardlink copy of the log), set_expectations toggles,
+    cluster_by, compact and purge — the replica must hash-equal the
+    source after every catch-up, whatever the interleaving."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from hypothesis import given, settings, strategies as st
+
+    from engine.cdc import sink
+    from engine.cdc.bootstrap import replicate
+    from engine.cdc.dml import merge_into
+    from engine.cdc.maintain import cluster_by, compact, purge, set_expectations
+
+    log0 = synth_changelog(
+        sf_dir, f"{tmp_path}/log_dq",
+        SynthConfig(seed=83, n_events=2000, n_epochs=4, n_keys=400),
+    )
+    runs = [0]
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        ops=st.lists(
+            st.sampled_from(["replay", "merge", "expect", "cluster",
+                             "compact", "purge", "catchup"]),
+            min_size=4, max_size=8,
+        ),
+    )
+    def check(ops):
+        runs[0] += 1
+        # Per-example log copy: merge_into PUBLISHES epochs; the shared
+        # synth log must stay pristine across examples.
+        log = f"{tmp_path}/dq_log{runs[0]}"
+        shutil.copytree(log0, log, copy_function=os.link)
+        src, rep = f"{tmp_path}/dq_src{runs[0]}", f"{tmp_path}/dq_rep{runs[0]}"
+        cfg = ReplayConfig(num_partitions=8, num_salts=2)
+        replay(log, src, cfg, max_epoch=0)
+        next_epoch, n_merge = 1, 0
+        for op in ops:
+            if op == "replay" and next_epoch <= 3:
+                replay(log, src, cfg, max_epoch=next_epoch)
+                next_epoch += 1
+            elif op == "merge":
+                n_merge += 1
+                rows = [
+                    {"repo": f"fz-{n_merge}", "path": f"p{j}",
+                     "lang": "en", "content": f"m{n_merge}.{j}"}
+                    for j in range(3)
+                ]
+                t0 = lake_table(src)
+                if t0.num_rows:  # one delete of an existing key
+                    rows.append({
+                        "repo": t0.column("repo")[0].as_py(),
+                        "path": t0.column("path")[0].as_py(),
+                        "op": "D", "lang": None, "content": None,
+                    })
+                for i, r in enumerate(rows):
+                    r.setdefault("op", "U")
+                merge_into(src, log, pa.Table.from_pylist(rows))
+                next_epoch = 4  # merge_into's replay folded everything
+            elif op == "expect":
+                pin = sink.read_manifest(src).get("expectations")
+                set_expectations(
+                    src,
+                    None if pin else [
+                        {"col": "lang", "rule": "in",
+                         "values": ["en", "fr", "es"]}
+                    ],
+                )
+            elif op == "cluster":
+                cluster_by(src, ["lang"], num_files=2)
+            elif op == "compact":
+                compact(src)
+            elif op == "purge":
+                t0 = lake_table(src)
+                if t0.num_rows:
+                    victim = t0.column("repo")[0].as_py()
+                    purge(src, lambda t: pc.equal(t.column("repo"), victim))
+            elif op == "catchup":
+                replicate(src, rep, cfg)
+                assert state_hash(rep) == state_hash(src), ops
+        replicate(src, rep, cfg)
+        assert state_hash(rep) == state_hash(src), ops
+
+    check()
+
+
 def test_delta_mode_replica_follows_backfill(replayed):
     """ADVICE r4 (medium): the changefeed propagates a maintenance
     backfill as EQUAL-seq U events; a delta-mode replica lands them in a

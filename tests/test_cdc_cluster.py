@@ -90,6 +90,26 @@ def test_cluster_then_compact_round_trip(tmp_path, sf_dir):
     assert state_hash(lake) == h0
 
 
+def test_changefeed_across_cluster_is_empty(tmp_path, sf_dir):
+    """cluster_by rewrites layout, not state: a feed spanning it must
+    carry zero events (the seq-diff sees identical winners), and time
+    travel to the pre-cluster version still reads exactly."""
+    from engine.cdc import sink
+    from engine.cdc.bootstrap import changefeed
+    from engine.cdc.verify import canonical_digest, lake_table
+
+    log = _log(tmp_path, sf_dir, name="log_f")
+    lake = f"{tmp_path}/lake_f"
+    replay(log, lake, ReplayConfig(**CFG))
+    v0 = sink.last_committed_epoch(lake)
+    cluster_by(lake, ["lang"], num_files=3)
+    feed = pull_arrow(changefeed(lake, from_epoch=v0))
+    assert feed is None or feed.num_rows == 0
+    assert canonical_digest(lake_table(lake, epoch=v0)) == canonical_digest(
+        lake_table(lake)
+    )
+
+
 def test_cluster_by_rejects_bad_arguments(tmp_path, sf_dir):
     log = _log(tmp_path, sf_dir, name="log_b")
     lake = f"{tmp_path}/lake_b"

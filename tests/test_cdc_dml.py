@@ -109,6 +109,41 @@ def test_merge_duplicate_key_last_wins(tmp_path, sf_dir):
     assert dup.column("content").to_pylist() == ["second"]
 
 
+def test_changefeed_across_merge_matches_batch(tmp_path, sf_dir):
+    """A feed spanning a merge_into carries exactly the DML: I/U for the
+    upserts with their stamped seqs, D for the deletes — nothing else."""
+    from engine.cdc import sink
+    from engine.cdc.bootstrap import changefeed
+    from engine.util.collect import pull_arrow
+
+    log, lake = _build(tmp_path, sf_dir, name="f")
+    v0 = sink.last_committed_epoch(lake)
+    dels = lake_lookup(lake, "repo-003")
+    assert dels.num_rows
+    rows = [
+        {"repo": "feed", "path": f"p{i}", "op": "U", "content": f"c{i}"}
+        for i in range(3)
+    ] + [
+        {"repo": "repo-003", "path": p, "op": "D", "content": None}
+        for p in dels.column("path").to_pylist()
+    ]
+    out = merge_into(lake, log, pa.Table.from_pylist(rows))
+    feed = pull_arrow(changefeed(lake, from_epoch=v0))
+    assert feed.num_rows == len(rows)
+    by_op = {}
+    for op, repo, seq in zip(
+        feed.column("op").to_pylist(),
+        feed.column("repo").to_pylist(),
+        feed.column("seq").to_pylist(),
+    ):
+        by_op.setdefault(op, []).append((repo, seq))
+    ups = by_op.get("I", []) + by_op.get("U", [])
+    assert sorted(r for r, _ in ups) == ["feed"] * 3
+    # Upsert feed rows carry the stamped winning seqs.
+    assert all(out["seq_lo"] <= s <= out["seq_hi"] for _, s in ups)
+    assert sorted(r for r, _ in by_op.get("D", [])) == ["repo-003"] * dels.num_rows
+
+
 def test_merge_into_respects_pinned_expectations(tmp_path, sf_dir):
     """DML goes through the changelog, so the lake's pinned data-quality
     contract applies to it like to any producer: a violating merge row
