@@ -133,6 +133,7 @@ def lake_history(lake_dir: str) -> pa.Table:
                 "partitions_touched": len(lin),
                 "num_partitions": m.get("num_partitions"),
                 "update_mode": m.get("update_mode") or "row",
+                "n_expectations": len(m.get("expectations") or []),
                 "n_columns": len(sink.schema_from_b64(m["schema_b64"]).names),
             }
         )

@@ -299,15 +299,22 @@ def test_lake_history_audit_log(tmp_path, sf_dir):
     drop_column(lake, "language")
     replay(log, lake, ReplayConfig(**CFG))  # epoch 1 resumes after DDL
     repartition(lake, 4)
+    from engine.cdc.maintain import cluster_by, set_expectations
+
+    set_expectations(lake, [{"col": "content", "rule": "not_null"}])
+    cluster_by(lake, ["seq"], num_files=2)
     h = lake_history(lake).to_pylist()
     assert [r["kind"] for r in h] == [
         "replay", "compact", "rename:lang>language", "drop:language",
-        "replay", "repartition:4",
+        "replay", "repartition:4", "expectations:1", "cluster:seq",
     ]
-    assert [r["version"] for r in h] == list(range(6))
-    assert [r["changelog_pos"] for r in h] == [0, 0, 0, 0, 1, 1]
+    assert [r["version"] for r in h] == list(range(8))
+    assert [r["changelog_pos"] for r in h] == [0, 0, 0, 0, 1, 1, 1, 1]
     assert h[-1]["num_partitions"] == 4
     assert all(r["update_mode"] == "row" for r in h)
+    # The expectations pin appears in the audit log from its DDL version
+    # on (and cluster_by carries it forward).
+    assert [r["n_expectations"] for r in h] == [0, 0, 0, 0, 0, 0, 1, 1]
     # The drop version really shrank the schema by one column.
     assert h[3]["n_columns"] == h[2]["n_columns"] - 1
     # Replay versions carry events; pure-maintenance versions don't.
@@ -319,6 +326,7 @@ def test_lake_history_audit_log(tmp_path, sf_dir):
     assert all(r["rows_out"] > 0 for r in h if r["partitions_touched"] > 0)
     assert {r["kind"] for r in h if r["partitions_touched"] > 0} == {
         "replay", "rename:lang>language", "drop:language", "repartition:4",
+        "cluster:seq",
     }
     # CLI twin: one JSON line per version (metadata-only, no Ray).
     import contextlib
@@ -328,5 +336,5 @@ def test_lake_history_audit_log(tmp_path, sf_dir):
     with contextlib.redirect_stdout(buf):
         maintain_cli(["--lake-dir", lake, "history"])
     lines = [l for l in buf.getvalue().splitlines() if l.strip()]
-    assert len(lines) == 6
-    assert _json.loads(lines[-1])["kind"] == "repartition:4"
+    assert len(lines) == 8
+    assert _json.loads(lines[-1])["kind"] == "cluster:seq"
