@@ -171,6 +171,10 @@ def run_relational_queries() -> dict:
         "q_kmeans",
         "q_window_range",
         "q_intersect_all",
+        # round-5 continuation (lakehouse DML / quality / clustering)
+        "q_cdc_cluster_scan",
+        "q_cdc_merge_into",
+        "q_cdc_expectations",
     ]
     import ray.data as rd
 

@@ -585,6 +585,12 @@ def cluster_by(
     - Clustering on ``content``/``content_sha256`` is rejected: zone
       maps exclude oversized/opaque strings (merge.file_stats), so no
       scan could ever prune on them.
+    - Trade-off: the split loosens the KEY columns' per-file zone maps
+      (each slice now spans the partition's whole repo range), so
+      key-predicate scans read every file of the partition again —
+      point reads stay O(one partition) regardless (``lake_lookup``
+      prunes by pid hash + pushes the repo filter into the reads, not
+      by zone maps). Cluster on the columns your reports filter by.
     - All lake-semantics pins (P, summary_spec, update_mode, renames,
       drops) carry forward via the shared maintenance core; resume
       after a cluster_by stays exact.
@@ -645,6 +651,7 @@ def set_expectations(lake_dir: str, rules: list | None) -> dict:
         from engine.cdc.parse import validate_expectations
 
         validate_expectations(rules)
+        rules = rules or None  # [] means cleared, same as None (no flapping pin)
     label = f"expectations:{len(rules)}" if rules is not None else "expectations:clear"
     return _maintenance_commit(
         lake_dir,
