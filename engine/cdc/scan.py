@@ -200,3 +200,91 @@ def scan_lake(
     return rd.from_items(items).map_batches(
         _load, batch_format="pyarrow", batch_size=1
     )
+
+
+def lake_stats(
+    lake_dir: str,
+    columns: list[str] | None = None,
+    epoch: int | None = None,
+    exact_fallback: bool = True,
+) -> dict:
+    """Metadata-only lake aggregates: COUNT(*) and per-column MIN/MAX of
+    the LIVE state answered from the committed manifest's zone maps plus
+    parquet FOOTERS — zero data pages read — whenever that is provably
+    exact, with a distributed scan fallback otherwise.
+
+    Soundness of the metadata path (per value):
+
+    - **rows**: a delta-free partition's base files hold EXACTLY its
+      live rows (the merge writes live state; tombstones only exist in
+      delta files), so COUNT(*) = Σ footer ``num_rows``. Any delta file
+      anywhere → the count needs a merge-on-read → fallback.
+    - **min/max of column c**: additionally requires EVERY active base
+      file to carry a ``file_stats`` entry for c. Entries bound the
+      file's non-null values exactly, and absence is ambiguous (all-null
+      file OR oversized-string/unmapped-type skip — merge.file_stats),
+      so presence-everywhere is the only case where the fold over
+      ``[lo, hi]`` pairs equals MIN/MAX over all non-null live values
+      (which is SQL MIN/MAX null semantics).
+
+    Returns ``{"rows", "delta_free", "files", "columns": {c: {"min",
+    "max", "source": "metadata"|"scan"}}, "rows_source"}``. With
+    ``exact_fallback=False`` non-metadata answers come back as None
+    (a pure metadata probe). ``content``/``content_sha256`` are never
+    zone-mapped and always fall back."""
+    import pyarrow.parquet as pq
+
+    from engine.cdc.verify import lake_files
+
+    parts, lake_schema = lake_files(lake_dir, epoch)
+    manifest = sink.read_manifest(lake_dir, epoch)
+    stats = manifest.get("file_stats", {})
+    rels = [r for rr in parts.values() for r in rr]
+    delta_free = all(
+        os.path.basename(r).startswith("base-") for r in rels
+    )
+    cols = columns or [f.name for f in lake_schema]
+    for c in cols:
+        if c not in lake_schema.names:
+            raise ValueError(f"no column {c!r} in the lake schema")
+    out: dict = {
+        "delta_free": delta_free,
+        "files": len(rels),
+        "columns": {},
+    }
+    if delta_free:
+        out["rows"] = sum(
+            pq.ParquetFile(os.path.join(lake_dir, r)).metadata.num_rows
+            for r in rels
+        )
+        out["rows_source"] = "metadata"
+    else:
+        out["rows"] = None
+        out["rows_source"] = "scan"
+    need_scan = []
+    for c in cols:
+        ent = [stats.get(r, {}).get(c) for r in rels]
+        if delta_free and rels and all(e is not None for e in ent):
+            out["columns"][c] = {
+                "min": min(e[0] for e in ent),
+                "max": max(e[1] for e in ent),
+                "source": "metadata",
+            }
+        else:
+            out["columns"][c] = {"min": None, "max": None, "source": "scan"}
+            need_scan.append(c)
+    if exact_fallback and (need_scan or out["rows"] is None):
+        from ray.data.aggregate import Count, Max, Min
+
+        scan_cols = need_scan or [cols[0]]
+        ds = scan_lake(lake_dir, [], epoch=epoch, columns=scan_cols)
+        aggs = [Count()]
+        for c in need_scan:
+            aggs += [Min(c, ignore_nulls=True), Max(c, ignore_nulls=True)]
+        got = ds.aggregate(*aggs) or {}
+        if out["rows"] is None:
+            out["rows"] = int(got.get("count()", 0))
+        for c in need_scan:
+            out["columns"][c]["min"] = got.get(f"min({c})")
+            out["columns"][c]["max"] = got.get(f"max({c})")
+    return out

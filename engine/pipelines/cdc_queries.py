@@ -542,6 +542,56 @@ def q_cdc_zonemap_scan(sf_dir):
     return rd.from_arrow(out.select(["repo", "path", "seq", "content_sha256"]))
 
 
+_SQL_META_AGG = sqloracle.state_query(
+    CFG_MAIN,
+    "SELECT 'rows' AS metric, CAST(count(*) AS VARCHAR) AS value FROM state "
+    "UNION ALL SELECT 'seq_min', CAST(min(seq) AS VARCHAR) FROM state "
+    "UNION ALL SELECT 'seq_max', CAST(max(seq) AS VARCHAR) FROM state "
+    "UNION ALL SELECT 'lang_min', min(lang) FROM state "
+    "UNION ALL SELECT 'lang_max', max(lang) FROM state "
+    "UNION ALL SELECT 'repo_min', min(repo) FROM state "
+    "UNION ALL SELECT 'repo_max', max(repo) FROM state "
+    "UNION ALL SELECT 'size_min', CAST(min(size_bytes) AS VARCHAR) FROM state "
+    "UNION ALL SELECT 'size_max', CAST(max(size_bytes) AS VARCHAR) FROM state",
+)
+
+
+@register_query("q_cdc_metadata_agg", oracle=_SQL_META_AGG)
+def q_cdc_metadata_agg(sf_dir):
+    """Metadata-only lake aggregates (engine/cdc/scan.py::lake_stats):
+    COUNT(*)/MIN/MAX of the live state answered from manifest zone maps
+    + parquet footers — ZERO data pages read — and value-hash-checked
+    against the SQL mirror's real aggregates over the LWW state. The
+    self-check asserts every metric actually came off metadata (the
+    rewrite-mode lake is delta-free with full stats coverage) — a
+    silent fallback to scanning would defeat the point."""
+    import pyarrow as pa
+
+    from engine.cdc.scan import lake_stats
+
+    work = _replayed_lake(sf_dir)
+    st = lake_stats(f"{work}/lake", ["seq", "lang", "repo", "size_bytes"])
+    if st["rows_source"] != "metadata" or any(
+        c["source"] != "metadata" for c in st["columns"].values()
+    ):
+        raise AssertionError(f"expected pure-metadata answers, got {st}")
+    c = st["columns"]
+    rows = [
+        ("rows", str(st["rows"])),
+        ("seq_min", str(c["seq"]["min"])), ("seq_max", str(c["seq"]["max"])),
+        ("lang_min", c["lang"]["min"]), ("lang_max", c["lang"]["max"]),
+        ("repo_min", c["repo"]["min"]), ("repo_max", c["repo"]["max"]),
+        ("size_min", str(c["size_bytes"]["min"])),
+        ("size_max", str(c["size_bytes"]["max"])),
+    ]
+    return rd.from_arrow(
+        pa.table({
+            "metric": pa.array([m for m, _ in rows], pa.string()),
+            "value": pa.array([v for _, v in rows], pa.string()),
+        })
+    )
+
+
 CFG_CLUSTER = SynthConfig(seed=53, n_events=6000, n_epochs=3, n_keys=1200)
 
 

@@ -3,6 +3,7 @@ min/max stats; scan_lake prunes whole partitions on non-key predicates
 and stays exact under the LSM delta layout."""
 
 import pyarrow as pa
+import pytest
 import pyarrow.compute as pc
 
 from engine.cdc import sink
@@ -422,3 +423,62 @@ def test_scan_dnf_or_filters(tmp_path, ray_session):
     # A disjunct matching nothing anywhere prunes to the other one.
     got2 = scan_lake(lake, [[("lang", "=", "zzz")], [("lang", "=", "zz")]]).materialize()
     assert got2.count() == 5
+
+
+def test_lake_stats_metadata_only_and_fallback(tmp_path, sf_dir, ray_session):
+    """lake_stats answers COUNT/MIN/MAX from manifest zone maps + parquet
+    footers when provably exact (delta-free + full stats coverage), and
+    falls back to a distributed exact scan otherwise — both must agree
+    with the materialized live state."""
+    import pyarrow.compute as pc
+
+    from engine.cdc.replay import ReplayConfig, replay
+    from engine.cdc.scan import lake_stats
+    from engine.cdc.synth import SynthConfig, synth_changelog
+    from engine.cdc.verify import lake_table
+
+    log = synth_changelog(
+        sf_dir, f"{tmp_path}/log_ls",
+        SynthConfig(seed=37, n_events=3000, n_epochs=3, n_keys=600,
+                    evolve_at_epoch=2),
+    )
+    lake = f"{tmp_path}/lake_ls"
+    replay(log, lake, ReplayConfig(num_partitions=8, num_salts=2))
+    t = lake_table(lake)
+
+    got = lake_stats(lake, ["seq", "lang", "repo", "size_bytes", "content"])
+    assert got["delta_free"] and got["rows_source"] == "metadata"
+    assert got["rows"] == t.num_rows
+    # Rewrite mode rewrote every partition post-evolution, so even the
+    # evolution column has full stats coverage -> metadata everywhere;
+    # content is NEVER zone-mapped -> exact scan fallback.
+    for c in ("seq", "lang", "repo", "size_bytes"):
+        assert got["columns"][c]["source"] == "metadata", c
+    assert got["columns"]["content"]["source"] == "scan"
+    for c in ("seq", "lang", "repo", "size_bytes", "content"):
+        mm = pc.min_max(t.column(c))
+        assert got["columns"][c]["min"] == mm["min"].as_py(), c
+        assert got["columns"][c]["max"] == mm["max"].as_py(), c
+
+    # Pure metadata probe: fallback answers stay None.
+    probe = lake_stats(lake, ["content"], exact_fallback=False)
+    assert probe["columns"]["content"] == {
+        "min": None, "max": None, "source": "scan",
+    }
+
+    # Delta-mode lake: footers alone can't count live rows -> scan path,
+    # same exact answers.
+    lake_d = f"{tmp_path}/lake_ls_d"
+    replay(
+        log, lake_d,
+        ReplayConfig(num_partitions=8, num_salts=2, write_mode="delta",
+                     compact_files=99),
+    )
+    got_d = lake_stats(lake_d, ["seq"])
+    assert not got_d["delta_free"] and got_d["rows_source"] == "scan"
+    assert got_d["rows"] == t.num_rows
+    assert got_d["columns"]["seq"]["source"] == "scan"
+    assert got_d["columns"]["seq"]["max"] == got["columns"]["seq"]["max"]
+
+    with pytest.raises(ValueError, match="no column"):
+        lake_stats(lake, ["nope"])
