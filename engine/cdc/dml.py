@@ -119,7 +119,13 @@ def merge_into(
             "op", pa.array([default_op] * data.num_rows, pa.string())
         )
     else:
-        ok = pc.is_in(data.column("op"), value_set=pa.array(OPS))
+        if default_op not in OPS:
+            raise ValueError(f"default_op {default_op!r} not in {OPS}")
+        # Null op = "row without one": fill with the default (a mixed
+        # batch can mark only its deletes explicitly).
+        op = pc.fill_null(data.column("op"), default_op)
+        data = data.set_column(data.schema.get_field_index("op"), "op", op)
+        ok = pc.is_in(op, value_set=pa.array(OPS))
         if not pc.all(pc.fill_null(ok, False)).as_py():
             raise ValueError(f"merge batch op values must be in {OPS}")
     wm = _seq_watermark(lake_dir)
@@ -158,3 +164,43 @@ def merge_into(
 
         out["replay"] = replay(log_dir, lake_dir, replay_cfg or ReplayConfig())
     return out
+
+
+def main(argv: list[str] | None = None) -> None:
+    """Operational CLI for changelog-routed batch DML::
+
+        python -m engine.cdc.dml --lake-dir L --log-dir G \
+            --parquet batch.parquet [--op U] [--no-apply]
+
+    The parquet batch needs (repo, path) plus any payload columns;
+    optional ``op``/``seq`` columns follow :func:`merge_into` semantics.
+    Works on an EMPTY lake too (watermark -1 → seqs from 0; the replay
+    bootstraps the lake) — DML is just another producer."""
+    import argparse
+    import json
+
+    import ray
+
+    ap = argparse.ArgumentParser(description="MERGE INTO through the changelog")
+    ap.add_argument("--lake-dir", required=True)
+    ap.add_argument("--log-dir", required=True)
+    ap.add_argument("--parquet", required=True, help="batch file to merge")
+    ap.add_argument("--op", default="U", help="default op for rows without one")
+    ap.add_argument("--no-apply", action="store_true",
+                    help="publish the epoch only; let the next replay fold it")
+    args = ap.parse_args(argv)
+    if not args.no_apply and not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    out = merge_into(
+        args.lake_dir, args.log_dir, pq.read_table(args.parquet),
+        default_op=args.op, apply=not args.no_apply,
+    )
+    print(json.dumps({
+        "epoch": out["epoch"], "rows": out["rows"],
+        "seq_lo": out["seq_lo"], "seq_hi": out["seq_hi"],
+        "applied": bool(out["replay"]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -215,3 +215,45 @@ def test_merge_guards(tmp_path, sf_dir):
     final = lake_table(lake)
     row = final.filter(pc.equal(final.column("repo"), "a"))
     assert row.column("seq").to_pylist() == [wm + 100]
+
+
+def test_merge_into_bootstraps_empty_lake_and_cli(tmp_path, sf_dir):
+    """DML is just another producer: merging into a lake that doesn't
+    exist yet stamps seqs from 0 (watermark -1) and the replay creates
+    the lake. The CLI twin publishes + applies the same way."""
+    import contextlib
+    import io
+    import json
+
+    import pyarrow.parquet as pq
+
+    from engine.cdc.dml import main as dml_cli
+
+    lake, log = f"{tmp_path}/lake_new", f"{tmp_path}/log_new"
+    rows = [
+        {"repo": "boot", "path": f"p{i}", "lang": "en", "content": f"c{i}"}
+        for i in range(4)
+    ]
+    out = merge_into(lake, log, pa.Table.from_pylist(rows))
+    assert out["epoch"] == 0 and (out["seq_lo"], out["seq_hi"]) == (0, 3)
+    t = lake_table(lake)
+    assert t.num_rows == 4 and set(t.column("repo").to_pylist()) == {"boot"}
+
+    batch = f"{tmp_path}/batch.parquet"
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"repo": "boot", "path": "p0", "op": "D", "lang": None,
+              "content": None},
+             {"repo": "cli", "path": "x", "lang": "en", "content": "via cli"}]
+        ),
+        batch,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dml_cli(["--lake-dir", lake, "--log-dir", log, "--parquet", batch])
+    got = json.loads(buf.getvalue().strip())
+    assert got == {"epoch": 1, "rows": 2, "seq_lo": 4, "seq_hi": 5,
+                   "applied": True}
+    t = lake_table(lake)
+    assert t.num_rows == 4  # one deleted, one inserted
+    assert "cli" in set(t.column("repo").to_pylist())
