@@ -344,3 +344,28 @@ def requeue_deadletters(
             if dirpath != ddir and not dirnames and not names:
                 os.rmdir(dirpath)
     return int(out.num_rows)
+
+
+def deadletter_stats(lake_dir: str) -> dict[int, int]:
+    """Quarantine observability: rows dead-lettered per changelog epoch,
+    from the dead-letter parquet FOOTERS only (no data pages) — the
+    ops-dashboard companion to lake_history (which shows what applied;
+    this shows what didn't and why it's sitting in quarantine for the
+    fix → requeue loop). Empty dict = clean lake."""
+    from engine.cdc import sink
+
+    ddir = sink.lake_paths(lake_dir)["deadletter"]
+    out: dict[int, int] = {}
+    if not os.path.isdir(ddir):
+        return out
+    for name in sorted(os.listdir(ddir)):
+        edir = os.path.join(ddir, name)
+        if not (name.startswith("epoch=") and os.path.isdir(edir)):
+            continue
+        k = int(name.split("=")[1])
+        n = 0
+        for f in os.listdir(edir):
+            if f.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(edir, f)).metadata.num_rows
+        out[k] = out.get(k, 0) + n
+    return out

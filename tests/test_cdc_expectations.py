@@ -188,3 +188,19 @@ def test_validate_expectations_errors():
     with pytest.raises(Exception):
         validate_expectations([{"col": "lang", "rule": "matches", "pattern": "("}])
     validate_expectations(RULES)  # well-formed passes
+
+
+def test_deadletter_stats_per_epoch(tmp_path, sf_dir):
+    """deadletter_stats reports quarantined rows per changelog epoch from
+    footers only; epochs and totals match the actual rejected events."""
+    from engine.cdc.parse import deadletter_stats
+
+    log = _log(tmp_path, sf_dir, name="log_s")
+    lake = f"{tmp_path}/lake_s"
+    replay(log, lake, ReplayConfig(expectations=RULES, **CFG))
+    ev = _events(log)
+    rej = ev[~((ev["op"] == "D") | ev["lang"].isin(ALLOWED))]
+    per_epoch = rej.groupby(rej["seq"] // 1000).size().to_dict()
+    got = deadletter_stats(lake)
+    assert got == {int(k): int(v) for k, v in per_epoch.items()}
+    assert deadletter_stats(f"{tmp_path}/lake_never") == {}

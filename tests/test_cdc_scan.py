@@ -482,3 +482,33 @@ def test_lake_stats_metadata_only_and_fallback(tmp_path, sf_dir, ray_session):
 
     with pytest.raises(ValueError, match="no column"):
         lake_stats(lake, ["nope"])
+
+
+def test_lake_stats_on_clustered_lake(tmp_path, sf_dir, ray_session):
+    """cluster_by splits partitions into several base files — still
+    delta-free, so lake_stats stays on the metadata path and the folded
+    per-file zone maps remain exact."""
+    import pyarrow.compute as pc
+
+    from engine.cdc.maintain import cluster_by
+    from engine.cdc.replay import ReplayConfig, replay
+    from engine.cdc.scan import lake_stats
+    from engine.cdc.synth import SynthConfig, synth_changelog
+    from engine.cdc.verify import lake_table
+
+    log = synth_changelog(
+        sf_dir, f"{tmp_path}/log_lc",
+        SynthConfig(seed=41, n_events=2000, n_epochs=2, n_keys=400),
+    )
+    lake = f"{tmp_path}/lake_lc"
+    replay(log, lake, ReplayConfig(num_partitions=8, num_salts=2))
+    cluster_by(lake, ["lang"], num_files=3)
+    t = lake_table(lake)
+    got = lake_stats(lake, ["seq", "lang"])
+    assert got["delta_free"] and got["rows_source"] == "metadata"
+    assert got["rows"] == t.num_rows
+    for c in ("seq", "lang"):
+        assert got["columns"][c]["source"] == "metadata"
+        mm = pc.min_max(t.column(c))
+        assert got["columns"][c]["min"] == mm["min"].as_py()
+        assert got["columns"][c]["max"] == mm["max"].as_py()
