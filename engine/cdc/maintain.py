@@ -555,11 +555,43 @@ def compact(lake_dir: str) -> dict:
     )
 
 
+def _zorder_indices(t: pa.Table, columns: list[str]):
+    """Morton/Z-order sort permutation over rank-normalized columns:
+    each column's values are dense-ranked and scaled to 16 bits (nulls
+    rank last), then the per-column bits are interleaved into one
+    uint64 key — locality in EVERY clustered dimension, so zone maps
+    prune on ANY of them, not just the leading lexicographic one.
+    Rank normalization makes the interleave distribution-free (raw
+    values of mixed types/scales would starve the narrow column of
+    bits). Vectorized numpy; ties broken by (repo, path) for a
+    deterministic rewrite."""
+    import numpy as np
+
+    n = t.num_rows
+    z = np.zeros(n, dtype=np.uint64)
+    ncols = len(columns)
+    for ci, c in enumerate(columns):
+        order = np.asarray(pc.sort_indices(t.column(c)))  # nulls last
+        ranks = np.empty(n, dtype=np.int64)
+        ranks[order] = np.arange(n)
+        q = (ranks.astype(np.uint64) * 65535) // max(1, n - 1)
+        for b in range(16):
+            z |= ((q >> np.uint64(b)) & np.uint64(1)) << np.uint64(b * ncols + ci)
+    key = t.select([c for c in ("repo", "path") if c in t.column_names])
+    tie = np.asarray(pc.sort_indices(
+        key, sort_keys=[(c, "ascending") for c in key.column_names]
+    ))
+    rank_tie = np.empty(n, dtype=np.int64)
+    rank_tie[tie] = np.arange(n)
+    return np.lexsort((rank_tie, z))
+
+
 def cluster_by(
     lake_dir: str,
     columns: list[str],
     target_rows: int = 1 << 20,
     num_files: int | None = None,
+    zorder: bool = False,
 ) -> dict:
     """OPTIMIZE-style sort-clustering as one maintenance version: rewrite
     every partition's live view SORTED by ``columns`` and SPLIT into
@@ -591,6 +623,11 @@ def cluster_by(
       point reads stay O(one partition) regardless (``lake_lookup``
       prunes by pid hash + pushes the repo filter into the reads, not
       by zone maps). Cluster on the columns your reports filter by.
+    - ``zorder=True`` (≥2 columns): Morton-interleaved rank order
+      instead of lexicographic — every clustered column's zone maps
+      tighten (lexicographic only really tightens the leading one), so
+      scans filtering on ANY single clustered column prune. Classic
+      OPTIMIZE ZORDER semantics; see :func:`_zorder_indices`.
     - All lake-semantics pins (P, summary_spec, update_mode, renames,
       drops) carry forward via the shared maintenance core; resume
       after a cluster_by stays exact.
@@ -613,11 +650,15 @@ def cluster_by(
         raise ValueError(f"num_files must be >= 1, got {num_files}")
     if target_rows < 1:
         raise ValueError(f"target_rows must be >= 1, got {target_rows}")
+    if zorder and len(columns) < 2:
+        raise ValueError("zorder needs at least two cluster columns")
     keys = [(c, "ascending") for c in columns] + [
         (k, "ascending") for k in ("repo", "path") if k not in columns
     ]
 
     def _transform(t: pa.Table) -> pa.Table:
+        if zorder and t.num_rows > 1:
+            return t.take(_zorder_indices(t, columns))
         return t.sort_by(keys)
 
     def _split(t: pa.Table) -> list[pa.Table]:
@@ -628,10 +669,11 @@ def cluster_by(
         step = -(-n // k)
         return [t.slice(off, step) for off in range(0, n, step)]
 
+    kind = "zorder" if zorder else "cluster"
     return _maintenance_commit(
         lake_dir,
         _transform,
-        label=f"cluster:{','.join(columns)}",
+        label=f"{kind}:{','.join(columns)}",
         split_fn=_split,
     )
 
@@ -710,6 +752,8 @@ def main(argv: list[str] | None = None) -> None:
     cb = sub.add_parser("cluster", help="OPTIMIZE: sort-cluster + split for zone-map pruning")
     cb.add_argument("--by", required=True, help="comma-separated cluster columns")
     cb.add_argument("--target-rows", type=int, default=1 << 20)
+    cb.add_argument("--zorder", action="store_true",
+                    help="Morton-interleave the columns (OPTIMIZE ZORDER)")
     sub.add_parser("history", help="DESCRIBE HISTORY: one line per retained version")
     args = ap.parse_args(argv)
     if args.op == "history":  # metadata-only, no Ray
@@ -730,7 +774,8 @@ def main(argv: list[str] | None = None) -> None:
         m = drop_column(args.lake_dir, args.column)
     elif args.op == "cluster":
         m = cluster_by(
-            args.lake_dir, args.by.split(","), target_rows=args.target_rows
+            args.lake_dir, args.by.split(","), target_rows=args.target_rows,
+            zorder=args.zorder,
         )
     else:
         from engine.cdc.clone import clone_lake

@@ -135,3 +135,53 @@ def test_target_rows_splits_by_size(tmp_path, sf_dir):
         want = -(-int(r["rows_out"]) // 25)
         assert len(parts[pid]) == want
     assert state_hash(lake)  # still readable end-to-end
+
+
+def test_zorder_prunes_on_every_clustered_column(tmp_path, sf_dir):
+    """OPTIMIZE ZORDER: Morton-interleaved clustering over (lang, seq)
+    must keep the state hash invariant, match the exact scan, and let
+    single-column predicates on EITHER dimension skip base files —
+    lexicographic (lang, seq) order only tightens lang's zone maps."""
+    log = _log(tmp_path, sf_dir, name="log_z")
+    lake = f"{tmp_path}/lake_z"
+    replay(log, lake, ReplayConfig(**CFG))
+    h0 = state_hash(lake)
+    from engine.cdc.verify import lake_table
+
+    full = lake_table(lake)
+    import pyarrow.compute as pc
+
+    seq_cut = int(pc.max(full.column("seq")).as_py()) - 400
+
+    m = cluster_by(lake, ["lang", "seq"], num_files=4, zorder=True)
+    assert m["maintenance"] == "zorder:lang,seq"
+    assert state_hash(lake) == h0
+
+    for flt in ([("lang", "=", "de")], [("seq", ">", seq_cut)]):
+        got = _scan(lake, flt)
+        want = full.filter(
+            {"=": pc.equal, ">": pc.greater}[flt[0][1]](
+                full.column(flt[0][0]), flt[0][2]
+            )
+        )
+        assert got.num_rows == want.num_rows, flt
+        assert scan_lake.last_files_read < scan_lake.last_files_total, flt
+
+
+def _scan(lake, flt):
+    t = pull_arrow(scan_lake(lake, flt, columns=["repo", "path", "seq", "lang"]))
+    import pyarrow as pa
+
+    return t if t is not None else pa.table(
+        {"repo": [], "path": [], "seq": [], "lang": []}
+    )
+
+
+def test_zorder_requires_two_columns(tmp_path, sf_dir):
+    log = _log(tmp_path, sf_dir, name="log_z1")
+    lake = f"{tmp_path}/lake_z1"
+    replay(log, lake, ReplayConfig(**CFG))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least two"):
+        cluster_by(lake, ["lang"], zorder=True)

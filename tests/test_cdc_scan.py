@@ -346,6 +346,18 @@ def test_scan_fuzz_random_lakes_and_filters(tmp_path, ray_session):
         if n_epochs:
             replay(src, lake, cfg)
 
+        # Optionally OPTIMIZE-cluster the lake (sorted multi-file bases):
+        # exercises file-granularity skipping + multi-base merge-on-read.
+        clus = data.draw(st.sampled_from(
+            [None, (["lang"], 2, False), (["lang"], 3, False),
+             (["seq"], 2, False), (["lang", "seq"], 3, True)]
+        ))
+        if clus is not None:
+            from engine.cdc.maintain import cluster_by
+
+            cols, k, z = clus
+            cluster_by(lake, cols, num_files=k, zorder=z)
+
         n_conj = data.draw(st.integers(1, 2))
         flt = []
         for _ in range(n_conj):
