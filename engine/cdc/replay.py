@@ -559,6 +559,24 @@ def replay(
     return _replay_available(src, lake_dir, cfg, max_epoch)
 
 
+def state_asof(log_dir: str, out_lake: str, seq: int, cfg: ReplayConfig | None = None) -> dict:
+    """Seq-granular point-in-time recovery: materialize the lake state
+    AS OF an arbitrary changelog position ``seq`` (inclusive) into
+    ``out_lake`` — finer than version time travel (which lands on epoch
+    boundaries). One bounded replay of the log truncated at ``seq``:
+    epochs entirely above the bound are pruned from parquet footer
+    column statistics (no data pages), the boundary epoch contributes
+    exactly its prefix, and everything downstream is the ordinary
+    machinery — so the result is byte-identical to what a replay would
+    have produced had the log stopped at ``seq`` (oracle-checked:
+    q_cdc_asof_seq mirrors the bound as ``events_where seq <= S``).
+
+    Ops story: "recover the table to just before the bad write at
+    seq S" = ``state_asof(log, scratch, S - 1)`` + inspect/clone —
+    the log, not the lake, is the source of truth."""
+    return replay(tailer.SeqBoundSource(log_dir, seq), out_lake, cfg)
+
+
 def _replay_available(
     src,
     lake_dir: str,

@@ -325,6 +325,62 @@ class TransformSource:
         return f"TransformSource({self.inner!r})"
 
 
+class SeqBoundSource:
+    """A changelog source truncated at an arbitrary ``seq`` position —
+    the primitive behind seq-granular point-in-time recovery
+    (engine/cdc/replay.py::state_asof). Epochs whose events all lie
+    ABOVE the bound are pruned from ``available_epochs`` via parquet
+    FOOTER column statistics when the inner source is a directory log
+    (no data pages read); surviving epochs filter ``seq <= bound`` per
+    batch, so the boundary epoch contributes exactly its prefix."""
+
+    def __init__(self, inner, bound: int):
+        self.inner = as_source(inner)
+        self.bound = int(bound)
+
+    def _epoch_min_seq(self, epoch: int) -> int | None:
+        if not isinstance(self.inner, DirectorySource):
+            return None  # unknown — keep the epoch, the filter decides
+        lo = None
+        for f in epoch_files(self.inner.log_dir, epoch):
+            md = pq.ParquetFile(f).metadata
+            idx = pq.read_schema(f).names.index("seq")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None  # no stats — keep the epoch
+                lo = st.min if lo is None else min(lo, st.min)
+        return lo
+
+    def available_epochs(self) -> list[int]:
+        out = []
+        for e in self.inner.available_epochs():
+            lo = self._epoch_min_seq(e)
+            if lo is None or lo <= self.bound:
+                out.append(e)
+        return out
+
+    def epoch_schema(self, epoch: int) -> pa.Schema:
+        return self.inner.epoch_schema(epoch)
+
+    def read_epoch(self, epoch: int, parallelism_hint: int | None = None) -> rd.Dataset:
+        import pyarrow.compute as pc
+
+        bound = self.bound
+
+        def _cut(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.fill_null(pc.less_equal(t.column("seq"), bound), False)
+            )
+
+        return self.inner.read_epoch(epoch, parallelism_hint).map_batches(
+            _cut, batch_format="pyarrow"
+        )
+
+    def __repr__(self) -> str:
+        return f"SeqBoundSource({self.inner!r}, <= {self.bound})"
+
+
 def as_source(log: "str | DirectorySource | MemorySource"):
     """Normalize replay()'s log argument: a path string becomes the
     directory tailer; anything exposing the source trio passes through."""

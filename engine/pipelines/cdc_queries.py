@@ -542,6 +542,31 @@ def q_cdc_zonemap_scan(sf_dir):
     return rd.from_arrow(out.select(["repo", "path", "seq", "content_sha256"]))
 
 
+_ASOF_SEQ = 3999  # mid-epoch-1 position (epoch size 2667 for CFG_MAIN)
+_SQL_ASOF = sqloracle.lww_state_sql(
+    CFG_MAIN, _KEY_COLS, events_where=f"seq <= {_ASOF_SEQ}"
+)
+
+
+@register_query("q_cdc_asof_seq", oracle=_SQL_ASOF)
+def q_cdc_asof_seq(sf_dir):
+    """Seq-granular point-in-time recovery (engine/cdc/replay.py::
+    state_asof): materialize the lake AS OF mid-epoch position 3999 —
+    above-bound epochs pruned from parquet footers, the boundary epoch
+    contributing exactly its prefix — and value-hash it against the SQL
+    mirror's LWW over ``seq <= 3999``. Finer than version time travel
+    (epoch boundaries); this is the "recover to just before the bad
+    write" primitive."""
+    from engine.cdc.replay import state_asof
+
+    work = _replayed_lake(sf_dir)
+    out = f"{work}/asof_{_ASOF_SEQ}"
+    if not os.path.isdir(out):
+        state_asof(f"{work}/log", out, _ASOF_SEQ,
+                   ReplayConfig(num_partitions=16, num_salts=2))
+    return read_lake(out, columns=_KEY_COLS).select_columns(_KEY_COLS)
+
+
 _SQL_META_AGG = sqloracle.state_query(
     CFG_MAIN,
     "SELECT 'rows' AS metric, CAST(count(*) AS VARCHAR) AS value FROM state "

@@ -2,6 +2,7 @@
 oracle (SURVEY.md §5 — this is the `python -m pytest -x -q` correctness
 gate of BASELINE.json:15: per-row content sha256 equality)."""
 
+import pyarrow as pa
 import pyarrow.compute as pc
 import pytest
 
@@ -186,3 +187,54 @@ def test_bad_events_deadlettered_not_applied(tmp_path, sf_dir):
         for f in files:
             dl += pq.read_table(os.path.join(root, f)).num_rows
     assert dl == n_bad
+
+
+def test_state_asof_arbitrary_seq(tmp_path, sf_dir):
+    """Seq-granular point-in-time recovery: state_asof(S) must equal a
+    replay of a log that simply STOPPED at S — for a mid-epoch S, an
+    epoch-boundary S, and S beyond the log (full state)."""
+    import pyarrow.compute as pc
+
+    from engine.cdc.replay import state_asof
+    from engine.cdc.verify import lake_table, state_hash
+
+    log = synth_changelog(
+        sf_dir, f"{tmp_path}/log_asof",
+        SynthConfig(seed=47, n_events=3000, n_epochs=3, n_keys=600),
+    )
+    cfg = ReplayConfig(num_partitions=8, num_salts=2)
+    for s in (1499, 1999, 99999):  # mid-epoch, boundary, beyond
+        lake = f"{tmp_path}/asof_{s}"
+        state_asof(log, lake, s, cfg)
+        t = lake_table(lake)
+        assert pc.max(t.column("seq")).as_py() <= s
+        # Independent truth: sequential fold of the truncated stream.
+        ref = f"{tmp_path}/ref_{s}"
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(ref)
+        k = 0
+        for e in sorted(os.listdir(log)):
+            if not e.startswith("epoch="):
+                continue
+            parts = [
+                pq.read_table(os.path.join(log, e, f))
+                for f in sorted(os.listdir(os.path.join(log, e)))
+            ]
+            tt = pa.concat_tables(parts, promote_options="permissive")
+            tt = tt.filter(pc.less_equal(tt.column("seq"), s))
+            if tt.num_rows:
+                edir = os.path.join(ref, f"epoch={k:05d}")
+                os.makedirs(edir)
+                pq.write_table(tt, os.path.join(edir, "part-0.parquet"))
+                k += 1
+        ref_lake = f"{tmp_path}/reflake_{s}"
+        replay(ref, ref_lake, cfg)
+        assert state_hash(lake) == state_hash(ref_lake), s
+    # Footer pruning really skipped the above-bound epochs.
+    from engine.cdc.tailer import SeqBoundSource
+
+    assert SeqBoundSource(log, 999).available_epochs() == [0]
+    assert SeqBoundSource(log, 1000).available_epochs() == [0, 1]
