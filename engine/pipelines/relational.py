@@ -307,6 +307,92 @@ def q_groupby_lineitem(sf_dir):
 
 
 @register_query(
+    "q_tpch_q1",
+    oracle="""WITH g AS (
+                SELECT l_returnflag, l_linestatus,
+                       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+                       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+                       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS sum_charge_cents,
+                       SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS sum_disc_bp,
+                       COUNT(*) AS n
+                FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+                GROUP BY l_returnflag, l_linestatus)
+              SELECT l_returnflag, l_linestatus,
+                     CAST(sum_qty AS BIGINT) AS sum_qty,
+                     CAST(sum_base_cents AS BIGINT) AS sum_base_cents,
+                     CAST(sum_disc_cents AS BIGINT) AS sum_disc_cents,
+                     CAST(sum_charge_cents AS BIGINT) AS sum_charge_cents,
+                     CAST((2 * 1000000 * sum_qty + n) // (2 * n) AS BIGINT) AS avg_qty_micro,
+                     CAST((2 * 10000 * sum_base_cents + n) // (2 * n) AS BIGINT) AS avg_price_micro,
+                     CAST((2 * 100 * sum_disc_bp + n) // (2 * n) AS BIGINT) AS avg_disc_micro,
+                     CAST(n AS BIGINT) AS count_order
+              FROM g""",
+)
+def q_tpch_q1(sf_dir):
+    """TPC-H Q1 proper (pricing summary report) — all eight measures.
+    Monetary sums are per-row integer cents (order-independent); the
+    three averages are exact integer micro-units derived from the sums
+    with round-half-up rational arithmetic, so the result is
+    bit-identical to the oracle at any parallelism. One combiner
+    exchange moves 4 rows per batch."""
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+    )
+    ds = filter_expr(
+        ds, lambda t: pc.less_equal(t.column("l_shipdate"), pa.scalar(np.datetime64("1998-09-02", "us")))
+    )
+
+    def _disc(t):
+        return pc.multiply(t.column("l_extendedprice"), pc.subtract(1.0, t.column("l_discount")))
+
+    ds = with_columns(
+        ds,
+        {
+            "sum_qty": lambda t: pc.cast(t.column("l_quantity"), pa.int64()),
+            "sum_base_cents": _cents("l_extendedprice"),
+            "sum_disc_cents": lambda t: pc.cast(
+                _round_away(pc.multiply(_disc(t), 100.0)), pa.int64()
+            ),
+            "sum_charge_cents": lambda t: pc.cast(
+                _round_away(
+                    pc.multiply(pc.multiply(_disc(t), pc.add(1.0, t.column("l_tax"))), 100.0)
+                ),
+                pa.int64(),
+            ),
+            "sum_disc_bp": lambda t: pc.cast(
+                _round_away(pc.multiply(t.column("l_discount"), 10000.0)), pa.int64()
+            ),
+        },
+    )
+    g = partial_grouped_sum(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_base_cents", "sum_disc_cents", "sum_charge_cents", "sum_disc_bp"],
+        count_alias="count_order",
+    )
+
+    def _avgs(t: pa.Table) -> pa.Table:
+        # round-half-up rational: round(a/b) = (2a + b) // (2b), all >= 0;
+        # Arrow integer divide truncates toward zero == floor for positives.
+        n, two_n = t.column("count_order"), pc.multiply(t.column("count_order"), 2)
+
+        def r(numer_scale, col):
+            return pc.divide(
+                pc.add(pc.multiply(t.column(col), 2 * numer_scale), n), two_n
+            )
+
+        t = t.append_column("avg_qty_micro", r(1_000_000, "sum_qty"))
+        t = t.append_column("avg_price_micro", r(10_000, "sum_base_cents"))
+        t = t.append_column("avg_disc_micro", r(100, "sum_disc_bp"))
+        return t.drop_columns(["sum_disc_bp"])
+
+    return g.map_batches(_avgs, batch_format="pyarrow")
+
+
+@register_query(
     "q_grouped_orders",
     oracle="""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
                      CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents,
