@@ -8,6 +8,8 @@ scale'). The shuffle moves 2^p bytes per batch, never values.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -28,7 +30,16 @@ def _rho(w: np.ndarray, bits: int) -> np.ndarray:
 
 def hll_partial(df: pd.DataFrame, col: str, p: int) -> pd.DataFrame:
     m = 1 << p
-    h = pd.util.hash_array(df[col].to_numpy(dtype=object), hash_key="0123456789abcdef")
+    v = df[col].to_numpy()
+    if np.issubdtype(v.dtype, np.integer):
+        # splitmix64 — the same public mixer the CDC SQL oracle mirrors
+        # bit-exactly in DuckDB (engine/cdc/sqloracle.py::_sm64_cols), so
+        # integer-keyed HLL queries are driver value-hash-checkable.
+        from engine.util.hashing import splitmix64
+
+        h = splitmix64(v.astype(np.int64).view(np.uint64))
+    else:
+        h = pd.util.hash_array(v.astype(object), hash_key="0123456789abcdef")
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rho = _rho(h, 64 - p)
     reg = np.zeros(m, dtype=np.uint8)
@@ -36,14 +47,25 @@ def hll_partial(df: pd.DataFrame, col: str, p: int) -> pd.DataFrame:
     return pd.DataFrame({"registers": [reg.tobytes()]})
 
 
-def hll_estimate(registers: np.ndarray) -> float:
+def hll_estimate(registers: np.ndarray) -> int:
+    """HLL estimate in an exactly-SQL-mirrorable form: the register sum
+    is folded as the EXACT integer S = Σ 2^(B-reg) (B = bits+1; absent
+    buckets contribute 2^B), and the two float expressions below consume
+    only exact integers (S, V, m) plus literals — a DuckDB twin
+    evaluating the literally-same expressions is bit-identical, so the
+    rounded estimate survives the driver's value hash."""
     m = len(registers)
-    alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.power(2.0, -registers.astype(np.float64)))
-    zeros = int((registers == 0).sum())
-    if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)  # small-range correction
-    return float(est)
+    p = int(m).bit_length() - 1
+    B = 64 - p + 1
+    counts = np.bincount(registers, minlength=B + 1)
+    S = sum(int(c) << (B - r) for r, c in enumerate(counts.tolist()))
+    V = int(counts[0])
+    raw = 0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << B) / float(S)
+    if raw <= 2.5 * m and V > 0:
+        est = m * math.log(m / V)  # small-range correction
+    else:
+        est = raw
+    return int(np.floor(est + 0.5))
 
 
 def approx_count_distinct(ds: rd.Dataset, col: str, p: int = 12) -> pa.Table:
@@ -54,7 +76,7 @@ def approx_count_distinct(ds: rd.Dataset, col: str, p: int = 12) -> pa.Table:
     merged = np.zeros(1 << p, dtype=np.uint8)
     for row in partials.iter_rows():  # one tiny row per input batch
         merged = np.maximum(merged, np.frombuffer(row["registers"], dtype=np.uint8))
-    return pa.table({"approx_n": pa.array([int(round(hll_estimate(merged)))], pa.int64())})
+    return pa.table({"approx_n": pa.array([hll_estimate(merged)], pa.int64())})
 
 
 def hll_partial_grouped(df: pd.DataFrame, keys: list[str], col: str, p: int) -> pd.DataFrame:
@@ -90,7 +112,7 @@ def approx_count_distinct_grouped(
             merged = np.zeros(1 << p, dtype=np.uint8)
             for b in d["registers"]:
                 merged = np.maximum(merged, np.frombuffer(b, dtype=np.uint8))
-            return pd.Series({out: int(round(hll_estimate(merged)))})
+            return pd.Series({out: hll_estimate(merged)})
 
         return (
             df.groupby(keys, sort=False, dropna=False)

@@ -31,6 +31,7 @@ from engine.ops.agg import (
 from engine.ops.join import asof_join, broadcast_join, semi_join, shuffle_join
 from engine.ops.map import explode, filter_expr, rename as rename_ds, select, with_columns
 from engine.ops.order import sample_sql, seeded_sample, top_k
+from engine.pipelines.sqlmirror import approx_percentile_sql, hll_grouped_sql, hll_sql
 from engine.ops.setops import (
     except_all,
     except_distinct,
@@ -515,17 +516,22 @@ def q_heavy_hitters(sf_dir):
     return heavy_hitters(ds, "user_id", min_count=15, k=1 << 19)
 
 
-@register_query("q_hll_count_distinct")  # sketch → rows-only driver check
+@register_query("q_hll_count_distinct", oracle=hll_sql("orders", "o_custkey"))
 def q_hll_count_distinct(sf_dir):
-    """Approximate COUNT DISTINCT via mergeable HLL (G5; p=12 → ~1.6%)."""
+    """Approximate COUNT DISTINCT via mergeable HLL (G5; p=12 → ~1.6%).
+    Oracle-checked: the hash is splitmix64 (SQL-mirrored bit-exact) and
+    the estimate consumes only exact integer register sums, so DuckDB
+    recomputes the ENTIRE sketch — registers and estimate — and the
+    value hashes match (engine/pipelines/sqlmirror.py)."""
     return approx_count_distinct(read_table(sf_dir, "orders", columns=["o_custkey"]), "o_custkey")
 
 
-@register_query("q_hll_grouped")  # sketch → rows-only driver check
+@register_query("q_hll_grouped", oracle=hll_grouped_sql("events", ["event_type"], "user_id"))
 def q_hll_grouped(sf_dir):
     """Per-group approximate COUNT(DISTINCT user_id): grouped mergeable
     registers — the shuffle moves one 2^p-byte register row per group
-    per batch, never user ids."""
+    per batch, never user ids. Oracle recomputes the grouped sketch in
+    SQL (registers depend only on each group's distinct values)."""
     from engine.ops.sketch import approx_count_distinct_grouped
 
     ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
@@ -1374,10 +1380,16 @@ def q_percentile(sf_dir):
     return percentile_disc_by_group(ds, ["l_returnflag"], "l_extendedprice", 0.5, out="median_price")
 
 
-@register_query("q_approx_percentile")  # sketch — rows-only (error ≤ bin width)
+@register_query(
+    "q_approx_percentile",
+    oracle=approx_percentile_sql("lineitem", "l_extendedprice", [0.5, 0.9, 0.99]),
+)
 def q_approx_percentile(sf_dir):
     """Mergeable histogram-sketch percentiles of l_extendedprice (p50/
-    p90/p99); accuracy asserted vs exact in tests/test_ops_relational.py."""
+    p90/p99); accuracy asserted vs exact in tests/test_ops_relational.py.
+    Oracle-checked: the grid arithmetic, cumulative counts and
+    bin-upper-edge readout are mirrored token-for-token in DuckDB
+    (engine/pipelines/sqlmirror.py) — identical doubles, identical hash."""
     from engine.ops.sketch import approx_percentile
 
     ds = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
