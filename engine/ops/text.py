@@ -130,6 +130,32 @@ def lang_id(ds: rd.Dataset) -> rd.Dataset:
 
 _FP_PAD = np.uint64(0x9E3779B97F4A7C15)  # pad-token hash for docs shorter than w
 _FP_B = np.uint64(1099511628211)  # FNV-64 prime (odd → full-period mod 2^64)
+_FNV_BASIS = np.uint64(0xCBF29CE484222325)
+
+
+def fnv1a_tokens(tokens: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a/64 over each token's utf-8 bytes. Tokens come
+    from ``str.split()`` so they contain no NUL or whitespace: ONE
+    NUL-joined encode gives a flat byte array whose zero positions are
+    the token boundaries, then max_token_len masked multiply-xor passes
+    hash every token with no per-token Python loop. FNV-1a is public and
+    byte-sequential, so the SQL oracle mirrors it with a ``list_reduce``
+    over codepoints (ASCII corpus: codepoint == utf-8 byte) —
+    engine/pipelines/sqlmirror.py::fingerprint_sql."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    blob = np.frombuffer(("\x00".join(tokens) + "\x00").encode("utf-8"), dtype=np.uint8)
+    zpos = np.flatnonzero(blob == 0)
+    starts = np.empty(n, np.int64)
+    starts[0] = 0
+    starts[1:] = zpos[:-1] + 1
+    lens = zpos - starts
+    h = np.full(n, _FNV_BASIS, np.uint64)
+    for j in range(int(lens.max())):
+        m = lens > j
+        h[m] = (h[m] ^ blob[starts[m] + j].astype(np.uint64)) * _FP_B
+    return h
 
 
 def fingerprint(ds: rd.Dataset, text_col: str = "text", w: int = 5) -> rd.Dataset:
@@ -153,7 +179,7 @@ def fingerprint(ds: rd.Dataset, text_col: str = "text", w: int = 5) -> rd.Datase
             return out
         ex = s.explode()
         toks = ex[ex.notna()].to_numpy(dtype=object)
-        th = pd.util.hash_array(toks, hash_key="docfingerprint16")  # uint64
+        th = fnv1a_tokens(toks)  # uint64, SQL-mirrorable
         # Pad short docs to w slots so window arithmetic is uniform.
         new_lens = np.maximum(lens, w)
         off_new = np.zeros(ndoc + 1, dtype=np.int64)

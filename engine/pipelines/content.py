@@ -26,6 +26,7 @@ from engine.ops.multimodal import (
     payload_features,
 )
 from engine.ops.text import fingerprint, lang_id, quality_score, text_stats
+from engine.pipelines.sqlmirror import fingerprint_sql
 from engine.registry import register_query
 
 # q_tfidf vocabulary-broadcast gate (rows in the (word, df) map); the
@@ -367,8 +368,13 @@ def q_langid(sf_dir):
     return select(lang_id(ds), ["doc_id", "lang", "lang_pred", "lang_conf_micro"])
 
 
-@register_query("q_fingerprint")  # rows-only
+@register_query("q_fingerprint", oracle=fingerprint_sql())
 def q_fingerprint(sf_dir):
+    """Winnowing-style document fingerprint (min rolling FNV-1a w-gram
+    hash). Oracle-checked: the token hash, pad extension, rolling
+    polynomial and per-doc min are all exact 64-bit integer arithmetic,
+    mirrored in DuckDB via list_reduce/list_transform with HUGEINT limb
+    multiplies (engine/pipelines/sqlmirror.py::fingerprint_sql)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return select(fingerprint(ds), ["doc_id", "doc_fp"])
 

@@ -17,7 +17,9 @@ cost is O(cardinality), not O(rows).
 
 from __future__ import annotations
 
-from engine.cdc.sqloracle import _sm64_cols
+from engine.cdc.sqloracle import _mul64, _sm64_cols
+
+_M64 = 1 << 64
 
 
 def _hll_core(source: str, value_expr: str, keys: list[str], p: int) -> str:
@@ -109,3 +111,49 @@ def approx_percentile_sql(
       c AS (SELECT bin, SUM(COUNT(*)) OVER (ORDER BY bin) AS cum
             FROM b GROUP BY bin)
       SELECT {', '.join(sels)} FROM p"""
+
+
+def _signed64(expr: str) -> str:
+    """Reinterpret a UBIGINT expression as BIGINT (numpy view(int64))."""
+    return (
+        f"CAST(CAST({expr} AS HUGEINT) - CASE WHEN {expr} >= "
+        f"{1 << 63}::UBIGINT THEN {_M64}::HUGEINT ELSE 0::HUGEINT END AS BIGINT)"
+    )
+
+
+def fingerprint_sql(
+    source: str = "documents", id_col: str = "doc_id", text_col: str = "text", w: int = 5
+) -> str:
+    """engine.ops.text.fingerprint twin: FNV-1a/64 token hashes
+    (list_reduce over codepoints — the corpus is ASCII so codepoint ==
+    utf-8 byte), PAD-extension of short docs, the w-gram rolling
+    polynomial Σ th[i+j]·B^(w-1-j) mod 2^64 (HUGEINT limb multiplies,
+    5-term HUGEINT sum), and the per-doc MIN — all exact integers."""
+    basis = 0xCBF29CE484222325
+    pad = 0x9E3779B97F4A7C15
+    prime = 1099511628211
+    pows = [pow(prime, w - 1 - j, _M64) for j in range(w)]
+    fnv_step = _mul64("CAST(xor(acc, cc) AS HUGEINT)", prime)
+    terms = [_mul64(f"CAST(th[i + {j}] AS HUGEINT)", pows[j]) for j in range(w)]
+    hsum = " + ".join(f"CAST({t} AS HUGEINT)" for t in terms)
+    return f"""
+      WITH d AS (SELECT {id_col}, COALESCE({text_col}, '') AS txt FROM {source}),
+      tk0 AS (SELECT {id_col},
+                list_transform(
+                  list_filter(string_split_regex(txt, '\\s+'), t -> t <> ''),
+                  t -> list_reduce(
+                         list_prepend({basis}::UBIGINT,
+                           list_transform(range(1, length(t) + 1),
+                                          i -> CAST(ascii(t[i]) AS UBIGINT))),
+                         (acc, cc) -> {fnv_step})) AS th0
+              FROM d),
+      tk AS (SELECT {id_col},
+                    list_resize(th0, GREATEST(len(th0), {w}), {pad}::UBIGINT) AS th
+             FROM tk0),
+      g AS (SELECT {id_col},
+                   list_aggregate(
+                     list_transform(range(1, len(th) - {w - 2}),
+                       i -> CAST(({hsum}) % {_M64}::HUGEINT AS UBIGINT)),
+                     'min') AS hmin
+            FROM tk)
+      SELECT {id_col}, {_signed64('hmin')} AS doc_fp FROM g"""
