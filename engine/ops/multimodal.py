@@ -127,17 +127,19 @@ def payload_features(ds: rd.Dataset, dim: int = 8) -> rd.Dataset:
     (deterministic byte-histogram projection standing in for a vision
     model forward pass)."""
 
-    def _feat(df: pd.DataFrame) -> pd.DataFrame:
-        feats = []
-        for p in df["payload"]:
+    def _feat(t: pa.Table) -> pa.Table:
+        # Stays pyarrow end-to-end: a FixedSizeList<float32> column, not
+        # a pandas ndarray column (which Ray rewrites to its tensor
+        # extension dtype and breaks downstream pandas block schemas).
+        feats = np.empty((t.num_rows, dim), np.float32)
+        for i, p in enumerate(t.column("payload").to_pylist()):
             b = np.frombuffer(p or b"\x00", dtype=np.uint8)
             hist = np.bincount(b % dim, minlength=dim).astype(np.float32)
-            feats.append(hist / max(1.0, hist.sum()))
-        out = df.copy()
-        out["payload_features"] = feats
-        return out
+            feats[i] = hist / max(1.0, hist.sum())
+        arr = pa.FixedSizeListArray.from_arrays(pa.array(feats.ravel()), dim)
+        return t.append_column("payload_features", arr)
 
-    return ds.map_batches(_feat, batch_format="pandas", batch_size=256)
+    return ds.map_batches(_feat, batch_format="pyarrow", batch_size=256)
 
 
 def attach_audio_payload(ds: rd.Dataset, id_col: str = "doc_id", sample_rate: int = 16000) -> rd.Dataset:

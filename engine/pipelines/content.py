@@ -26,7 +26,7 @@ from engine.ops.multimodal import (
     payload_features,
 )
 from engine.ops.text import fingerprint, lang_id, quality_score, text_stats
-from engine.pipelines.sqlmirror import fingerprint_sql
+from engine.pipelines.sqlmirror import crc32_decode_sql, fingerprint_sql
 from engine.registry import register_query
 
 # q_tfidf vocabulary-broadcast gate (rows in the (word, df) map); the
@@ -404,11 +404,13 @@ def q_multimodal_meta(sf_dir):
     return ds.map_batches(_meta, batch_format="pyarrow")
 
 
-@register_query("q_multimodal_decode")  # stubbed codec output — rows-only
+@register_query("q_multimodal_decode", oracle=crc32_decode_sql())
 def q_multimodal_decode(sf_dir):
     """Full multimodal plumbing: payload attach → actor-pool fake decode
     → feature extraction; checksum/width/height/channels derive from the
-    payload bytes (crc32 — not SQL-expressible)."""
+    payload bytes via zlib.crc32. Oracle-checked: the reflected CRC-32
+    is recomputed in SQL (table built with 8 shift/xor steps per entry,
+    then a byte-per-step list_reduce — sqlmirror.py::crc32_decode_sql)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     ds = attach_fake_payload(ds, "text")
     ds = decode_payloads(ds, fake=True)

@@ -157,3 +157,36 @@ def fingerprint_sql(
                      'min') AS hmin
             FROM tk)
       SELECT {id_col}, {_signed64('hmin')} AS doc_fp FROM g"""
+
+
+def crc32_decode_sql(source: str = "documents", id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    """engine.ops.multimodal fake-decode twin: zlib.crc32 of the payload
+    bytes (the text's utf-8 bytes; ASCII corpus ⇒ codepoints) computed
+    with the public reflected CRC-32 table — the table itself is built
+    in SQL (8 shift/xor steps per entry via list_reduce), then one
+    byte-per-step list_reduce per row. width/height/channels are the
+    same integer expressions the decode stage applies to the crc."""
+    return f"""
+      WITH crc AS (SELECT list_transform(range(0, 256),
+                     n -> list_reduce(
+                            list_prepend(CAST(n AS UBIGINT),
+                              list_transform(range(0, 8), k -> CAST(k AS UBIGINT))),
+                            (c, k) -> CASE WHEN (c & 1) = 1
+                                      THEN xor(c >> 1, 3988292384::UBIGINT)
+                                      ELSE c >> 1 END)) AS tbl),
+      d AS (SELECT {id_col}, COALESCE({text_col}, '') AS txt FROM {source}),
+      c AS (SELECT {id_col}, txt,
+                   CAST(xor(list_reduce(
+                     list_prepend(4294967295::UBIGINT,
+                       list_transform(range(1, length(txt) + 1),
+                                      i -> CAST(ascii(txt[i]) AS UBIGINT))),
+                     (acc, b) -> xor(acc >> 8, tbl[CAST(xor(acc & 255, b) AS BIGINT) + 1])),
+                     4294967295::UBIGINT) AS BIGINT) AS checksum
+            FROM d, crc)
+      SELECT {id_col}, 'image/fake' AS media_type,
+             CAST(strlen(txt) AS BIGINT) AS n_bytes, checksum,
+             64 + checksum % 192 AS width,
+             64 + (checksum >> 8) % 192 AS height,
+             1 + checksum % 3 AS channels
+      FROM c"""
