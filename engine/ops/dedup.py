@@ -76,6 +76,16 @@ def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     return np.unique(out)
 
 
+def minhash_params(num_perm: int = 64, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """The (a, b) permutation constants — shared by MinHasher and the
+    DuckDB oracle builder (sqlmirror.py inlines them as literals, so the
+    SQL twin uses the identical permutations without mirroring the RNG)."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
 class MinHasher:
     """Actor-pool stage: permutation parameters are derived once per actor
     from the seed (SURVEY.md §2.3 pattern). Emits (doc_id, band,
@@ -83,9 +93,7 @@ class MinHasher:
 
     def __init__(self, text_col: str, id_col: str, num_perm: int = 64, bands: int = 16, k: int = 5, seed: int = 42):
         assert num_perm % bands == 0
-        rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64) | np.uint64(1)
-        self.b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+        self.a, self.b = minhash_params(num_perm, seed)
         self.text_col, self.id_col = text_col, id_col
         self.num_perm, self.bands, self.k = num_perm, bands, k
         self.rows_per_band = num_perm // bands
@@ -269,7 +277,9 @@ def verify_pairs_jaccard(
         m = m.drop(columns=["txt_a", "txt_b"])
         m["a"] = m["a"].astype("int64")
         m["b"] = m["b"].astype("int64")
-        m["jaccard"] = np.round(jac, 6)
+        # floor(x*1e6+0.5)/1e6, not np.round: half-away rounding that a
+        # SQL oracle mirrors exactly (np.round is half-to-even).
+        m["jaccard"] = np.floor(jac * 1e6 + 0.5) / 1e6
         return m[m["jaccard"] >= threshold]
 
     return (

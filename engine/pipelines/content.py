@@ -26,7 +26,12 @@ from engine.ops.multimodal import (
     payload_features,
 )
 from engine.ops.text import fingerprint, lang_id, quality_score, text_stats
-from engine.pipelines.sqlmirror import crc32_decode_sql, fingerprint_sql
+from engine.pipelines.sqlmirror import (
+    crc32_decode_sql,
+    fingerprint_sql,
+    minhash_clusters_sql,
+    minhash_pairs_sql,
+)
 from engine.registry import register_query
 
 # q_tfidf vocabulary-broadcast gate (rows in the (word, df) map); the
@@ -47,10 +52,14 @@ def q_dedup_exact(sf_dir):
     return select(out, ["doc_id", "lang", "source"])
 
 
-@register_query("q_dedup_minhash")  # LSH — not SQL-expressible, rows-only check
+@register_query("q_dedup_minhash", oracle=minhash_pairs_sql(threshold=0.5))
 def q_dedup_minhash(sf_dir):
     """MinHash+LSH near-dup pairs verified at Jaccard ≥ 0.5. The verify
-    stage co-partitions texts by doc_id (no corpus broadcast)."""
+    stage co-partitions texts by doc_id (no corpus broadcast).
+    Oracle-checked end to end: shingles, the 64 permutations (constants
+    inlined — sqlmirror.py::_minhash_cte), band hashes, the LSH
+    candidate set and the exact-Jaccard verify are all recomputed in
+    DuckDB and value-hash-compared."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     cand = minhash_candidate_pairs(ds, "text", "doc_id", dedup_pairs=False)
@@ -63,8 +72,11 @@ def q_dedup_simhash(sf_dir):
     return simhash_near_dup_pairs(ds, "text", "doc_id", max_hamming=3)
 
 
-@register_query("q_dedup_ngram")  # rows-only (LSH-blocked exact Jaccard)
+@register_query("q_dedup_ngram", oracle=minhash_pairs_sql(threshold=0.7))
 def q_dedup_ngram(sf_dir):
+    """LSH-blocked exact n-gram Jaccard at ≥ 0.7 — same oracle family as
+    q_dedup_minhash (the blocking is the identical banding; only the
+    verify threshold differs)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ngram_jaccard_pairs(ds, docs, "text", "doc_id", threshold=0.7)
@@ -841,14 +853,15 @@ def q_sample_stratified(sf_dir):
     return select(out, ["doc_id", "lang"])
 
 
-@register_query("q_dedup_minhash_clusters")  # LSH pairs — rows-only check
+@register_query("q_dedup_minhash_clusters", oracle=minhash_clusters_sql(threshold=0.5))
 def q_dedup_minhash_clusters(sf_dir):
     """End-to-end near-dup cluster formation: MinHash+LSH candidates →
     exact-Jaccard verify (≥0.5) → connected components → (node,
     component) cluster assignment with component = min doc_id. This is
     the full corpus-dedup chain a training-data pipeline runs: keeping
     one representative per component (the min) removes every transitive
-    near-duplicate."""
+    near-duplicate. Oracle-checked: DuckDB recomputes the pair graph
+    (sqlmirror MinHash mirror) and closes it with a recursive CTE."""
     from engine.ops.dedup import connected_components
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])

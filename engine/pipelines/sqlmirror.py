@@ -20,6 +20,8 @@ from __future__ import annotations
 from engine.cdc.sqloracle import _mul64, _sm64_cols
 
 _M64 = 1 << 64
+_M32 = 1 << 32
+_MERSENNE = (1 << 61) - 1
 
 
 def _hll_core(source: str, value_expr: str, keys: list[str], p: int) -> str:
@@ -157,6 +159,145 @@ def fingerprint_sql(
                      'min') AS hmin
             FROM tk)
       SELECT {id_col}, {_signed64('hmin')} AS doc_fp FROM g"""
+
+
+def _mul64var(a: str, b: str) -> str:
+    """SQL for ``(a * b) mod 2**64`` with BOTH operands runtime UBIGINT
+    expressions — 32-bit limb products summed in HUGEINT (each partial
+    < 2**64, the scaled middle term < 2**96, well inside HUGEINT)."""
+    return (
+        f"CAST(((CAST(({a}) % {_M32} AS HUGEINT) * (({b}) % {_M32})) + "
+        f"(((CAST(({a}) // {_M32} AS HUGEINT) * (({b}) % {_M32}) + "
+        f"CAST(({a}) % {_M32} AS HUGEINT) * (({b}) // {_M32})) % {_M32}) "
+        f"* {_M32}::HUGEINT)) % {_M64}::HUGEINT AS UBIGINT)"
+    )
+
+
+def shingles_sql(txt: str = "txt", k: int = 5, base: int = 1_000_003) -> str:
+    """List expression: distinct uint64 rolling-polynomial hashes of all
+    k-char shingles of ``txt`` (space-padded to k) — the
+    engine.ops.dedup.shingle_hashes twin (wrapping mod 2^64; ASCII
+    corpus ⇒ ascii() == utf-8 byte)."""
+    # byte < 2^8 and each constant < 2^64, so byte*C < 2^72 and the
+    # 5-term sum < 2^75 — ONE direct HUGEINT multiply per term and ONE
+    # final mod, no limb decomposition needed.
+    terms = []
+    for j in range(k):
+        byte = (
+            f"CAST((CASE WHEN i + {j} <= length({txt}) "
+            f"THEN ascii({txt}[i + {j}]) ELSE 32 END) AS HUGEINT)"
+        )
+        terms.append(f"{byte} * {pow(base, k - 1 - j, _M64)}::HUGEINT")
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, GREATEST(length({txt}), {k}) - {k - 2}), "
+        f"i -> CAST(({' + '.join(terms)}) % {_M64}::HUGEINT AS UBIGINT)))"
+    )
+
+
+def _minhash_cte(
+    source: str,
+    id_col: str,
+    text_col: str,
+    num_perm: int,
+    bands: int,
+    k: int,
+    seed: int,
+    base: int = 1_000_003,
+) -> str:
+    """WITH-clause body (no ``WITH`` keyword) ending in CTE ``res``
+    (a, b, jaccard): the engine.ops.dedup MinHash+LSH near-dup chain —
+    shingle hashes → the SAME (a·h + b) mod 2^64 mod (2^61-1)
+    permutations (constants inlined from minhash_params — no RNG
+    mirroring) → Horner band hashes → LSH self-join candidates →
+    exact-Jaccard verify over the shingle sets. All integer arithmetic
+    except the final inter/union division of exact integers; permutation
+    values are computed per DISTINCT shingle (the corpus vocabulary is
+    tiny relative to the shingle stream)."""
+    from engine.ops.dedup import minhash_params
+
+    a, b = minhash_params(num_perm, seed)
+    r = num_perm // bands
+    rows = ", ".join(
+        f"({i}, {int(a[i])}::UBIGINT, {int(b[i])}::UBIGINT)" for i in range(num_perm)
+    )
+    # Horner multiplier for signature row j within its band: base^(r-1-j).
+    pow_case = "CASE " + " ".join(
+        f"WHEN perm % {r} = {j} THEN {pow(base, r - 1 - j, _M64)}::UBIGINT"
+        for j in range(r)
+    ) + " END"
+    perm_hash = _mul64var("h", "pa")
+    band_term = _mul64var("vmin", pow_case)
+    return f"""
+      d AS (SELECT {id_col} AS did, COALESCE({text_col}, '') AS txt FROM {source}),
+      sh AS (SELECT did, {shingles_sql('txt', k, base)} AS s FROM d),
+      ex AS (SELECT did, unnest(s) AS h FROM sh),
+      perms AS (SELECT * FROM (VALUES {rows}) p(perm, pa, pb)),
+      hd AS (SELECT DISTINCT h FROM ex),
+      vh AS (SELECT h, perm,
+                    CAST((CAST({perm_hash} AS HUGEINT) + pb) % {_M64}::HUGEINT
+                         AS UBIGINT) % {_MERSENNE}::UBIGINT AS v
+             FROM hd, perms),
+      v AS (SELECT did, perm, MIN(v) AS vmin
+            FROM ex JOIN vh USING (h) GROUP BY did, perm),
+      bh AS (SELECT did, perm // {r} AS band,
+                    CAST(SUM(CAST({band_term} AS HUGEINT)) % {_M64}::HUGEINT
+                         AS UBIGINT) AS band_hash
+             FROM v GROUP BY did, perm // {r}),
+      cand AS (SELECT DISTINCT l.did AS a, r2.did AS b
+               FROM bh l JOIN bh r2
+                 ON l.band = r2.band AND l.band_hash = r2.band_hash
+                    AND l.did < r2.did),
+      jj AS (SELECT c.a, c.b,
+                    len(list_intersect(sa.s, sb.s)) AS inter,
+                    len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS uni
+             FROM cand c
+             JOIN sh sa ON sa.did = c.a
+             JOIN sh sb ON sb.did = c.b),
+      res AS (SELECT a, b,
+                     FLOOR((inter / uni) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+              FROM jj)"""
+
+
+def minhash_pairs_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    seed: int = 42,
+) -> str:
+    """Verified MinHash near-dup pairs (engine q_dedup_minhash twin)."""
+    cte = _minhash_cte(source, id_col, text_col, num_perm, bands, k, seed)
+    return f"WITH{cte}\n      SELECT a, b, jaccard FROM res WHERE jaccard >= {threshold!r}"
+
+
+def minhash_clusters_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    seed: int = 42,
+) -> str:
+    """Near-dup clusters: connected components (component = MIN doc id)
+    over the verified MinHash pair graph — DuckDB's recursive-CTE
+    transitive closure over the SAME pair set the engine's distributed
+    min-label CC consumes (engine q_dedup_minhash_clusters twin)."""
+    cte = _minhash_cte(source, id_col, text_col, num_perm, bands, k, seed)
+    return f"""WITH RECURSIVE{cte},
+      pe AS (SELECT a, b FROM res WHERE jaccard >= {threshold!r}),
+      ed AS (SELECT a, b FROM pe UNION ALL SELECT b, a FROM pe),
+      reach(node, lbl) AS (
+        SELECT a, a FROM ed
+        UNION
+        SELECT ed.b, reach.lbl FROM reach JOIN ed ON ed.a = reach.node
+      )
+      SELECT node, MIN(lbl) AS component FROM reach GROUP BY node"""
 
 
 def crc32_decode_sql(source: str = "documents", id_col: str = "doc_id",
