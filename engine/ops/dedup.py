@@ -295,11 +295,16 @@ def verify_pairs_jaccard(
 def simhash64(text: str) -> int:
     """64-bit SimHash over word tokens. Token hashing and the bit-vote
     tally are fully vectorized (the per-character polynomial loop was
-    the round-1 hot spot: 2.75 s for 5000 docs single-threaded)."""
+    the round-1 hot spot: 2.75 s for 5000 docs single-threaded). The
+    token hash is FNV-1a/64 (engine.ops.text.fnv1a_tokens) so the whole
+    SimHash — votes, fingerprint, banding, Hamming filter — is mirrored
+    in the DuckDB oracle (sqlmirror.py::simhash_pairs_sql)."""
+    from engine.ops.text import fnv1a_tokens
+
     toks = (text or "").lower().split()
     if not toks:
         return 0
-    hs = pd.util.hash_array(np.asarray(toks, dtype=object), hash_key="simhash64token16")
+    hs = fnv1a_tokens(np.asarray(toks, dtype=object))
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
     )

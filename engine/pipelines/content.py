@@ -31,6 +31,7 @@ from engine.pipelines.sqlmirror import (
     fingerprint_sql,
     minhash_clusters_sql,
     minhash_pairs_sql,
+    simhash_pairs_sql,
 )
 from engine.registry import register_query
 
@@ -66,8 +67,11 @@ def q_dedup_minhash(sf_dir):
     return verify_pairs_jaccard(cand, docs, "text", "doc_id", threshold=0.5)
 
 
-@register_query("q_dedup_simhash")  # rows-only
+@register_query("q_dedup_simhash", oracle=simhash_pairs_sql(max_hamming=3))
 def q_dedup_simhash(sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 3 over banded 16-bit chunks).
+    Oracle-checked: FNV-1a token hashes, bit votes, fingerprint, banding
+    and popcount are recomputed in DuckDB (sqlmirror.py)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return simhash_near_dup_pairs(ds, "text", "doc_id", max_hamming=3)
 

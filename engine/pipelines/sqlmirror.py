@@ -123,6 +123,62 @@ def _signed64(expr: str) -> str:
     )
 
 
+_FNV_BASIS = 0xCBF29CE484222325
+_FNV_PRIME = 1099511628211
+
+
+def _fnv1a_expr(t: str = "t") -> str:
+    """UBIGINT expression: FNV-1a/64 of token ``t``'s codepoints (ASCII
+    corpus ⇒ codepoint == utf-8 byte) — engine.ops.text.fnv1a_tokens
+    twin (list_reduce with a HUGEINT-limb wraparound multiply)."""
+    step = _mul64("CAST(xor(acc, cc) AS HUGEINT)", _FNV_PRIME)
+    return (
+        f"list_reduce(list_prepend({_FNV_BASIS}::UBIGINT, "
+        f"list_transform(range(1, length({t}) + 1), "
+        f"i -> CAST(ascii({t}[i]) AS UBIGINT))), (acc, cc) -> {step})"
+    )
+
+
+def simhash_pairs_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> str:
+    """engine.ops.dedup SimHash near-dup twin: FNV-1a token hashes over
+    lowercased whitespace tokens, per-bit majority votes, the 64-bit
+    fingerprint, four 16-bit LSH bands (pigeonhole: Hamming ≤ 3 shares a
+    band) and the exact popcount filter — all integer arithmetic."""
+    return f"""
+      WITH d AS (SELECT {id_col} AS did,
+                        list_filter(string_split_regex(lower(COALESCE({text_col}, '')),
+                                                       '\\s+'),
+                                    t -> t <> '') AS toks
+                 FROM {source}),
+      th AS (SELECT did, len(toks) AS n,
+                    list_transform(toks, t -> {_fnv1a_expr('t')}) AS hs
+             FROM d),
+      ex AS (SELECT did, n, unnest(hs) AS h FROM th),
+      eb AS (SELECT did, n, r.b,
+                    SUM(CAST((h >> CAST(r.b AS INTEGER)) & 1 AS BIGINT)) AS ones
+             FROM ex, range(0, 64) r(b) GROUP BY did, n, r.b),
+      sh0 AS (SELECT did,
+                     CAST(SUM(CASE WHEN 2 * ones - n > 0
+                              THEN CAST(1::UBIGINT << CAST(b AS INTEGER) AS HUGEINT)
+                              ELSE 0::HUGEINT END) AS UBIGINT) AS sh
+              FROM eb GROUP BY did),
+      shx AS (SELECT d.did, COALESCE(sh0.sh, 0::UBIGINT) AS sh
+              FROM d LEFT JOIN sh0 ON sh0.did = d.did),
+      bd AS (SELECT did, sh, r.band,
+                    (sh >> CAST(16 * r.band AS INTEGER)) & 65535 AS band_key
+             FROM shx, range(0, 4) r(band)),
+      p AS (SELECT DISTINCT l.did AS a, r2.did AS b,
+                   CAST(bit_count(xor(l.sh, r2.sh)) AS BIGINT) AS hamming
+            FROM bd l JOIN bd r2
+              ON l.band = r2.band AND l.band_key = r2.band_key AND l.did < r2.did)
+      SELECT a, b, hamming FROM p WHERE hamming <= {max_hamming}"""
+
+
 def fingerprint_sql(
     source: str = "documents", id_col: str = "doc_id", text_col: str = "text", w: int = 5
 ) -> str:
