@@ -103,8 +103,17 @@ def bottomk_sample_rows(
     def _bottom(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return df.assign(__h=pd.Series(dtype="uint64"))
-        h = pd.util.hash_array(df[id_col].to_numpy(), hash_key=seed.ljust(16)[:16])
-        h = (h ^ mix) * np.uint64(0x9E3779B97F4A7C15)
+        ids = df[id_col].to_numpy()
+        if np.issubdtype(ids.dtype, np.integer):
+            # splitmix64 of (id ^ seed-mix): SQL-mirrorable bit-exactly
+            # (engine/cdc/sqloracle.py::_sm64_cols) so sample-dependent
+            # pipelines (k-means init) can be driver value-hash-checked.
+            from engine.util.hashing import splitmix64
+
+            h = splitmix64(ids.astype(np.int64).view(np.uint64) ^ mix)
+        else:
+            h = pd.util.hash_array(ids, hash_key=seed.ljust(16)[:16])
+            h = (h ^ mix) * np.uint64(0x9E3779B97F4A7C15)
         df = df.assign(__h=h)
         if len(df) > n:
             df = df.iloc[np.argpartition(h, n)[:n]]
@@ -129,6 +138,28 @@ def bottomk_sample_rows(
     if tbl is None:
         return []
     return tbl.drop_columns(["__h"]).to_pylist()
+
+
+def build_centroids_int(sq: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Integer-exact Lloyd init on an (already quantized, already
+    (hash, id)-sorted) sample: init = the first k sample rows, then each
+    iteration runs the same exact-int64 assignment/fold as the main loop;
+    centroid update = floor(sum/n + 0.5). Every step is deterministic
+    integer (or literal-identical float-of-exact-ints) arithmetic, so
+    the DuckDB oracle replays it bit-for-bit (sqlmirror.py::kmeans_cte)."""
+    cq = sq[: min(k, len(sq))].copy()
+    for _ in range(iters):
+        _, part = _kmeans_partials(sq, cq)
+        new = cq.copy()
+        for c, n, s in zip(part["cluster"], part["n"], part["s"]):
+            if n:
+                new[int(c)] = np.floor(
+                    np.asarray(s, dtype=np.int64) / int(n) + 0.5
+                ).astype(np.int64)
+        if np.array_equal(new, cq):
+            break
+        cq = new
+    return cq
 
 
 def build_centroids(sample: np.ndarray, n_cells: int, seed: int = 42, iters: int = 10) -> np.ndarray:
@@ -196,7 +227,7 @@ def kmeans(
     data = ds.select_columns([id_col, vec_col]).materialize()
     sample_rows = bottomk_sample_rows(data, id_col, sample_n, seed=f"kmeans-{seed}")
     sample = _stack_any(sample_rows, vec_col)
-    cq = quantize(build_centroids(sample, k, seed=seed))
+    cq = build_centroids_int(quantize(sample), k)
 
     from engine.ops.agg import grouped_agg
     from engine.util.collect import pull_arrow
@@ -255,7 +286,9 @@ def kmeans(
                 n = int(grp["n"].iloc[0])
                 if n:
                     total = grp["s"].to_numpy().astype(np.int64)
-                    new[int(c)] = np.round(total / n).astype(np.int64)
+                    # floor(x+0.5), not np.round: half-up rounding the
+                    # SQL oracle mirrors exactly (np.round is half-even).
+                    new[int(c)] = np.floor(total / n + 0.5).astype(np.int64)
         if np.array_equal(new, cq):
             break
         cq = new

@@ -27,8 +27,10 @@ from engine.ops.multimodal import (
 )
 from engine.ops.text import fingerprint, lang_id, quality_score, text_stats
 from engine.pipelines.sqlmirror import (
+    cluster_balanced_sample_sql,
     crc32_decode_sql,
     fingerprint_sql,
+    kmeans_counts_sql,
     minhash_clusters_sql,
     minhash_pairs_sql,
     simhash_pairs_sql,
@@ -170,7 +172,7 @@ def q_lm_score(sf_dir):
     return lm_score(ds, counts, id_cols=["doc_id"])
 
 
-@register_query("q_cluster_balanced_sample")  # iterative + sampling — rows-only
+@register_query("q_cluster_balanced_sample", oracle=cluster_balanced_sample_sql())
 def q_cluster_balanced_sample(sf_dir):
     """Cluster-balanced corpus sampling: k-means the embeddings, compute
     a deterministic per-cluster keep rate that caps every cluster at the
@@ -199,14 +201,17 @@ def q_cluster_balanced_sample(sf_dir):
     return mix_domains(assign, rates, group_col="cluster", id_col="vec_id")
 
 
-@register_query("q_kmeans")  # iterative algorithm — rows-only
+@register_query("q_kmeans", oracle=kmeans_counts_sql())
 def q_kmeans(sf_dir):
     """Distributed Lloyd k-means over the full embedding table (corpus
     clustering for mixture curation / IVF refinement). Exact-int64
     centroid accumulation → bit-identical clusters at any parallelism
     (asserted against a single-process reference in
     tests/test_ops_content.py). Output: one row per cluster with its
-    member count."""
+    member count. Oracle-checked: DuckDB replays the ENTIRE algorithm —
+    splitmix64 bottom-k sample, first-k init, 10 integer-exact init
+    Lloyd rounds, 4 full-table rounds, final assignment — as unrolled
+    MATERIALIZED CTEs (sqlmirror.py::_kmeans_cte)."""
     from engine.ops.agg import grouped_agg
     from engine.ops.ann import kmeans
 

@@ -356,6 +356,105 @@ def minhash_clusters_sql(
       SELECT node, MIN(lbl) AS component FROM reach GROUP BY node"""
 
 
+def _kmeans_cte(
+    k: int = 8,
+    iters: int = 4,
+    init_iters: int = 10,
+    sample_n: int = 4096,
+    seed: int = 42,
+    dim: int = 64,
+    source: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """WITH-body replaying engine.ops.ann.kmeans bit-for-bit, ending in
+    CTE ``asn`` (vid, cluster): quantized vectors → splitmix64 bottom-k
+    sample (ORDER BY hash, id) → init = first k sample rows →
+    ``init_iters`` integer-exact Lloyd rounds on the sample
+    (build_centroids_int) → ``iters`` rounds on the FULL table → final
+    assignment. Centroid updates are FLOOR(sum/n + 0.5) of exact int64
+    sums; assignment is argmin(|c|² − 2v·c) with first-min (lowest
+    cluster id) tie-break — both literal mirrors of the engine. The
+    engine's early convergence break is a fixed point, so unrolling all
+    rounds yields the same centroids."""
+    import zlib
+
+    mix = zlib.crc32(f"kmeans-{seed}".encode()) | 1
+    sm = ",\n               ".join(
+        _sm64_cols("h", f"xor(CAST(vid AS UBIGINT), {mix}::UBIGINT)")
+    )
+    parts = [
+        f"""
+      v AS MATERIALIZED (SELECT {id_col} AS vid,
+                   list_transform({vec_col},
+                     x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+            FROM {source}),
+      hh AS (SELECT vid, q, {sm} FROM v),
+      smp AS MATERIALIZED (SELECT vid, q, row_number() OVER (ORDER BY h, vid) AS rn
+              FROM hh QUALIFY rn <= {sample_n}),
+      ve AS MATERIALIZED (SELECT vid, r.i - 1 AS dim, q[r.i] AS val
+             FROM smp, range(1, {dim + 1}) r(i)),
+      vf AS MATERIALIZED (SELECT vid, r.i - 1 AS dim, q[r.i] AS val
+             FROM v, range(1, {dim + 1}) r(i)),
+      c0 AS MATERIALIZED (SELECT rn - 1 AS cluster, r.i - 1 AS dim, q[r.i] AS val
+             FROM smp, range(1, {dim + 1}) r(i) WHERE rn <= {k})"""
+    ]
+    t = 0
+    for phase, rounds in (("ve", init_iters), ("vf", iters)):
+        for _ in range(rounds):
+            parts.append(f"""
+      d{t} AS MATERIALIZED (SELECT e.vid, c.cluster,
+                      SUM(c.val * c.val) - 2 * SUM(e.val * c.val) AS dd
+               FROM {phase} e JOIN c{t} c USING (dim)
+               GROUP BY e.vid, c.cluster),
+      a{t} AS MATERIALIZED (SELECT vid, cluster FROM (
+                 SELECT vid, cluster,
+                        row_number() OVER (PARTITION BY vid
+                                           ORDER BY dd, cluster) AS rnk
+                 FROM d{t}) WHERE rnk = 1),
+      g{t} AS MATERIALIZED (SELECT a.cluster, e.dim, SUM(e.val) AS s, COUNT(*) AS n
+               FROM a{t} a JOIN {phase} e USING (vid)
+               GROUP BY a.cluster, e.dim),
+      c{t + 1} AS MATERIALIZED (SELECT c.cluster, c.dim,
+                          COALESCE(CAST(FLOOR(g.s / g.n + 0.5) AS BIGINT),
+                                   c.val) AS val
+                   FROM c{t} c LEFT JOIN g{t} g
+                     ON g.cluster = c.cluster AND g.dim = c.dim)""")
+            t += 1
+    parts.append(f"""
+      dfin AS MATERIALIZED (SELECT e.vid, c.cluster,
+                      SUM(c.val * c.val) - 2 * SUM(e.val * c.val) AS dd
+               FROM vf e JOIN c{t} c USING (dim)
+               GROUP BY e.vid, c.cluster),
+      asn AS (SELECT vid, cluster FROM (
+                SELECT vid, cluster,
+                       row_number() OVER (PARTITION BY vid
+                                          ORDER BY dd, cluster) AS rnk
+                FROM dfin) WHERE rnk = 1)""")
+    return ",".join(parts)
+
+
+def kmeans_counts_sql(**kw) -> str:
+    """Per-cluster member counts — engine q_kmeans twin."""
+    return f"WITH{_kmeans_cte(**kw)}\n      SELECT cluster, COUNT(*) AS n FROM asn GROUP BY cluster"
+
+
+def cluster_balanced_sample_sql(knuth: int = 2654435761, mod: int = 4294967296, **kw) -> str:
+    """engine q_cluster_balanced_sample twin: k-means assignment →
+    per-cluster keep rate capped at the FLOOR(median) cluster size →
+    Knuth multiplicative-hash row selection (the mix_domains rule)."""
+    cte = _kmeans_cte(**kw)
+    return f"""WITH{cte},
+      cnt AS (SELECT cluster, COUNT(*) AS n FROM asn GROUP BY cluster),
+      tgt AS (SELECT CAST(FLOOR(MEDIAN(n)) AS BIGINT) AS target FROM cnt),
+      thr AS (SELECT cluster,
+                     CAST(FLOOR(LEAST(1.0, target / n) * {mod}) AS BIGINT) AS t
+              FROM cnt, tgt)
+      SELECT a.vid AS vec_id, a.cluster
+      FROM asn a JOIN thr ON thr.cluster = a.cluster
+      WHERE (a.vid * {knuth}) % {mod} < thr.t"""
+
+
 def crc32_decode_sql(source: str = "documents", id_col: str = "doc_id",
                      text_col: str = "text") -> str:
     """engine.ops.multimodal fake-decode twin: zlib.crc32 of the payload

@@ -498,7 +498,7 @@ def test_kmeans_distributed_matches_single_process(sf_dir):
 
     from engine.io.sources import read_table
     from engine.ops.ann import (
-        _kmeans_partials, bottomk_sample_rows, build_centroids, kmeans, quantize,
+        _kmeans_partials, bottomk_sample_rows, build_centroids_int, kmeans, quantize,
     )
 
     k, iters = 5, 3
@@ -516,7 +516,7 @@ def test_kmeans_distributed_matches_single_process(sf_dir):
         np.asarray(r["embedding"], dtype=np.float64)
         for r in bottomk_sample_rows(ds, "vec_id", 4096, seed="kmeans-42")
     ])
-    cq = quantize(build_centroids(sample, k, seed=42))
+    cq = build_centroids_int(quantize(sample), k)
     vq = quantize(vecs)
     for _ in range(iters):
         assign, part = _kmeans_partials(vq, cq)
@@ -524,7 +524,7 @@ def test_kmeans_distributed_matches_single_process(sf_dir):
         for c, grp in part.groupby("cluster"):
             n = int(grp["n"].sum())
             total = np.sum(np.stack(grp["s"].to_numpy()).astype(np.int64), axis=0)
-            new[int(c)] = np.round(total / n).astype(np.int64)
+            new[int(c)] = np.floor(total / n + 0.5).astype(np.int64)
         if np.array_equal(new, cq):
             break
         cq = new
