@@ -447,13 +447,17 @@ def lm_score(
     counts = counts.astype(np.float64)
     prefix = counts.reshape(256, 256).sum(axis=1)  # marginal count per first byte
     logp = np.log(counts + 1.0) - np.log(np.repeat(prefix, 256) + 256.0)
+    # Micro-nat integer quantization (floor(x*1e6+0.5)): per-doc sums
+    # become exact order-free integers, so the score is a float division
+    # of exact ints — the DuckDB oracle mirrors it bit-for-bit.
+    logp = np.floor(logp * 1e6 + 0.5).astype(np.int64)
     ref = ray.put(logp)
     keep = list(id_cols or [])
 
     def _score(df: pd.DataFrame) -> pd.DataFrame:
         lp = _cached_get(ref)
         pairs, doc_of = _bigram_ids(df[text_col].tolist())
-        sums = np.zeros(len(df), dtype=np.float64)
+        sums = np.zeros(len(df), dtype=np.int64)
         cnt = np.zeros(len(df), dtype=np.int64)
         if len(pairs):
             # Per-doc ordered segment sum: one doc's bigrams are

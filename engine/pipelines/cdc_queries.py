@@ -22,6 +22,7 @@ from engine.cdc import sqloracle
 from engine.cdc.replay import ReplayConfig, replay
 from engine.cdc.synth import SynthConfig, synth_changelog
 from engine.cdc.verify import read_lake
+from engine.pipelines.sqlmirror import cdc_dedup_index_sql
 from engine.registry import register_query
 
 _CACHE: dict[str, str] = {}
@@ -1015,9 +1016,11 @@ def q_cdc_metrics(sf_dir):
     return rd.from_arrow(t.drop_columns(["wall_s", "events_per_sec"]))
 
 
-@register_query("q_cdc_dedup_index")
+@register_query("q_cdc_dedup_index", oracle=cdc_dedup_index_sql(CFG_MAIN))
 def q_cdc_dedup_index(sf_dir):
-    """Continuous near-dup detection via a DERIVED LAKE, self-checking:
+    """Continuous near-dup detection via a DERIVED LAKE, self-checking
+    AND oracle-checked (the SQL twin composes the changelog LWW mirror
+    with the MinHash banding mirror — sqlmirror.py::cdc_dedup_index_sql):
     the changelog replayed through a MinHash TransformSource maintains
     an LSH signature index incrementally (one signature per CHANGED row,
     exactly-once, resumable); candidate pairs read straight off the

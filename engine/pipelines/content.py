@@ -31,6 +31,7 @@ from engine.pipelines.sqlmirror import (
     crc32_decode_sql,
     fingerprint_sql,
     kmeans_counts_sql,
+    lm_score_sql,
     minhash_clusters_sql,
     minhash_pairs_sql,
     simhash_pairs_sql,
@@ -156,7 +157,7 @@ def q_ann_ivf(sf_dir):
                    centroids=cent, n_probe=4)
 
 
-@register_query("q_lm_score")  # corpus-trained model — rows-only
+@register_query("q_lm_score", oracle=lm_score_sql())
 def q_lm_score(sf_dir):
     """Char-bigram LM quality score (perplexity proxy): pass 1 trains
     exact corpus-wide bigram counts (bincount combiner → bucketed sum →

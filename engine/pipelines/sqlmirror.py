@@ -330,6 +330,63 @@ def minhash_pairs_sql(
     return f"WITH{cte}\n      SELECT a, b, jaccard FROM res WHERE jaccard >= {threshold!r}"
 
 
+def lm_score_sql(
+    source: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    out: str = "lm_logprob",
+) -> str:
+    """engine.ops.text lm_score twin: corpus-wide char-bigram counts,
+    the add-one-smoothed logprob table quantized to integer micro-nats
+    (floor(x*1e6+0.5) — matching the engine), then per-doc exact integer
+    sums and a float division of exact ints. ASCII corpus ⇒ codepoint
+    pairs == utf-8 byte pairs."""
+    pairs = (
+        f"list_transform(range(1, length(txt)), "
+        f"i -> ascii(txt[i]) * 256 + ascii(txt[i + 1]))"
+    )
+    return f"""
+      WITH enc AS (SELECT {id_col}, COALESCE({text_col}, '') AS txt FROM {source}),
+      bg AS (SELECT unnest({pairs}) AS pair FROM enc),
+      cnts AS (SELECT pair, COUNT(*) AS c FROM bg GROUP BY pair),
+      allp AS (SELECT r.p AS pair, COALESCE(c, 0) AS c
+               FROM range(0, 65536) r(p) LEFT JOIN cnts ON cnts.pair = r.p),
+      pref AS (SELECT pair // 256 AS hi, SUM(c) AS pc FROM allp GROUP BY pair // 256),
+      lp AS (SELECT pair,
+                    CAST(FLOOR((LN(c + 1.0) - LN(pc + 256.0)) * 1000000.0 + 0.5)
+                         AS BIGINT) AS lpm
+             FROM allp JOIN pref ON pref.hi = allp.pair // 256),
+      db AS (SELECT {id_col}, unnest({pairs}) AS pair FROM enc),
+      agg AS (SELECT {id_col}, SUM(lpm) AS s, COUNT(*) AS n
+              FROM db JOIN lp USING (pair) GROUP BY {id_col})
+      SELECT e.{id_col},
+             CASE WHEN a.n > 0 THEN a.s / a.n ELSE 0.0 END AS {out},
+             COALESCE(a.n, 0) AS {out}_n
+      FROM enc e LEFT JOIN agg a USING ({id_col})"""
+
+
+def cdc_dedup_index_sql(cfg) -> str:
+    """engine q_cdc_dedup_index twin: the SQL changelog mirror's LWW
+    state (engine/cdc/sqloracle.py) becomes the live corpus, doc ids are
+    repo || chr(31) || path, and the MinHash-LSH CANDIDATE pair set is
+    read off the same banding CTEs (no Jaccard verify — the index stores
+    signatures, not texts). Composes the two validated mirrors."""
+    from engine.cdc.sqloracle import events_cte
+
+    mh = _minhash_cte("corpus", "did", "txt", 64, 16, 5, 42)
+    return (
+        "WITH "
+        + events_cte(cfg)
+        + """,
+      w AS (SELECT e.*, row_number() OVER (PARTITION BY repo, path
+                                           ORDER BY seq DESC) AS rn
+            FROM events e),
+      state AS (SELECT * FROM w WHERE rn = 1 AND op <> 'D'),
+      corpus AS (SELECT concat(repo, chr(31), path) AS did, content AS txt
+                 FROM state),"""
+        + mh
+        + "\n      SELECT a, b FROM cand"
+    )
+
+
 def minhash_clusters_sql(
     source: str = "documents",
     id_col: str = "doc_id",

@@ -561,6 +561,7 @@ def test_lm_score_matches_reference():
     assert (counts == ref_counts).all()
     prefix = ref_counts.reshape(256, 256).sum(axis=1).astype(np.float64)
     logp = np.log(ref_counts + 1.0) - np.log(np.repeat(prefix, 256) + 256.0)
+    logp = np.floor(logp * 1e6 + 0.5)  # engine's micro-nat quantization
     for i, b in enumerate(encs):
         a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
         if len(a) < 2:
