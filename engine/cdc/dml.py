@@ -166,14 +166,61 @@ def merge_into(
     return out
 
 
+def delete_where(
+    lake_dir: str,
+    log_dir: str,
+    filters: list[tuple],
+    replay_cfg=None,
+    apply: bool = True,
+) -> dict:
+    """DELETE WHERE through the changelog (retention / TTL / GDPR-style
+    predicate deletes): select the LIVE keys matching ``filters`` via
+    the zone-map-pruned lake scan (file skipping happens before any data
+    page is read), publish ONE sealed changelog epoch of D events for
+    exactly those keys, and fold it with a normal replay via
+    :func:`merge_into` — so every invariant (exactly-once commit, LWW at
+    any parallelism, lineage, changefeeds/replicas, time travel, resume)
+    holds for free, and a replica tailing the log sees the retention
+    pass as ordinary deletes.
+
+    ``filters`` uses scan_lake's conjunction form ``[(col, op, val),
+    ...]`` (or a DNF list of conjunctions). Control-plane shape like
+    ``merge_into``: the matched KEY LIST is driver-held (repo+path only,
+    never payloads); bulk-fraction deletes belong in a producer. Zero
+    matches publish nothing and return ``{"rows": 0}``.
+
+    SQL-oracle form (q_cdc_delete_where): because the D events target
+    precisely the live matching keys, the final state is the LWW state
+    MINUS the predicate — ``SELECT ... FROM state WHERE NOT pred``."""
+    from engine.cdc.scan import scan_lake
+    from engine.util.collect import pull_arrow
+
+    keys = pull_arrow(scan_lake(lake_dir, filters, columns=["repo", "path"]))
+    if keys is None or keys.num_rows == 0:
+        return {"rows": 0, "epoch": None, "seq_lo": None, "seq_hi": None,
+                "replay": None}
+    batch = pa.table(
+        {
+            "repo": keys.column("repo"),
+            "path": keys.column("path"),
+            "op": pa.array(["D"] * keys.num_rows, pa.string()),
+        }
+    )
+    return merge_into(lake_dir, log_dir, batch, apply=apply, replay_cfg=replay_cfg)
+
+
 def main(argv: list[str] | None = None) -> None:
     """Operational CLI for changelog-routed batch DML::
 
         python -m engine.cdc.dml --lake-dir L --log-dir G \
             --parquet batch.parquet [--op U] [--no-apply]
+        python -m engine.cdc.dml --lake-dir L --log-dir G \
+            --delete-where '[["lang", "=", "en"]]' [--no-apply]
 
     The parquet batch needs (repo, path) plus any payload columns;
     optional ``op``/``seq`` columns follow :func:`merge_into` semantics.
+    ``--delete-where`` takes a JSON conjunction (or DNF list) in
+    scan_lake's (col, op, value) form and runs :func:`delete_where`.
     Works on an EMPTY lake too (watermark -1 → seqs from 0; the replay
     bootstraps the lake) — DML is just another producer."""
     import argparse
@@ -184,17 +231,25 @@ def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description="MERGE INTO through the changelog")
     ap.add_argument("--lake-dir", required=True)
     ap.add_argument("--log-dir", required=True)
-    ap.add_argument("--parquet", required=True, help="batch file to merge")
+    grp = ap.add_mutually_exclusive_group(required=True)
+    grp.add_argument("--parquet", help="batch file to merge")
+    grp.add_argument("--delete-where",
+                     help="JSON (col, op, value) conjunction to delete")
     ap.add_argument("--op", default="U", help="default op for rows without one")
     ap.add_argument("--no-apply", action="store_true",
                     help="publish the epoch only; let the next replay fold it")
     args = ap.parse_args(argv)
-    if not args.no_apply and not ray.is_initialized():
+    if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
-    out = merge_into(
-        args.lake_dir, args.log_dir, pq.read_table(args.parquet),
-        default_op=args.op, apply=not args.no_apply,
-    )
+    if args.delete_where:
+        flt = [tuple(t) for t in json.loads(args.delete_where)]
+        out = delete_where(args.lake_dir, args.log_dir, flt,
+                           apply=not args.no_apply)
+    else:
+        out = merge_into(
+            args.lake_dir, args.log_dir, pq.read_table(args.parquet),
+            default_op=args.op, apply=not args.no_apply,
+        )
     print(json.dumps({
         "epoch": out["epoch"], "rows": out["rows"],
         "seq_lo": out["seq_lo"], "seq_hi": out["seq_hi"],

@@ -733,6 +733,35 @@ def q_cdc_expectations(sf_dir):
     return read_lake(lake, columns=cols).select_columns(cols)
 
 
+@register_query(
+    "q_cdc_delete_where",
+    oracle=sqloracle.state_query(
+        CFG_MAIN,
+        "SELECT repo, path, seq, lang FROM state WHERE lang IS DISTINCT FROM 'en'",
+    ),
+)
+def q_cdc_delete_where(sf_dir):
+    """DELETE WHERE through the changelog (engine/cdc/dml.py::
+    delete_where — retention / TTL / GDPR-style predicate deletes):
+    replay the flagship stream, then delete every live row with
+    lang = 'en' via a zone-map-pruned key scan published as one sealed
+    epoch of D events and folded by an ordinary replay. Oracle: the SQL
+    changelog mirror's LWW state MINUS the predicate — the D events
+    target exactly the live matching keys, so survivors (and their seqs)
+    are untouched."""
+    from engine.cdc.dml import delete_where
+
+    work = tempfile.mkdtemp(prefix="cdc_delete_q_")
+    log = synth_changelog(sf_dir, f"{work}/log", CFG_MAIN)
+    lake = f"{work}/lake"
+    replay(log, lake, ReplayConfig(num_partitions=16, num_salts=2))
+    rep = delete_where(lake, log, [("lang", "=", "en")])
+    if not rep["rows"]:
+        raise AssertionError("retention pass matched nothing — synth drift?")
+    cols = ["repo", "path", "seq", "lang"]
+    return read_lake(lake, columns=cols).select_columns(cols)
+
+
 @register_query("q_cdc_merge_into", oracle=_SQL_MERGE)
 def q_cdc_merge_into(sf_dir):
     """MERGE INTO through the changelog (engine/cdc/dml.py): replay the

@@ -257,3 +257,32 @@ def test_merge_into_bootstraps_empty_lake_and_cli(tmp_path, sf_dir):
     t = lake_table(lake)
     assert t.num_rows == 4  # one deleted, one inserted
     assert "cli" in set(t.column("repo").to_pylist())
+
+
+def test_delete_where_retention_pass(tmp_path, sf_dir):
+    """delete_where removes exactly the predicate-matching live rows via
+    D events through the log: survivors (and their seqs) untouched, a
+    second pass matches nothing, and a fresh replay of the whole log
+    reproduces the post-delete state byte-identically."""
+    from engine.cdc.dml import delete_where
+
+    log, lake = _build(tmp_path, sf_dir, name="dw")
+    base = lake_table(lake).to_pandas()
+    victims = base[base["lang"] == "en"]
+    survivors = base[base["lang"] != "en"]
+    assert len(victims) and len(survivors)
+
+    rep = delete_where(lake, log, [("lang", "=", "en")], replay_cfg=ReplayConfig(**CFG))
+    assert rep["rows"] == len(victims)
+    after = lake_table(lake).to_pandas()
+    key = lambda df: set(zip(df["repo"], df["path"], df["seq"]))
+    assert key(after) == key(survivors)  # seqs of survivors untouched
+
+    # idempotent: nothing matches any more, nothing published
+    rep2 = delete_where(lake, log, [("lang", "=", "en")])
+    assert rep2["rows"] == 0 and rep2["epoch"] is None
+
+    # log-replay equivalence: a fresh lake from the same log converges
+    lake2 = f"{tmp_path}/lake_dw2"
+    replay(log, lake2, ReplayConfig(**CFG))
+    assert state_hash(lake2) == state_hash(lake)
