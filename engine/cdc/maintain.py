@@ -755,6 +755,9 @@ def main(argv: list[str] | None = None) -> None:
     cb.add_argument("--zorder", action="store_true",
                     help="Morton-interleave the columns (OPTIMIZE ZORDER)")
     sub.add_parser("history", help="DESCRIBE HISTORY: one line per retained version")
+    fs = sub.add_parser("fsck", help="integrity check: manifests, files, footers, zone maps")
+    fs.add_argument("--deep", action="store_true",
+                    help="re-read stated columns and verify zone maps exactly")
     args = ap.parse_args(argv)
     if args.op == "history":  # metadata-only, no Ray
         from engine.cdc.verify import lake_history
@@ -762,6 +765,12 @@ def main(argv: list[str] | None = None) -> None:
         for row in lake_history(args.lake_dir).to_pylist():
             print(json.dumps(row))
         return
+    if args.op == "fsck":  # metadata + footers, no Ray
+        from engine.cdc.verify import fsck
+
+        report = fsck(args.lake_dir, deep=args.deep)
+        print(json.dumps(report))
+        raise SystemExit(0 if report["ok"] else 1)
     if args.op != "clone" and not ray.is_initialized():
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     if args.op == "compact":

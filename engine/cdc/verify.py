@@ -171,3 +171,155 @@ def lake_lookup(
     if path is not None:
         t = t.filter(pc.equal(t.column("path"), path))
     return t
+
+
+def fsck(lake_dir: str, deep: bool = False) -> dict:
+    """Lakehouse integrity check (fsck). Metadata-first: manifests and
+    parquet FOOTERS only; no data page is read unless ``deep=True``.
+
+    Checks:
+
+    - **manifest chain** — every retained manifest parses; versions
+      strictly increase; ``changelog_pos`` never decreases.
+    - **active files** (head manifest) — every referenced data file
+      exists and is non-empty; every pid slot is < the pinned
+      ``num_partitions``; every ``file_stats`` entry references an
+      active file.
+    - **LSM seq layering** — within each partition, every delta file's
+      footer ``min(seq)`` should exceed the maximum ``seq`` of the files
+      before it (base files first, then epoch-ordered deltas; bases are
+      recognized by their footer lacking the ``op`` column). Overlap is
+      reported as a WARNING, not an error: replica lakes that followed a
+      changefeed backfill legitimately carry equal-seq delta rows
+      (bootstrap._diff_tables), but on a primary an overlap usually
+      means a producer wrote below the watermark.
+    - **zone maps** — each recorded ``[lo, hi]`` must CONTAIN the file's
+      actual values: footer min/max for numeric columns (string footer
+      stats may be truncated upward by parquet, so strings are verified
+      only in ``deep`` mode by exact column reads).
+    - **schema** — the manifest schema decodes; every active file's
+      footer column names are a subset of the lake schema's.
+
+    Returns ``{"ok": bool, "errors": [...], "checked": {...counts}}``;
+    ``errors`` names every violating file/partition. Driver-side and
+    cheap: O(#manifests + #active files) footer reads."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    errors: list[str] = []
+    warnings: list[str] = []
+    mdir = os.path.join(lake_dir, sink.MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        raise FileNotFoundError(f"no manifest dir under {lake_dir}")
+    versions = sorted(
+        int(n[len("epoch-"):-len(".json")])
+        for n in os.listdir(mdir)
+        if n.startswith("epoch-") and n.endswith(".json")
+    )
+    last_pos = None
+    head = None
+    for v in versions:
+        try:
+            head = sink.read_manifest(lake_dir, v)
+        except Exception as exc:  # corrupt JSON
+            errors.append(f"manifest v{v}: unreadable ({exc})")
+            continue
+        pos = sink.changelog_pos(head)
+        if last_pos is not None and pos < last_pos:
+            errors.append(f"manifest v{v}: changelog_pos regressed {last_pos}->{pos}")
+        last_pos = pos
+    n_files = n_stats = n_seq_pairs = 0
+    if head is not None:
+        try:
+            schema = lake_schema_for(sink.schema_from_b64(head["schema_b64"]))
+        except Exception as exc:
+            errors.append(f"head manifest: schema_b64 undecodable ({exc})")
+            schema = None
+        files = sink.active_files(head)
+        stats = head.get("file_stats", {})
+        P = int(head.get("num_partitions") or 0)
+        active_rels = {rel for rels in files.values() for rel in rels}
+        for rel in stats:
+            if rel not in active_rels:
+                errors.append(f"file_stats references inactive file {rel}")
+        for pid, rels in files.items():
+            if P and pid >= P:
+                errors.append(f"pid {pid} >= pinned num_partitions {P}")
+            prev_max_seq = None
+            for ordinal, rel in enumerate(rels):
+                n_files += 1
+                path = os.path.join(lake_dir, rel)
+                if not os.path.isfile(path) or os.path.getsize(path) == 0:
+                    errors.append(f"pid {pid}: missing/empty data file {rel}")
+                    continue
+                md = pq_.ParquetFile(path)
+                fmeta = md.metadata
+                fnames = set(md.schema_arrow.names)
+                # delta files carry the op column on top of the lake schema
+                if schema is not None and not fnames - {"op"} <= set(schema.names):
+                    errors.append(
+                        f"{rel}: footer columns "
+                        f"{sorted(fnames - {'op'} - set(schema.names))} "
+                        "not in lake schema"
+                    )
+                # footer min/max per column (numeric only unless deep)
+                foot: dict[str, list] = {}
+                for rg in range(fmeta.num_row_groups):
+                    for ci in range(fmeta.num_columns):
+                        cc = fmeta.row_group(rg).column(ci)
+                        st = cc.statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        name = cc.path_in_schema
+                        lo, hi = st.min, st.max
+                        if name in foot:
+                            foot[name] = [min(foot[name][0], lo), max(foot[name][1], hi)]
+                        else:
+                            foot[name] = [lo, hi]
+                sq = foot.get("seq")
+                if sq is not None:
+                    is_delta = "op" in fnames
+                    if is_delta and prev_max_seq is not None:
+                        n_seq_pairs += 1
+                        if sq[0] <= prev_max_seq:
+                            warnings.append(
+                                f"pid {pid}: delta {rel} min(seq)={sq[0]} overlaps the "
+                                f"preceding files' max(seq)={prev_max_seq} (legitimate "
+                                "on a replica after backfill propagation; on a primary "
+                                "this means a write landed below the watermark)"
+                            )
+                    prev_max_seq = sq[1] if prev_max_seq is None else max(prev_max_seq, sq[1])
+                for col, bounds in (stats.get(rel) or {}).items():
+                    n_stats += 1
+                    lo, hi = bounds
+                    if deep:
+                        import pyarrow.compute as pc_
+
+                        colv = pq_.read_table(path, columns=[col]).column(col)
+                        if colv.null_count == len(colv):
+                            continue
+                        mm = pc_.min_max(colv)
+                        alo, ahi = mm["min"].as_py(), mm["max"].as_py()
+                    elif isinstance(lo, str):
+                        continue  # parquet truncates string footer stats
+                    elif col in foot:
+                        alo, ahi = foot[col]
+                    else:
+                        continue
+                    if alo < lo or ahi > hi:
+                        errors.append(
+                            f"{rel}: zone map {col}=[{lo}, {hi}] does not contain "
+                            f"actual [{alo}, {ahi}]"
+                        )
+    return {
+        "ok": not errors,
+        "errors": errors,
+        "warnings": warnings,
+        "checked": {
+            "manifests": len(versions),
+            "files": n_files,
+            "zone_map_entries": n_stats,
+            "lsm_seq_pairs": n_seq_pairs,
+        },
+    }

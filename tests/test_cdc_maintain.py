@@ -338,3 +338,62 @@ def test_lake_history_audit_log(tmp_path, sf_dir):
     lines = [l for l in buf.getvalue().splitlines() if l.strip()]
     assert len(lines) == 8
     assert _json.loads(lines[-1])["kind"] == "cluster:seq"
+
+
+def test_fsck_clean_and_corruptions(tmp_path, sf_dir):
+    """fsck passes a healthy lake (incl. after cluster_by's multi-base
+    split and a delta-mode replay), then detects: a missing data file, a
+    zone map that no longer contains the file's values, and a manifest
+    whose changelog position regressed. The delta-mode lake yields zero
+    seq-layering warnings (deltas genuinely layer above bases)."""
+    import json
+    import os
+
+    from engine.cdc.replay import ReplayConfig, replay
+    from engine.cdc.synth import SynthConfig, synth_changelog
+    from engine.cdc.verify import fsck
+    from engine.cdc import sink as sink_mod
+
+    log = synth_changelog(
+        sf_dir, f"{tmp_path}/log_fsck",
+        SynthConfig(seed=55, n_events=3000, n_epochs=3, n_keys=600),
+    )
+    lake = f"{tmp_path}/lake_fsck"
+    replay(log, lake, ReplayConfig(num_partitions=8, num_salts=2, write_mode="delta"))
+    rep = fsck(lake)
+    assert rep["ok"] and not rep["errors"] and not rep["warnings"]
+    assert rep["checked"]["files"] > 8 and rep["checked"]["zone_map_entries"] > 0
+    assert rep["checked"]["lsm_seq_pairs"] > 0  # deltas actually checked
+
+    deep = fsck(lake, deep=True)
+    assert deep["ok"]
+
+    # corruption 1: delete one active data file
+    m = sink_mod.read_manifest(lake)
+    rel = next(iter(sink_mod.active_files(m).values()))[0]
+    os.rename(os.path.join(lake, rel), os.path.join(lake, rel) + ".hidden")
+    rep = fsck(lake)
+    assert not rep["ok"] and any("missing/empty" in e for e in rep["errors"])
+    os.rename(os.path.join(lake, rel) + ".hidden", os.path.join(lake, rel))
+
+    # corruption 2: narrow a zone map below the file's actual range
+    mpath = os.path.join(lake, sink_mod.MANIFEST_DIR,
+                         f"epoch-{m['epoch']:05d}.json")
+    raw = json.load(open(mpath))
+    narrowed = False
+    for r, st in raw.get("file_stats", {}).items():
+        if "seq" in st:
+            st["seq"] = [st["seq"][0], st["seq"][0]]  # hi := lo
+            narrowed = True
+            break
+    assert narrowed
+    os.chmod(mpath, 0o644)
+    json.dump(raw, open(mpath, "w"))
+    rep = fsck(lake)
+    assert not rep["ok"] and any("zone map" in e for e in rep["errors"])
+
+    # corruption 3: regress the head manifest's changelog position
+    raw["changelog_pos"] = -1
+    json.dump(raw, open(mpath, "w"))
+    rep = fsck(lake)
+    assert any("regressed" in e for e in rep["errors"])
