@@ -208,9 +208,9 @@ def kmeans(
     """Distributed Lloyd k-means over the FULL dataset, parallelism- and
     batch-order-invariant.
 
-    Init: deterministic bottom-k-by-hash sample → driver-side Lloyd
-    (:func:`build_centroids`), quantized to the module's exact-int64
-    grid. Each refinement round is ONE map_batches pass over the
+    Init: deterministic bottom-k-by-hash sample → driver-side
+    integer-exact Lloyd (:func:`build_centroids_int`) on the module's
+    exact-int64 grid. Each refinement round is ONE map_batches pass over the
     materialized (id, vec) projection emitting per-cluster partial
     (count, int64 component-sum) rows — at most k rows per batch cross
     to the driver, never vectors — reduced by exact integer addition
@@ -319,20 +319,43 @@ def knn_ivf(
 ) -> rd.Dataset:
     """IVF-pruned ANN: only vectors in cells probed by some query are
     scored. Approximate (recall < 1 when the true neighbor's cell is not
-    probed)."""
-    d = ((queries[:, None, :].astype(np.float64) - centroids[None, :, :]) ** 2).sum(-1)
-    probe = set(np.argsort(d, axis=1)[:, :n_probe].ravel().tolist())
-    ref = ray.put((centroids, sorted(probe)))
+    probed). INTEGER centroids (build_centroids_int output) switch the
+    probe/assignment to exact int64 arithmetic — deterministic AND
+    SQL-mirrorable (sqlmirror.py::ivf_knn_sql); float centroids keep the
+    original float path."""
+    centroids = np.asarray(centroids)
+    if np.issubdtype(centroids.dtype, np.integer):
+        cq = centroids.astype(np.int64)
+        qq = quantize(queries)
+        cnorm = np.einsum("ij,ij->i", cq, cq)
+        dd = cnorm[None, :] - 2 * (qq @ cq.T)  # exact int64
+        # ties to the lower cell id (stable argsort) — mirrors the SQL
+        # row_number ORDER BY dd, cluster
+        probe = set(np.argsort(dd, axis=1, kind="stable")[:, :n_probe].ravel().tolist())
+        ref = ray.put((cq, sorted(probe)))
 
-    def _filter(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return df
-        cent, cells = _cached_get(ref)
-        vecs = _stack(df, vec_col).astype(np.float64)
-        # argmin|x-c|^2 = argmin(|c|^2 - 2 x.c): matmul, no (n, cells, dim) temp
-        dd = (cent * cent).sum(1)[None, :] - 2.0 * (vecs @ cent.T)
-        assign = dd.argmin(1)
-        return df[np.isin(assign, cells)]
+        def _filter(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            cent, cells = _cached_get(ref)
+            vq = quantize(_stack(df, vec_col))
+            ddv = np.einsum("ij,ij->i", cent, cent)[None, :] - 2 * (vq @ cent.T)
+            assign = ddv.argmin(1)  # first-min = lowest cell id on ties
+            return df[np.isin(assign, cells)]
+    else:
+        d = ((queries[:, None, :].astype(np.float64) - centroids[None, :, :]) ** 2).sum(-1)
+        probe = set(np.argsort(d, axis=1)[:, :n_probe].ravel().tolist())
+        ref = ray.put((centroids, sorted(probe)))
+
+        def _filter(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            cent, cells = _cached_get(ref)
+            vecs = _stack(df, vec_col).astype(np.float64)
+            # argmin|x-c|^2 = argmin(|c|^2 - 2 x.c): matmul, no (n, cells, dim) temp
+            dd = (cent * cent).sum(1)[None, :] - 2.0 * (vecs @ cent.T)
+            assign = dd.argmin(1)
+            return df[np.isin(assign, cells)]
 
     pruned = ds.map_batches(_filter, batch_format="pandas")
     return knn_brute(pruned, vec_col, id_col, queries, query_ids, k)
@@ -374,26 +397,33 @@ def cosine_near_dup_pairs(
                       "cos": pa.array([], pa.float64())})
         )
     sample = _stack_any(rows, vec_col)
-    cent = build_centroids(sample, n_cells=n_cells, seed=seed)
-    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
-    ref = ray.put(cent)
-    probe = min(n_probe, len(cent))
+    # Integer-exact routing cells (build_centroids_int): blocking by
+    # quantized Euclidean cells instead of normalized-cosine cells makes
+    # the WHOLE operator — routing, pairing, the cosine itself —
+    # deterministic integer arithmetic (plus float divisions of exact
+    # ints), so the DuckDB oracle replays it bit-for-bit
+    # (sqlmirror.py::cosine_pairs_sql). Multi-probe keeps cross-cell
+    # recall; the per-cell pairing is exact as before.
+    cq = build_centroids_int(quantize(sample), n_cells)
+    ref = ray.put(cq)
+    probe = min(n_probe, len(cq))
 
     def _route(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return pd.DataFrame({"cell": [], id_col: [], vec_col: []})
         c = _cached_get(ref)
-        v = _stack(df, vec_col).astype(np.float64)
-        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        # nearest centroids by cosine (all unit vectors)
-        cells = np.argsort(-(v @ c.T), axis=1)[:, :probe]
+        vq = quantize(_stack(df, vec_col))
+        cnorm = np.einsum("ij,ij->i", c, c)  # exact int64
+        dd = cnorm[None, :] - 2 * (vq @ c.T)
+        # top-probe cells by smallest distance, ties to the lower cell id
+        cells = np.argsort(dd, axis=1, kind="stable")[:, :probe]
         n = len(df)
         reps = np.repeat(np.arange(n), probe)
         return pd.DataFrame(
             {
                 "cell": cells.ravel(),
                 id_col: df[id_col].to_numpy()[reps],
-                vec_col: [v[i] for i in reps],
+                vec_col: [vq[i] for i in reps],
             }
         )
 
@@ -408,15 +438,23 @@ def cosine_near_dup_pairs(
             ids = d[id_col].to_numpy()
             order = np.argsort(ids)
             ids = ids[order]
-            mat = np.stack(d[vec_col].to_numpy())[order]
-            cos = mat @ mat.T
+            mat = np.stack(d[vec_col].to_numpy())[order]  # int64 quantized
+            dot = mat @ mat.T  # exact int64 (|v|~4e6, 64 dims → ≤ ~1e15)
+            nn = np.einsum("ij,ij->i", mat, mat)  # exact int64 norms²
+            # cos = dot / sqrt(na*nb): na*nb overflows int64, so the
+            # product is formed in float64 from exact ints — the same
+            # double the SQL twin computes — and IEEE sqrt/divide are
+            # correctly rounded, so both sides get identical doubles.
+            denom = np.sqrt(nn.astype(np.float64)[:, None] * nn.astype(np.float64)[None, :])
+            cos = dot / np.maximum(denom, 1e-12)
+            cos = np.floor(cos * 1e6 + 0.5) / 1e6  # SQL-mirrorable rounding
             ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
             if len(ii) == 0:
                 continue
             out.append(pd.DataFrame({
                 "a": ids[ii].astype("int64"),
                 "b": ids[jj].astype("int64"),
-                "cos": np.round(cos[ii, jj], 6),
+                "cos": cos[ii, jj],
             }))
         return pd.concat(out, ignore_index=True)
 

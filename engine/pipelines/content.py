@@ -9,7 +9,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from engine.io.sources import read_table
-from engine.ops.ann import build_centroids, cosine_near_dup_pairs, knn_brute, knn_ivf
+from engine.ops.ann import cosine_near_dup_pairs, knn_brute, knn_ivf
 from engine.ops.dedup import (
     exact_dedup,
     minhash_candidate_pairs,
@@ -28,8 +28,10 @@ from engine.ops.multimodal import (
 from engine.ops.text import fingerprint, lang_id, quality_score, text_stats
 from engine.pipelines.sqlmirror import (
     cluster_balanced_sample_sql,
+    cosine_pairs_sql,
     crc32_decode_sql,
     fingerprint_sql,
+    ivf_knn_sql,
     kmeans_counts_sql,
     lm_score_sql,
     minhash_clusters_sql,
@@ -89,14 +91,17 @@ def q_dedup_ngram(sf_dir):
     return ngram_jaccard_pairs(ds, docs, "text", "doc_id", threshold=0.7)
 
 
-@register_query("q_dedup_embedding")  # rows-only (approximate by design)
+@register_query("q_dedup_embedding", oracle=cosine_pairs_sql(threshold=0.4))
 def q_dedup_embedding(sf_dir):
-    """Embedding-cosine near-dup pairs via IVF-cell co-partitioned
-    pairing — only the tiny centroid matrix is broadcast; vectors move
-    through the exchange a constant number of times (multi-probe), and
-    the per-cell matmul is exact. The synthetic embeddings are
-    near-orthogonal (max pairwise cosine ~0.48 at sf0.001) — 0.4
-    demonstrates the operator with real output."""
+    """Embedding-cosine near-dup pairs via cell co-partitioned pairing —
+    only the tiny centroid matrix is broadcast; vectors move through the
+    exchange a constant number of times (multi-probe), and the per-cell
+    pairing is exact. The synthetic embeddings are near-orthogonal (max
+    pairwise cosine ~0.48 at sf0.001) — 0.4 demonstrates the operator
+    with real output. Oracle-checked: routing cells are the integer
+    k-means init mirror, pair candidates and the dot/norm² cosine are
+    exact integers (the only floats are IEEE-correctly-rounded
+    sqrt/divide of exact ints) — sqlmirror.py::cosine_pairs_sql."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return cosine_near_dup_pairs(ds, "embedding", "vec_id", threshold=0.4)
 
@@ -140,18 +145,21 @@ def q_ann_bruteforce(sf_dir):
     return knn_brute(ds, "embedding", "vec_id", queries, qids, k=5)
 
 
-@register_query("q_ann_ivf")  # approximate — rows-only
+@register_query("q_ann_ivf", oracle=ivf_knn_sql())
 def q_ann_ivf(sf_dir):
     """IVF-bucketed ANN (scale path): seeded k-means cells from a bounded
     order-independent sample (bottom-k by seeded hash — never the full
-    table in the driver), probe top-4."""
-    from engine.ops.ann import bottomk_sample_rows
+    table in the driver), probe top-4. Oracle-checked: centroids come
+    from the integer-exact init Lloyd (build_centroids_int), so routing,
+    assignment and the quantized brute scoring are all replayed in
+    DuckDB (sqlmirror.py::ivf_knn_sql)."""
+    from engine.ops.ann import bottomk_sample_rows, build_centroids_int, quantize
 
     queries, qids = _query_vectors(sf_dir)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     sample = bottomk_sample_rows(ds, "vec_id", 1024, seed="ivf-centroids")
     m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
-    cent = build_centroids(m, n_cells=16, seed=42)
+    cent = build_centroids_int(quantize(m), 16)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return knn_ivf(ds, "embedding", "vec_id", queries, qids, k=5,
                    centroids=cent, n_probe=4)

@@ -423,7 +423,10 @@ def _kmeans_cte(
     source: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> str:
+    seed_prefix: str = "kmeans",
+    with_assign: bool = True,
+    seed_label: str | None = None,
+) -> tuple[str, str]:
     """WITH-body replaying engine.ops.ann.kmeans bit-for-bit, ending in
     CTE ``asn`` (vid, cluster): quantized vectors → splitmix64 bottom-k
     sample (ORDER BY hash, id) → init = first k sample rows →
@@ -436,7 +439,7 @@ def _kmeans_cte(
     rounds yields the same centroids."""
     import zlib
 
-    mix = zlib.crc32(f"kmeans-{seed}".encode()) | 1
+    mix = zlib.crc32((seed_label or f"{seed_prefix}-{seed}").encode()) | 1
     sm = ",\n               ".join(
         _sm64_cols("h", f"xor(CAST(vid AS UBIGINT), {mix}::UBIGINT)")
     )
@@ -478,7 +481,8 @@ def _kmeans_cte(
                    FROM c{t} c LEFT JOIN g{t} g
                      ON g.cluster = c.cluster AND g.dim = c.dim)""")
             t += 1
-    parts.append(f"""
+    if with_assign:
+        parts.append(f"""
       dfin AS MATERIALIZED (SELECT e.vid, c.cluster,
                       SUM(c.val * c.val) - 2 * SUM(e.val * c.val) AS dd
                FROM vf e JOIN c{t} c USING (dim)
@@ -488,19 +492,20 @@ def _kmeans_cte(
                        row_number() OVER (PARTITION BY vid
                                           ORDER BY dd, cluster) AS rnk
                 FROM dfin) WHERE rnk = 1)""")
-    return ",".join(parts)
+    return ",".join(parts), f"c{t}"
 
 
 def kmeans_counts_sql(**kw) -> str:
     """Per-cluster member counts — engine q_kmeans twin."""
-    return f"WITH{_kmeans_cte(**kw)}\n      SELECT cluster, COUNT(*) AS n FROM asn GROUP BY cluster"
+    body, _ = _kmeans_cte(**kw)
+    return f"WITH{body}\n      SELECT cluster, COUNT(*) AS n FROM asn GROUP BY cluster"
 
 
 def cluster_balanced_sample_sql(knuth: int = 2654435761, mod: int = 4294967296, **kw) -> str:
     """engine q_cluster_balanced_sample twin: k-means assignment →
     per-cluster keep rate capped at the FLOOR(median) cluster size →
     Knuth multiplicative-hash row selection (the mix_domains rule)."""
-    cte = _kmeans_cte(**kw)
+    cte, _ = _kmeans_cte(**kw)
     return f"""WITH{cte},
       cnt AS (SELECT cluster, COUNT(*) AS n FROM asn GROUP BY cluster),
       tgt AS (SELECT CAST(FLOOR(MEDIAN(n)) AS BIGINT) AS target FROM cnt),
@@ -510,6 +515,108 @@ def cluster_balanced_sample_sql(knuth: int = 2654435761, mod: int = 4294967296, 
       SELECT a.vid AS vec_id, a.cluster
       FROM asn a JOIN thr ON thr.cluster = a.cluster
       WHERE (a.vid * {knuth}) % {mod} < thr.t"""
+
+
+def cosine_pairs_sql(
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sample_n: int = 2048,
+    dim: int = 64,
+    source: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """engine.ops.ann.cosine_near_dup_pairs twin: integer-exact routing
+    cells (the k-means init mirror, init Lloyd only), top-n_probe cell
+    assignment (ties to the lower cell id), DISTINCT shared-cell pairs,
+    and the exact integer dot/norm² cosine — the only floats are the
+    final sqrt/divide of exact ints (IEEE correctly rounded, so both
+    sides produce identical doubles)."""
+    body, cfin = _kmeans_cte(
+        k=n_cells, iters=0, init_iters=10, sample_n=sample_n, seed=seed,
+        dim=dim, source=source, id_col=id_col, vec_col=vec_col,
+        seed_prefix="cnd", with_assign=False,
+    )
+    return f"""WITH{body},
+      dp AS MATERIALIZED (SELECT e.vid, c.cluster,
+                SUM(c.val * c.val) - 2 * SUM(e.val * c.val) AS dd
+             FROM vf e JOIN {cfin} c USING (dim)
+             GROUP BY e.vid, c.cluster),
+      cells AS (SELECT vid, cluster FROM (
+                  SELECT vid, cluster,
+                         row_number() OVER (PARTITION BY vid
+                                            ORDER BY dd, cluster) AS rnk
+                  FROM dp) WHERE rnk <= {n_probe}),
+      cp AS (SELECT DISTINCT l.vid AS a, r.vid AS b
+             FROM cells l JOIN cells r
+               ON l.cluster = r.cluster AND l.vid < r.vid),
+      nrm AS MATERIALIZED (SELECT vid, SUM(val * val) AS nn
+                           FROM vf GROUP BY vid),
+      dots AS (SELECT cp.a, cp.b, SUM(ea.val * eb.val) AS dot
+               FROM cp JOIN vf ea ON ea.vid = cp.a
+                       JOIN vf eb ON eb.vid = cp.b AND eb.dim = ea.dim
+               GROUP BY cp.a, cp.b),
+      cres AS (SELECT d.a, d.b,
+                      FLOOR((d.dot / GREATEST(sqrt(CAST(na.nn AS DOUBLE)
+                                                   * CAST(nb.nn AS DOUBLE)),
+                                              1e-12))
+                            * 1000000.0 + 0.5) / 1000000.0 AS cos
+               FROM dots d JOIN nrm na ON na.vid = d.a
+                           JOIN nrm nb ON nb.vid = d.b)
+      SELECT a, b, cos FROM cres WHERE cos >= {threshold!r}"""
+
+
+def ivf_knn_sql(
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    sample_n: int = 1024,
+    dim: int = 64,
+    max_qid: int = 5,
+    source: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """engine q_ann_ivf twin: integer k-means routing cells (init Lloyd
+    mirror, seed label 'ivf-centroids'), per-query top-n_probe cell set,
+    integer cell assignment over the corpus, then the brute quantized
+    inner-product top-k restricted to kept vectors (same scoring as the
+    proven q_ann_bruteforce oracle)."""
+    body, cfin = _kmeans_cte(
+        k=n_cells, iters=0, init_iters=10, sample_n=sample_n, dim=dim,
+        source=source, id_col=id_col, vec_col=vec_col,
+        with_assign=False, seed_label="ivf-centroids",
+    )
+    return f"""WITH{body},
+      qd AS (SELECT e.vid AS qid, c.cluster,
+                    SUM(c.val * c.val) - 2 * SUM(e.val * c.val) AS dd
+             FROM vf e JOIN {cfin} c USING (dim)
+             WHERE e.vid < {max_qid} GROUP BY e.vid, c.cluster),
+      probe AS (SELECT DISTINCT cluster FROM (
+                  SELECT qid, cluster,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY dd, cluster) AS rnk
+                  FROM qd) WHERE rnk <= {n_probe}),
+      dv AS MATERIALIZED (SELECT e.vid, c.cluster,
+                SUM(c.val * c.val) - 2 * SUM(e.val * c.val) AS dd
+             FROM vf e JOIN {cfin} c USING (dim) GROUP BY e.vid, c.cluster),
+      asnv AS (SELECT vid, cluster FROM (
+                 SELECT vid, cluster,
+                        row_number() OVER (PARTITION BY vid
+                                           ORDER BY dd, cluster) AS rnk
+                 FROM dv) WHERE rnk = 1),
+      kept AS (SELECT a.vid FROM asnv a JOIN probe p USING (cluster))
+      SELECT query_id, id, score FROM (
+        SELECT a.vid AS query_id, b.vid AS id,
+               CAST(list_inner_product(a.q, b.q) AS BIGINT) AS score,
+               row_number() OVER (PARTITION BY a.vid
+                                  ORDER BY list_inner_product(a.q, b.q) DESC,
+                                           b.vid) AS rn
+        FROM v a, v b
+        WHERE a.vid < {max_qid} AND b.vid IN (SELECT vid FROM kept)
+      ) WHERE rn <= {k}"""
 
 
 def crc32_decode_sql(source: str = "documents", id_col: str = "doc_id",
