@@ -35,6 +35,7 @@ from engine.pipelines.sqlmirror import (
     kmeans_counts_sql,
     lm_score_sql,
     minhash_clusters_sql,
+    model_score_sql,
     minhash_pairs_sql,
     simhash_pairs_sql,
 )
@@ -409,8 +410,14 @@ def q_fingerprint(sf_dir):
     return select(fingerprint(ds), ["doc_id", "doc_fp"])
 
 
-@register_query("q_model_score")  # deterministic model inference — rows-only
+@register_query("q_model_score", oracle=model_score_sql())
 def q_model_score(sf_dir):
+    """Deterministic model inference (actor-pool scorer, weights loaded
+    once per actor). Oracle-checked: the score is the exact int64
+    trigram-count × micro-quantized-weight sum divided by
+    (n_trigrams · 1e6) — DuckDB replays it with the weight vector
+    inlined as literals (sqlmirror.py::model_score_sql); the float-BLAS
+    normalized embedding stays engine-only."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return select(score_documents(ds), ["doc_id", "model_score"])
 

@@ -568,6 +568,44 @@ def cosine_pairs_sql(
       SELECT a, b, cos FROM cres WHERE cos >= {threshold!r}"""
 
 
+def model_score_sql(
+    source: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    seed: int = 42, vocab: int = 1024,
+) -> str:
+    """engine.ops.model twin: char-trigram counts × the micro-quantized
+    first-dimension projection weights (inlined as 1024 literals from
+    model_weights_micro — the RNG never needs a SQL mirror), exact int64
+    sum, float division by (n_trigrams · 1e6). ASCII corpus ⇒ codepoint
+    == utf-8 byte; short docs zero-pad to 3 bytes like the engine."""
+    from engine.ops.model import model_weights_micro
+
+    w = model_weights_micro(seed=seed, vocab=vocab)
+    rows = ", ".join(f"({i}, {int(w[i])})" for i in range(vocab))
+    byte = (
+        "CASE WHEN i + {o} <= length(t) THEN ascii(t[i + {o}]) ELSE 0 END"
+    )
+    tri = (
+        f"(({byte.format(o=0)}) * 961 + ({byte.format(o=1)}) * 31 + "
+        f"({byte.format(o=2)})) % {vocab}"
+    )
+    return f"""
+      WITH wt AS (SELECT * FROM (VALUES {rows}) w(tri, w)),
+      d AS (SELECT {id_col},
+                   CASE WHEN {text_col} IS NULL OR {text_col} = ''
+                        THEN '  ' ELSE {text_col} END AS t
+            FROM {source}),
+      tg AS (SELECT {id_col}, GREATEST(length(t), 3) - 2 AS n,
+                    unnest(list_transform(range(1, GREATEST(length(t), 3) - 1),
+                                          i -> {tri})) AS tri
+             FROM d),
+      agg AS (SELECT {id_col}, n, SUM(w) AS s
+              FROM tg JOIN wt USING (tri) GROUP BY {id_col}, n)
+      SELECT {id_col},
+             FLOOR((s / (n * 1000000.0)) * 1000000.0 + 0.5) / 1000000.0
+               AS model_score
+      FROM agg"""
+
+
 def ivf_knn_sql(
     k: int = 5,
     n_cells: int = 16,
