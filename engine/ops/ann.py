@@ -500,12 +500,41 @@ def build_pq_codebook(
     )
 
 
+def build_pq_codebook_int(
+    sq: np.ndarray, n_sub: int = 8, n_centroids: int = 256, iters: int = 10
+) -> np.ndarray:
+    """Integer-exact per-subspace codebook (build_centroids_int on each
+    quantized subvector slice of the (hash, id)-sorted sample) — every
+    step deterministic int64, so the DuckDB oracle replays codebook,
+    codes, lookup tables and ADC scores bit-for-bit
+    (sqlmirror.py::pq_knn_sql). Shape (n_sub, n_centroids, sub_dim)."""
+    dim = sq.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub = dim // n_sub
+    return np.stack(
+        [
+            build_centroids_int(sq[:, s * sub : (s + 1) * sub], n_centroids, iters)
+            for s in range(n_sub)
+        ]
+    )
+
+
 def _pq_codes(vecs: np.ndarray, codebook: np.ndarray) -> np.ndarray:
     """(n, n_sub) uint8 nearest-centroid codes, vectorized per subspace.
     argmin|x-c|^2 = argmin(|c|^2 - 2 x.c): one (n, n_centroids) matmul
     per subspace instead of the (n, n_centroids, sub_dim) broadcast temp
     (1.6 GB per 100k-vector batch on this box's weak memory path)."""
     n_sub, _, sub = codebook.shape
+    if np.issubdtype(codebook.dtype, np.integer):
+        vq = quantize(vecs)
+        out = np.empty((len(vecs), n_sub), dtype=np.uint8)
+        for s in range(n_sub):
+            seg = vq[:, s * sub : (s + 1) * sub]
+            c = codebook[s]
+            d = np.einsum("ij,ij->i", c, c)[None, :] - 2 * (seg @ c.T)  # int64
+            out[:, s] = d.argmin(1).astype(np.uint8)  # ties → lower code
+        return out
     out = np.empty((len(vecs), n_sub), dtype=np.uint8)
     for s in range(n_sub):
         seg = vecs[:, s * sub : (s + 1) * sub]
@@ -553,11 +582,16 @@ def knn_pq(
     are deterministic). The shuffle moves ≤ k rows per query per block."""
     n_sub = codebook.shape[0]
     sub = codebook.shape[2]
+    cb_q = (
+        codebook.astype(np.int64)
+        if np.issubdtype(codebook.dtype, np.integer)
+        else np.stack([quantize(codebook[s]) for s in range(n_sub)])
+    )
     # LUT[q, s, c] = quantized <query_q[s], centroid_{s,c}>
     lut = np.stack(
         [
             quantize(queries[:, s * sub : (s + 1) * sub].astype(np.float64))
-            @ quantize(codebook[s]).T
+            @ cb_q[s].T
             for s in range(n_sub)
         ],
         axis=1,

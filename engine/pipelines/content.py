@@ -36,6 +36,7 @@ from engine.pipelines.sqlmirror import (
     lm_score_sql,
     minhash_clusters_sql,
     model_score_sql,
+    pq_knn_sql,
     minhash_pairs_sql,
     simhash_pairs_sql,
 )
@@ -1161,25 +1162,29 @@ def q_domain_mix(sf_dir):
     return mix_domains(ds, {"en": 0.9, "fr": 0.5, "de": 0.25, "es": 0.1})
 
 
-@register_query("q_ann_pq")  # PQ/ADC scores are approximate by construction
+@register_query("q_ann_pq", oracle=pq_knn_sql())
 def q_ann_pq(sf_dir):
     """Product-quantization ANN (memory scale path: 64-dim float ->
     n_sub uint8 codes, 32x smaller index): per-subspace codebook from a
     bounded seeded sample, corpus PQ-encoded in one pass, ADC top-k via
     per-query lookup tables (int64-exact given the quantized tables —
-    deterministic ties). Recall vs brute force is unit-tested."""
+    deterministic ties). Recall vs brute force is unit-tested.
+    Oracle-checked: the integer codebooks (build_pq_codebook_int),
+    codes, LUTs and ADC gather-sums are all replayed in DuckDB
+    (sqlmirror.py::pq_knn_sql)."""
     from engine.ops.ann import (
         bottomk_sample_rows,
-        build_pq_codebook,
+        build_pq_codebook_int,
         knn_pq,
         pq_encode,
+        quantize,
     )
 
     queries, qids = _query_vectors(sf_dir)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     sample = bottomk_sample_rows(ds, "vec_id", 1024, seed="pq-codebook")
     m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
-    cb = build_pq_codebook(m, n_sub=8, n_centroids=256, seed=42)
+    cb = build_pq_codebook_int(quantize(m), n_sub=8, n_centroids=256)
     codes = pq_encode(
         read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
         "embedding", "vec_id", cb,

@@ -568,6 +568,97 @@ def cosine_pairs_sql(
       SELECT a, b, cos FROM cres WHERE cos >= {threshold!r}"""
 
 
+def pq_knn_sql(
+    k: int = 5,
+    n_sub: int = 8,
+    n_centroids: int = 256,
+    sample_n: int = 1024,
+    dim: int = 64,
+    max_qid: int = 5,
+    iters: int = 10,
+    source: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """engine q_ann_pq twin: per-subspace integer codebooks
+    (build_pq_codebook_int — all subspaces trained in lockstep via a
+    subspace column, 10 unrolled Lloyd rounds of MATERIALIZED CTEs),
+    nearest-code assignment, per-query lookup tables
+    (list_inner_product of quantized subvectors) and the ADC
+    gather-sum top-k — exact int64 end to end."""
+    import zlib
+
+    mix = zlib.crc32(b"pq-codebook") | 1
+    sub = dim // n_sub
+    sm = ",\n               ".join(
+        _sm64_cols("h", f"xor(CAST(vid AS UBIGINT), {mix}::UBIGINT)")
+    )
+    subvec = f"list_transform(range(s.s * {sub} + 1, s.s * {sub} + {sub + 1}), j -> q[j])"
+    parts = [f"""
+      v AS MATERIALIZED (SELECT {id_col} AS vid,
+            list_transform({vec_col},
+              x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+          FROM {source}),
+      hh AS (SELECT vid, q, {sm} FROM v),
+      smp AS MATERIALIZED (SELECT vid, q,
+               row_number() OVER (ORDER BY h, vid) AS rn
+             FROM hh QUALIFY rn <= {sample_n}),
+      sva AS MATERIALIZED (SELECT vid, rn, s.s, {subvec} AS sv
+             FROM smp, range(0, {n_sub}) s(s)),
+      vea AS MATERIALIZED (SELECT vid, s, j.i - 1 AS dim, sv[j.i] AS val
+             FROM sva, range(1, {sub + 1}) j(i)),
+      c0 AS MATERIALIZED (SELECT s, rn - 1 AS cluster, sv
+            FROM sva WHERE rn <= {n_centroids})"""]
+    t = 0
+    for _ in range(iters):
+        parts.append(f"""
+      d{t} AS MATERIALIZED (SELECT v.vid, v.s, c.cluster,
+               list_inner_product(c.sv, c.sv)
+                 - 2 * list_inner_product(v.sv, c.sv) AS dd
+             FROM sva v JOIN c{t} c USING (s)),
+      a{t} AS MATERIALIZED (SELECT vid, s, cluster FROM (
+               SELECT vid, s, cluster,
+                      row_number() OVER (PARTITION BY vid, s
+                                         ORDER BY dd, cluster) AS rnk
+               FROM d{t}) WHERE rnk = 1),
+      g{t} AS (SELECT a.s, a.cluster, e.dim, SUM(e.val) AS sm_, COUNT(*) AS n
+             FROM a{t} a JOIN vea e ON e.vid = a.vid AND e.s = a.s
+             GROUP BY a.s, a.cluster, e.dim),
+      c{t + 1} AS MATERIALIZED (SELECT s, cluster, list(val ORDER BY dim) AS sv
+             FROM (SELECT c.s, c.cluster, d.i - 1 AS dim,
+                          COALESCE(CAST(FLOOR(g.sm_ / g.n + 0.5) AS BIGINT),
+                                   c.sv[d.i]) AS val
+                   FROM c{t} c CROSS JOIN range(1, {sub + 1}) d(i)
+                   LEFT JOIN g{t} g ON g.s = c.s AND g.cluster = c.cluster
+                                    AND g.dim = d.i - 1)
+             GROUP BY s, cluster)""")
+        t += 1
+    parts.append(f"""
+      fsa AS MATERIALIZED (SELECT vid, s.s, {subvec} AS sv
+             FROM v, range(0, {n_sub}) s(s)),
+      fd AS MATERIALIZED (SELECT v.vid, v.s, c.cluster,
+               list_inner_product(c.sv, c.sv)
+                 - 2 * list_inner_product(v.sv, c.sv) AS dd
+             FROM fsa v JOIN c{t} c USING (s)),
+      codes AS MATERIALIZED (SELECT vid, s, cluster AS code FROM (
+               SELECT vid, s, cluster,
+                      row_number() OVER (PARTITION BY vid, s
+                                         ORDER BY dd, cluster) AS rnk
+               FROM fd) WHERE rnk = 1),
+      lut AS MATERIALIZED (SELECT qv.vid AS qid, qv.s, c.cluster,
+               list_inner_product(qv.sv, c.sv) AS w
+             FROM fsa qv JOIN c{t} c USING (s) WHERE qv.vid < {max_qid}),
+      sc AS (SELECT l.qid, cd.vid, SUM(l.w) AS score
+             FROM codes cd JOIN lut l ON l.s = cd.s AND l.cluster = cd.code
+             GROUP BY l.qid, cd.vid)
+      SELECT query_id, id, score FROM (
+        SELECT qid AS query_id, vid AS id, CAST(score AS BIGINT) AS score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, vid) AS rn
+        FROM sc) WHERE rn <= {k}""")
+    return "WITH" + ",".join(parts)
+
+
 def model_score_sql(
     source: str = "documents", id_col: str = "doc_id", text_col: str = "text",
     seed: int = 42, vocab: int = 1024,
