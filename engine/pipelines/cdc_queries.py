@@ -1045,6 +1045,50 @@ def q_cdc_metrics(sf_dir):
     return rd.from_arrow(t.drop_columns(["wall_s", "events_per_sec"]))
 
 
+@register_query(
+    "q_cdc_change_rates",
+    oracle=(
+        "WITH " + sqloracle.events_cte(CFG_MAIN) + " "
+        "SELECT seq // 1000 AS win, op, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(COUNT(DISTINCT repo) AS BIGINT) AS n_repos "
+        "FROM events GROUP BY seq // 1000, op"
+    ),
+)
+def q_cdc_change_rates(sf_dir):
+    """Streaming change-rate telemetry over the raw changelog (the live
+    ops dashboard a CDC pipeline feeds): tumbling 1000-seq windows × op
+    → event count + distinct source repos. Engine: Ray reads the log
+    epochs column-pruned, applies the SAME validity rule the ingestion
+    validator enforces (op ∈ OPS, key/seq present), bins vectorized and
+    aggregates with the bucketed combiners. Oracle: the SQL changelog
+    mirror grouped identically."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from engine.ops.agg import distinct, grouped_agg
+    from engine.ops.join import auto_join
+    from engine.schemas import OPS
+
+    work = _replayed_lake(sf_dir)
+    log = rd.read_parquet(f"{work}/log", columns=["seq", "op", "repo", "path"])
+
+    def _bin(t: pa.Table) -> pa.Table:
+        ok = pc.is_in(t.column("op"), value_set=pa.array(OPS))
+        for col in ("repo", "path", "seq"):
+            ok = pc.and_(ok, pc.is_valid(t.column(col)))
+        t = t.filter(pc.fill_null(ok, False))
+        win = pc.divide(t.column("seq"), 1000)  # seq ≥ 0: trunc == floor
+        return pa.table({"win": win, "op": t.column("op"), "repo": t.column("repo")})
+
+    binned = log.map_batches(_bin, batch_format="pyarrow").materialize()
+    n_events = grouped_agg(binned, ["win", "op"], {"n_events": ("count", None)})
+    n_repos = grouped_agg(
+        distinct(binned, ["win", "op", "repo"]), ["win", "op"],
+        {"n_repos": ("count", None)},
+    )
+    return auto_join(n_events, n_repos, ["win", "op"])
+
+
 @register_query("q_cdc_dedup_index", oracle=cdc_dedup_index_sql(CFG_MAIN))
 def q_cdc_dedup_index(sf_dir):
     """Continuous near-dup detection via a DERIVED LAKE, self-checking
