@@ -626,3 +626,111 @@ def knn_pq(
     from engine.ops.bucket import bucketed_map_groups
 
     return bucketed_map_groups(partial, ["query_id"], _final, seed="pq")
+
+
+# ---- IVF-PQ (coarse cells + residual product quantization) ------------------
+
+
+def residual_pq_codebook(
+    sq: np.ndarray, coarse: np.ndarray, n_sub: int = 8, n_centroids: int = 64,
+    iters: int = 10,
+) -> np.ndarray:
+    """Residual PQ codebook (the classic IVFPQ construction): each
+    sample vector's residual against its own coarse cell is what the
+    per-subspace codebooks quantize. All int64 (quantized grid), so the
+    DuckDB oracle replays training bit-for-bit."""
+    cnorm = np.einsum("ij,ij->i", coarse, coarse)
+    assign = (cnorm[None, :] - 2 * (sq @ coarse.T)).argmin(1)
+    res = sq - coarse[assign]
+    return build_pq_codebook_int(res, n_sub=n_sub, n_centroids=n_centroids, iters=iters)
+
+
+def knn_ivfpq(
+    ds: rd.Dataset,
+    vec_col: str,
+    id_col: str,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int,
+    coarse: np.ndarray,
+    codebook: np.ndarray,
+    n_probe: int = 4,
+) -> rd.Dataset:
+    """IVF-PQ ANN — the production-shape composed index: coarse integer
+    cells route (only vectors in cells probed by some query are scored),
+    residual PQ codes compress, and ADC scores via per-(query, cell)
+    lookup tables lut[q, cell, s, code] = <(q − c)_s, codeword> — the
+    residual identity means one LUT per probed cell, no decompression.
+    Everything int64-exact: routing, residuals, codes, LUTs, scores —
+    deterministic ties (score desc, id asc) and SQL-replayable
+    (sqlmirror.py::ivfpq_knn_sql). Approximate by construction
+    (quantization error + unprobed cells), like IVF and PQ.
+
+    Scale shape: the codebook/coarse matrices broadcast once via
+    ray.put; each batch computes its own codes and partial top-k, the
+    shuffle moves ≤ k rows per query per batch."""
+    cq = coarse.astype(np.int64)
+    n_sub, ncent, sub = codebook.shape
+    qq = quantize(queries)
+    cnorm = np.einsum("ij,ij->i", cq, cq)
+    dq = cnorm[None, :] - 2 * (qq @ cq.T)
+    probes = np.argsort(dq, axis=1, kind="stable")[:, :n_probe]  # (nq, n_probe)
+    # Inner-product ADC over residual codes: <q, v> = <q, c + r>
+    # ~ <q, c_cell> + sum_s <q_s, codeword> — a CELL-INDEPENDENT lookup
+    # table lut[q, s, code] plus a per-(query, cell) offset. (The
+    # residual subtraction lives in the CODES, which quantize v - c;
+    # the L2-style (q - c) table is the wrong identity for dot products.)
+    lut = np.stack(
+        [qq[:, s * sub : (s + 1) * sub] @ codebook[s].T for s in range(n_sub)],
+        axis=1,
+    )  # (nq, n_sub, ncent) int64
+    offset = qq @ cq.T  # (nq, n_cells) int64
+    ref = ray.put((cq, codebook, probes, lut, offset, np.asarray(query_ids)))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="int64")})
+        cent, cb, prb, tables, offs, qids = _cached_get(ref)
+        vq = quantize(_stack(df, vec_col))
+        ids = df[id_col].to_numpy()
+        cn = np.einsum("ij,ij->i", cent, cent)
+        assign = (cn[None, :] - 2 * (vq @ cent.T)).argmin(1)
+        res = vq - cent[assign]
+        nsub, nct, sb = cb.shape
+        codes = np.empty((len(vq), nsub), dtype=np.int64)
+        for s in range(nsub):
+            seg = res[:, s * sb : (s + 1) * sb]
+            c = cb[s]
+            d = np.einsum("ij,ij->i", c, c)[None, :] - 2 * (seg @ c.T)
+            codes[:, s] = d.argmin(1)
+        rows = {"query_id": [], "id": [], "score": []}
+        for qi, qid in enumerate(qids):
+            keep = np.isin(assign, prb[qi])
+            if not keep.any():
+                continue
+            kidx = np.flatnonzero(keep)
+            # cell offset + gather-sum over the cell-independent LUT
+            scores = offs[qi][assign[kidx]] + tables[qi][
+                np.arange(nsub)[None, :], codes[kidx]
+            ].sum(1)
+            kk = min(k, len(kidx))
+            top = np.lexsort((ids[kidx], -scores))[:kk]
+            rows["query_id"] += [int(qid)] * kk
+            rows["id"] += ids[kidx][top].tolist()
+            rows["score"] += scores[top].tolist()
+        return pd.DataFrame(rows).astype(
+            {"query_id": "int64", "id": "int64", "score": "int64"}
+        )
+
+    partial = ds.map_batches(_partial, batch_format="pandas")
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "score", "id"],
+                            ascending=[True, False, True])
+        return df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+
+    from engine.ops.bucket import bucketed_map_groups
+
+    return bucketed_map_groups(partial, ["query_id"], _final, seed="ivfpq")

@@ -32,6 +32,7 @@ from engine.pipelines.sqlmirror import (
     crc32_decode_sql,
     fingerprint_sql,
     ivf_knn_sql,
+    ivfpq_knn_sql,
     kmeans_counts_sql,
     lm_score_sql,
     minhash_clusters_sql,
@@ -165,6 +166,37 @@ def q_ann_ivf(sf_dir):
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return knn_ivf(ds, "embedding", "vec_id", queries, qids, k=5,
                    centroids=cent, n_probe=4)
+
+
+@register_query("q_ann_ivfpq", oracle=ivfpq_knn_sql())
+def q_ann_ivfpq(sf_dir):
+    """IVF-PQ — the production-shape composed ANN index (FAISS-style):
+    integer coarse cells route (multi-probe), RESIDUAL product
+    quantization compresses (codes quantize v − cell, the classic IVFPQ
+    construction), ADC scores via per-(query, probed-cell) lookup
+    tables. Everything int64-exact, so the DuckDB oracle replays coarse
+    training, residual codebooks, codes, LUTs and the top-k
+    (sqlmirror.py::ivfpq_knn_sql). Approximate by construction like IVF
+    and PQ — but its own arithmetic is bit-checked."""
+    from engine.ops.ann import (
+        bottomk_sample_rows,
+        build_centroids_int,
+        knn_ivfpq,
+        quantize,
+        residual_pq_codebook,
+    )
+
+    queries, qids = _query_vectors(sf_dir)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sample = bottomk_sample_rows(ds, "vec_id", 1024, seed="ivf-centroids")
+    sq = quantize(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
+    )
+    coarse = build_centroids_int(sq, 16)
+    cb = residual_pq_codebook(sq, coarse, n_sub=8, n_centroids=64)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_ivfpq(ds, "embedding", "vec_id", queries, qids, k=5,
+                     coarse=coarse, codebook=cb, n_probe=4)
 
 
 @register_query("q_lm_score", oracle=lm_score_sql())

@@ -659,6 +659,129 @@ def pq_knn_sql(
     return "WITH" + ",".join(parts)
 
 
+def ivfpq_knn_sql(
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 8,
+    n_centroids: int = 64,
+    sample_n: int = 1024,
+    dim: int = 64,
+    max_qid: int = 5,
+    iters: int = 10,
+    source: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """engine q_ann_ivfpq twin — the composed index replayed end to end:
+    integer coarse cells (k-means init mirror, seed label
+    'ivf-centroids'), residual PQ codebooks trained in lockstep on the
+    sample residuals, corpus cell assignment + residual codes, per-
+    (query, probed-cell) lookup tables, and the ADC gather-sum top-k.
+    Exact int64 everywhere."""
+    body, cfin = _kmeans_cte(
+        k=n_cells, iters=0, init_iters=10, sample_n=sample_n, dim=dim,
+        source=source, id_col=id_col, vec_col=vec_col,
+        with_assign=False, seed_label="ivf-centroids",
+    )
+    sub = dim // n_sub
+    subvec = f"list_transform(range(s.s * {sub} + 1, s.s * {sub} + {sub + 1}), j -> rq[j])"
+    parts = [body + f""",
+      cl AS MATERIALIZED (SELECT cluster, list(val ORDER BY dim) AS cv
+            FROM {cfin} GROUP BY cluster),
+      sd AS MATERIALIZED (SELECT e.vid, c.cluster,
+               SUM(c.val * c.val) - 2 * SUM(e.val * c.val) AS dd
+             FROM ve e JOIN {cfin} c USING (dim) GROUP BY e.vid, c.cluster),
+      sasn AS (SELECT vid, cluster FROM (
+               SELECT vid, cluster, row_number() OVER (PARTITION BY vid
+                                                       ORDER BY dd, cluster) AS rnk
+               FROM sd) WHERE rnk = 1),
+      smpr AS MATERIALIZED (SELECT s2.vid, s2.rn,
+               list_transform(range(1, {dim + 1}), j -> s2.q[j] - cl.cv[j]) AS rq
+             FROM smp s2 JOIN sasn a ON a.vid = s2.vid
+                         JOIN cl ON cl.cluster = a.cluster),
+      rsva AS MATERIALIZED (SELECT vid, rn, s.s, {subvec} AS sv
+             FROM smpr, range(0, {n_sub}) s(s)),
+      rvea AS MATERIALIZED (SELECT vid, s, j.i - 1 AS dim, sv[j.i] AS val
+             FROM rsva, range(1, {sub + 1}) j(i)),
+      rc0 AS MATERIALIZED (SELECT s, rn - 1 AS cluster, sv
+            FROM rsva WHERE rn <= {n_centroids})"""]
+    t = 0
+    for _ in range(iters):
+        parts.append(f"""
+      rd{t} AS MATERIALIZED (SELECT v2.vid, v2.s, c.cluster,
+               list_inner_product(c.sv, c.sv)
+                 - 2 * list_inner_product(v2.sv, c.sv) AS dd
+             FROM rsva v2 JOIN rc{t} c USING (s)),
+      ra{t} AS MATERIALIZED (SELECT vid, s, cluster FROM (
+               SELECT vid, s, cluster,
+                      row_number() OVER (PARTITION BY vid, s
+                                         ORDER BY dd, cluster) AS rnk
+               FROM rd{t}) WHERE rnk = 1),
+      rg{t} AS (SELECT a.s, a.cluster, e.dim, SUM(e.val) AS sm_, COUNT(*) AS n
+             FROM ra{t} a JOIN rvea e ON e.vid = a.vid AND e.s = a.s
+             GROUP BY a.s, a.cluster, e.dim),
+      rc{t + 1} AS MATERIALIZED (SELECT s, cluster, list(val ORDER BY dim) AS sv
+             FROM (SELECT c.s, c.cluster, d.i - 1 AS dim,
+                          COALESCE(CAST(FLOOR(g.sm_ / g.n + 0.5) AS BIGINT),
+                                   c.sv[d.i]) AS val
+                   FROM rc{t} c CROSS JOIN range(1, {sub + 1}) d(i)
+                   LEFT JOIN rg{t} g ON g.s = c.s AND g.cluster = c.cluster
+                                     AND g.dim = d.i - 1)
+             GROUP BY s, cluster)""")
+        t += 1
+    parts.append(f"""
+      dv AS MATERIALIZED (SELECT e.vid, c.cluster,
+               SUM(c.val * c.val) - 2 * SUM(e.val * c.val) AS dd
+             FROM vf e JOIN {cfin} c USING (dim) GROUP BY e.vid, c.cluster),
+      asnv AS MATERIALIZED (SELECT vid, cluster FROM (
+               SELECT vid, cluster, row_number() OVER (PARTITION BY vid
+                                                       ORDER BY dd, cluster) AS rnk
+               FROM dv) WHERE rnk = 1),
+      fr AS MATERIALIZED (SELECT v2.vid, a.cluster AS cell,
+               list_transform(range(1, {dim + 1}), j -> v2.q[j] - cl.cv[j]) AS rq
+             FROM v v2 JOIN asnv a ON a.vid = v2.vid
+                       JOIN cl ON cl.cluster = a.cluster),
+      ffa AS MATERIALIZED (SELECT vid, cell, s.s, {subvec} AS sv
+             FROM fr, range(0, {n_sub}) s(s)),
+      fcd AS MATERIALIZED (SELECT v2.vid, v2.cell, v2.s, c.cluster,
+               list_inner_product(c.sv, c.sv)
+                 - 2 * list_inner_product(v2.sv, c.sv) AS dd
+             FROM ffa v2 JOIN rc{t} c USING (s)),
+      codes AS MATERIALIZED (SELECT vid, cell, s, cluster AS code FROM (
+               SELECT vid, cell, s, cluster,
+                      row_number() OVER (PARTITION BY vid, s
+                                         ORDER BY dd, cluster) AS rnk
+               FROM fcd) WHERE rnk = 1),
+      qcell AS (SELECT qid, cluster FROM (
+               SELECT vid AS qid, cluster,
+                      row_number() OVER (PARTITION BY vid
+                                         ORDER BY dd, cluster) AS rnk
+               FROM dv WHERE vid < {max_qid}) WHERE rnk <= {n_probe}),
+      qoff AS MATERIALIZED (SELECT p.qid, p.cluster AS cell,
+               list_inner_product(q2.q, cl.cv) AS off
+             FROM qcell p JOIN v q2 ON q2.vid = p.qid
+                          JOIN cl ON cl.cluster = p.cluster),
+      qrq AS (SELECT vid AS qid, q AS rq FROM v WHERE vid < {max_qid}),
+      qsv AS (SELECT qid, s.s, {subvec} AS sv
+             FROM qrq, range(0, {n_sub}) s(s)),
+      lut AS MATERIALIZED (SELECT q2.qid, q2.s, c.cluster,
+               list_inner_product(q2.sv, c.sv) AS w
+             FROM qsv q2 JOIN rc{t} c USING (s)),
+      scw AS (SELECT l.qid, cd.vid, cd.cell, SUM(l.w) AS sw
+             FROM codes cd
+             JOIN lut l ON l.s = cd.s AND l.cluster = cd.code
+             GROUP BY l.qid, cd.vid, cd.cell),
+      sc AS (SELECT s2.qid, s2.vid, o.off + s2.sw AS score
+             FROM scw s2 JOIN qoff o ON o.qid = s2.qid AND o.cell = s2.cell)
+      SELECT query_id, id, score FROM (
+        SELECT qid AS query_id, vid AS id, CAST(score AS BIGINT) AS score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, vid) AS rn
+        FROM sc) WHERE rn <= {k}""")
+    return "WITH" + ",".join(parts)
+
+
 def model_score_sql(
     source: str = "documents", id_col: str = "doc_id", text_col: str = "text",
     seed: int = 42, vocab: int = 1024,

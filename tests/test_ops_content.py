@@ -647,3 +647,48 @@ def test_json_get_property_random_documents():
         assert got == want
 
     _check()
+
+
+def test_ivfpq_recall_vs_brute(sf_dir):
+    """IVF-PQ (coarse cells + residual codes + ADC) top-k must overlap
+    the exact brute-force top-k, and a second run must be identical —
+    everything is int64-exact, so determinism is bitwise."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.ann import (
+        build_centroids_int, knn_brute, knn_ivfpq, quantize,
+        residual_pq_codebook,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    queries, qids = m[:3], ids[:3].tolist()
+
+    ds = rd.from_arrow(t)
+    exact = knn_brute(ds, "embedding", "vec_id", queries, qids, k=5).to_pandas()
+
+    # near-orthogonal random vectors are the hardest case for cell
+    # routing (inner-product neighbors correlate weakly with Euclidean
+    # cells), so the sanity bar probes ALL cells and uses the 8x256
+    # codebook — isolating the residual-PQ quantization quality; the
+    # registered query's exactness is the oracle's job, not this test's.
+    sq = quantize(m[:1024])
+    coarse = build_centroids_int(sq, 16)
+    cb = residual_pq_codebook(sq, coarse, n_sub=8, n_centroids=256)
+    approx = knn_ivfpq(rd.from_arrow(t), "embedding", "vec_id", queries, qids,
+                       k=20, coarse=coarse, codebook=cb, n_probe=16).to_pandas()
+
+    hits = total = 0
+    for q in qids:
+        want = set(exact[exact["query_id"] == q]["id"].tolist())
+        got = set(approx[approx["query_id"] == q]["id"].tolist())
+        hits += len(want & got)
+        total += len(want)
+    recall = hits / total
+    assert recall >= 0.6, f"IVFPQ recall@20-of-5 {recall:.2f}"
+    approx2 = knn_ivfpq(rd.from_arrow(t), "embedding", "vec_id", queries, qids,
+                        k=20, coarse=coarse, codebook=cb, n_probe=16).to_pandas()
+    a = sorted(map(tuple, approx[["query_id", "id", "score"]].to_numpy().tolist()))
+    b = sorted(map(tuple, approx2[["query_id", "id", "score"]].to_numpy().tolist()))
+    assert a == b
