@@ -1,18 +1,30 @@
-"""DuckDB SQL mirrors for the sketch operators (driver oracles).
+"""DuckDB SQL mirrors for the sketch / dedup / ANN / model operators —
+the generators behind the registry's "zero rows-only" guarantee: every
+engine pipeline, however algorithmic (HLL, MinHash/SimHash LSH, k-means,
+IVF / PQ / IVF-PQ ANN, CRC-32, FNV fingerprints, bigram LM, model
+scoring), has an independent DuckDB implementation the driver
+value-hash-compares against.
 
-The engine's sketches are deterministic; these helpers express the SAME
-computation in ANSI-ish DuckDB SQL so the driver's value-hash check
-covers them. Bit-exactness strategy (same as engine/cdc/sqloracle.py):
+Bit-exactness strategy (same as engine/cdc/sqloracle.py):
 
 - all 64-bit wraparound arithmetic is done in HUGEINT limbs
-  (``_sm64_cols`` — validated bit-exact vs numpy in test_sqloracle.py);
+  (``_sm64_cols`` / ``_mul64var``; byte×constant < 2^72 needs no limbs);
 - every float expression consumes only EXACT integers plus literals and
-  is written token-for-token like its Python twin, so IEEE evaluation
-  order matches and the rounded outputs hash identically.
+  is written token-for-token like its Python twin (division, sqrt — IEEE
+  correctly rounded), so evaluation matches bit-for-bit; rounding is
+  always floor(x*1e6+0.5)/1e6 on both sides (np.round is half-even,
+  DuckDB ROUND half-away);
+- RNG-seeded constants (minhash permutations, model weights) are inlined
+  as literals by the builder — the RNG itself never needs a mirror;
+- iterative algorithms unroll as ``AS MATERIALIZED`` CTE chains (plain
+  CTEs inline and go exponential when round t+1 references round t
+  twice); the engine's early-convergence breaks are fixed points, so
+  fully unrolled chains converge to the same result.
 
-HLL registers depend only on the DISTINCT input values (the register is
-a max over per-value rhos), so the SQL side dedups first — the oracle
-cost is O(cardinality), not O(rows).
+Cost notes: per-DISTINCT-value computation before per-row joins (HLL
+dedups first; minhash permutes the tiny shingle vocabulary, not the
+stream); DuckDB ``range()`` as a table function cannot be laterally
+correlated — use scalar ``range()`` inside list_transform instead.
 """
 
 from __future__ import annotations
