@@ -323,3 +323,54 @@ def fsck(lake_dir: str, deep: bool = False) -> dict:
             "lsm_seq_pairs": n_seq_pairs,
         },
     }
+
+
+def export_snapshot(lake_dir: str, dst: str, epoch: int | None = None) -> dict:
+    """CDC-out: export the live state as PLAIN partitioned parquet
+    (``part=<pid>/data.parquet``) for consumers that don't speak the
+    manifest format (warehouse loads, downstream training jobs).
+
+    - Resolved only through the committed manifest (pinnable ``epoch``
+      = time-travel export).
+    - One distributed task per partition performs the LSM merge-on-read
+      and writes its own file — the dataset never funnels through the
+      driver.
+    - RESUMABLE: a partition whose output file already exists is
+      skipped (re-run after a crash finishes only the missing ones);
+      each write is tmp + ``os.rename`` so readers never see partials.
+    - Deterministic: file contents are the key-sorted live view, so a
+      re-export of the same epoch is byte-identical.
+
+    Returns {"partitions": P_active, "written": n, "skipped": n}.
+    """
+    import os
+    import uuid
+
+    import ray
+
+    from engine.cdc.merge import live_view
+
+    parts, schema = lake_files(lake_dir, epoch)
+    os.makedirs(dst, exist_ok=True)
+
+    @ray.remote
+    def _one(pid: int, rels: list[str]) -> str:
+        import pyarrow.parquet as pq_
+
+        out_dir = os.path.join(dst, f"part={pid}")
+        out = os.path.join(out_dir, "data.parquet")
+        if os.path.exists(out):
+            return "skipped"
+        os.makedirs(out_dir, exist_ok=True)
+        t = live_view(lake_dir, rels, schema)
+        tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex[:12]}")
+        pq_.write_table(t, tmp)
+        os.rename(tmp, out)
+        return "written"
+
+    results = ray.get([_one.remote(pid, rels) for pid, rels in sorted(parts.items())])
+    return {
+        "partitions": len(parts),
+        "written": sum(r == "written" for r in results),
+        "skipped": sum(r == "skipped" for r in results),
+    }

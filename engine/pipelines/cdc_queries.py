@@ -1046,6 +1046,27 @@ def q_cdc_metrics(sf_dir):
 
 
 @register_query(
+    "q_cdc_export",
+    oracle=sqloracle.lww_state_sql(CFG_MAIN, _KEY_COLS),
+)
+def q_cdc_export(sf_dir):
+    """CDC-out: snapshot export of the live state as PLAIN partitioned
+    parquet (engine/cdc/verify.py::export_snapshot — one distributed
+    merge-on-read task per partition, tmp+rename atomic files, resumable
+    by file presence), then read the EXPORTED files back with an
+    ordinary parquet reader — no manifest in the loop. Oracle: the SQL
+    changelog mirror's LWW state; equality proves the export carries the
+    exact live state to manifest-unaware consumers."""
+    from engine.cdc.verify import export_snapshot
+
+    work = _replayed_lake(sf_dir)
+    dst = f"{work}/export"
+    export_snapshot(f"{work}/lake", dst)
+    cols = ["repo", "path", "content_sha256", "seq"]
+    return rd.read_parquet(dst, columns=cols).select_columns(cols)
+
+
+@register_query(
     "q_cdc_change_rates",
     oracle=(
         "WITH " + sqloracle.events_cte(CFG_MAIN) + " "
